@@ -1,0 +1,108 @@
+"""Hybrid score fusion (per-query min-max weighted sum) and TREC run IO.
+
+Semantics match /root/reference/src/hybrid.py:
+- ``fuse``: for each query, each run's scores are min-max normalized with the
+  run's recorded per-query min/max (denominator floored at 1e-9), weighted,
+  and summed; a doc missing from a run contributes 0 (hybrid.py:32-53).
+- ``fuse_statistic``: same, but tags each fused doc with provenance
+  'dense' / 'sparse' / 'fuse' (hybrid.py:56-90).
+- TREC read/write (hybrid.py:8-29). Note the reference's reader sets
+  ``min_score`` to the *last* line's score (file ordering), which for ranked
+  TREC files is the true minimum; we preserve that behavior.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence
+
+from mllm_sparse_retrieval_tpu.search.runs import Run
+
+
+@dataclass
+class ResultRecord:
+    score: float
+    type: str  # 'dense' | 'sparse' | 'fuse'
+
+
+def read_trec_run(path: str) -> Run:
+    run: Run = {}
+    with open(path) as f:
+        for line in f:
+            qid, _, docid, _rank, score, _name = line.strip().split()
+            s = float(score)
+            if qid not in run:
+                run[qid] = {"docs": {}, "max_score": s, "min_score": s}
+            run[qid]["docs"][docid] = s
+            run[qid]["min_score"] = s
+    return run
+
+
+def write_trec_run(run: Run, path: str, name: str = "fusion") -> None:
+    with open(path, "w") as f:
+        for qid in run:
+            doc_score = run[qid]
+            if isinstance(doc_score, dict) and "docs" in doc_score:
+                doc_score = doc_score["docs"]
+            ordered = sorted(doc_score.items(), key=lambda kv: kv[1], reverse=True)
+            for i, (doc, score) in enumerate(ordered):
+                f.write(f"{qid} Q0 {doc} {i + 1} {score} {name}\n")
+
+
+def _normalized(run_entry: dict, doc: str) -> float:
+    lo = run_entry["min_score"]
+    hi = run_entry["max_score"]
+    denom = max(hi - lo, 1e-9)
+    return (run_entry["docs"][doc] - lo) / denom
+
+
+def fuse(runs: Sequence[Run], weights: Sequence[float]) -> Dict[str, Dict[str, float]]:
+    """Weighted min-max fusion. Returns ``qid -> {docid: fused_score}``."""
+    fused: Dict[str, Dict[str, float]] = {}
+    qids = set()
+    for run in runs:
+        qids.update(run.keys())
+    for qid in qids:
+        fused[qid] = {}
+        for run in runs:
+            for doc in run[qid]["docs"]:
+                if doc in fused[qid]:
+                    continue
+                score = 0.0
+                for temp_run, weight in zip(runs, weights):
+                    if doc in temp_run[qid]["docs"]:
+                        score += weight * _normalized(temp_run[qid], doc)
+                fused[qid][doc] = score
+    return fused
+
+
+def fuse_statistic(
+    runs: Sequence[Run], weights: Sequence[float]
+) -> Dict[str, Dict[str, ResultRecord]]:
+    """Fusion with provenance tags, for the score-statistics diagnostics.
+
+    A doc found in only the first run is 'dense', only a later run 'sparse',
+    in several runs 'fuse' (reference hybrid.py:56-90).
+    """
+    fused: Dict[str, Dict[str, ResultRecord]] = {}
+    qids = set()
+    for run in runs:
+        qids.update(run.keys())
+    for qid in qids:
+        fused[qid] = {}
+        for run_count, run in enumerate(runs, start=1):
+            for doc in run[qid]["docs"]:
+                if doc in fused[qid]:
+                    continue
+                score = 0.0
+                score_count = 0
+                for temp_run, weight in zip(runs, weights):
+                    if doc in temp_run[qid]["docs"]:
+                        score += weight * _normalized(temp_run[qid], doc)
+                        score_count += 1
+                if score_count == 1:
+                    score_type = "dense" if run_count == 1 else "sparse"
+                else:
+                    score_type = "fuse"
+                fused[qid][doc] = ResultRecord(score, score_type)
+    return fused

@@ -1,0 +1,51 @@
+"""Run dictionaries: per-query ranked results with min/max score bookkeeping.
+
+A "run" maps ``qid -> {'docs': {docid: score}, 'min_score': m, 'max_score': M}``,
+the structure the reference threads between search, fusion, and metrics
+(/root/reference/src/search.py:66-82).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Sequence
+
+
+Run = Dict[str, dict]
+
+
+def make_run(
+    batch_ids: Sequence[str],
+    batch_scores: Sequence[Sequence[float]],
+    batch_rankings: Sequence[Sequence[str]],
+    remove_query: bool = False,
+) -> Run:
+    """Assemble a run dict from batched search output.
+
+    Mirrors ``get_run_dict`` (/root/reference/src/search.py:66-82) including
+    its min/max convention: min/max are computed over *all* returned scores,
+    before the optional self-hit removal.
+    """
+    run: Run = {}
+    for qid, scores, rankings in zip(batch_ids, batch_scores, batch_rankings):
+        docs = {}
+        for score, doc in zip(scores, rankings):
+            if remove_query and str(doc) == str(qid):
+                continue
+            docs[str(doc)] = float(score)
+        entry = {"docs": docs}
+        if len(scores) == 0:
+            entry["min_score"] = 0.0
+            entry["max_score"] = 0.0
+        else:
+            entry["min_score"] = float(min(scores))
+            entry["max_score"] = float(max(scores))
+        run[str(qid)] = entry
+    return run
+
+
+def merge_runs(runs: Iterable[Run]) -> Run:
+    """Union per-shard runs (each query appears in exactly one shard)."""
+    out: Run = {}
+    for r in runs:
+        out.update(r)
+    return out

@@ -1,0 +1,25 @@
+"""SPLADE-style sparse representation math: term selection, quantization, expansion."""
+
+from mllm_sparse_retrieval_tpu.sparse.term_selection import (
+    SelectedTerms,
+    filter_token,
+    get_filtered_ids,
+    quantize_weights,
+    select_image_terms,
+    select_text_terms,
+    doc_string_vector,
+    query_string_weights,
+    text_candidate_ids,
+)
+
+__all__ = [
+    "SelectedTerms",
+    "filter_token",
+    "get_filtered_ids",
+    "quantize_weights",
+    "select_image_terms",
+    "select_text_terms",
+    "doc_string_vector",
+    "query_string_weights",
+    "text_candidate_ids",
+]
