@@ -1,0 +1,153 @@
+"""Dense flat MIPS index: the TPU-native FAISS-flat equivalent.
+
+Replaces ``FaissFlatSearcher`` + GPU cloning
+(/root/reference/src/search.py:227-270) with an HBM-resident corpus matrix —
+replicated on one chip or row-sharded across the mesh's data axis — scored by
+an MXU matmul with per-shard + global ``top_k`` (ops/mips.py).
+
+Artifact format is pickle-compatible with the reference's encode output:
+``corpus_{shard}.pkl`` holds ``(np.ndarray [N, d] float32, lookup_ids list)``
+(/root/reference/src/encode.py:409-410), so either framework's artifacts are
+loadable by the other.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mllm_sparse_retrieval_tpu.ops.mips import mips_topk, sharded_mips_topk
+from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
+
+
+class DenseFlatIndex:
+    """Exact inner-product search over a corpus embedding matrix."""
+
+    def __init__(self, dim: Optional[int] = None, dtype=jnp.float32):
+        self.dim = dim
+        self.dtype = dtype
+        self._chunks: List[np.ndarray] = []
+        self.lookup: List[str] = []
+        # Device state, built lazily on first search:
+        self._corpus_dev: Optional[jax.Array] = None
+        self._mesh = None
+        self._n_valid = 0
+
+    # ---- construction ------------------------------------------------------
+    def add(self, reps: np.ndarray, ids: Sequence) -> None:
+        reps = np.asarray(reps, dtype=np.float32)
+        if reps.ndim != 2:
+            raise ValueError(f"reps must be [N, d], got {reps.shape}")
+        if self.dim is None:
+            self.dim = reps.shape[1]
+        if reps.shape[1] != self.dim:
+            raise ValueError(f"dim mismatch: {reps.shape[1]} != {self.dim}")
+        if len(ids) != reps.shape[0]:
+            raise ValueError("ids/reps length mismatch")
+        self._chunks.append(reps)
+        self.lookup.extend(str(i) for i in ids)
+        self._corpus_dev = None  # invalidate device copy
+
+    @property
+    def size(self) -> int:
+        return len(self.lookup)
+
+    # ---- device placement ---------------------------------------------------
+    def _materialize(self, mesh=None) -> None:
+        if self._corpus_dev is not None and self._mesh is mesh:
+            return
+        corpus = np.concatenate(self._chunks) if len(self._chunks) != 1 \
+            else self._chunks[0]
+        self._n_valid = corpus.shape[0]
+        self._mesh = mesh
+        if mesh is None:
+            self._corpus_dev = jnp.asarray(corpus, dtype=self.dtype)
+        else:
+            n_shards = mesh.shape[DATA_AXIS]
+            pad = (-corpus.shape[0]) % n_shards
+            if pad:
+                corpus = np.concatenate(
+                    [corpus, np.zeros((pad, corpus.shape[1]), corpus.dtype)])
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+            self._corpus_dev = jax.device_put(
+                jnp.asarray(corpus, dtype=self.dtype), sharding)
+
+    # ---- search --------------------------------------------------------------
+    def search(
+        self, q_reps: np.ndarray, depth: int, mesh=None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-``depth`` MIPS. Returns (scores [B,k], indices [B,k])."""
+        self._materialize(mesh)
+        q = jnp.asarray(np.asarray(q_reps, dtype=np.float32), dtype=self.dtype)
+        if mesh is None:
+            scores, idx = mips_topk(q, self._corpus_dev, min(depth, self._n_valid))
+        else:
+            scores, idx = sharded_mips_topk(
+                mesh, q, self._corpus_dev, self._n_valid, depth)
+        return np.asarray(scores), np.asarray(idx)
+
+    def batch_search(
+        self, q_reps: np.ndarray, depth: int, batch_size: int = 128, mesh=None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Chunked search with a fixed device batch (stable compiled shapes).
+
+        Mirrors ``FaissFlatSearcher.batch_search`` usage
+        (/root/reference/src/search.py:55-59). The final partial batch is
+        padded to ``batch_size`` so only one program is ever compiled.
+        """
+        q_reps = np.asarray(q_reps, dtype=np.float32)
+        n = q_reps.shape[0]
+        all_scores, all_idx = [], []
+        for start in range(0, n, batch_size):
+            chunk = q_reps[start:start + batch_size]
+            valid = chunk.shape[0]
+            if valid < batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch_size - valid, chunk.shape[1]),
+                                     chunk.dtype)])
+            scores, idx = self.search(chunk, depth, mesh=mesh)
+            all_scores.append(scores[:valid])
+            all_idx.append(idx[:valid])
+        return np.concatenate(all_scores), np.concatenate(all_idx)
+
+    def search_ids(
+        self, q_reps: np.ndarray, depth: int, batch_size: int = 128, mesh=None
+    ) -> Tuple[np.ndarray, List[List[str]]]:
+        """Search and map row indices to lookup ids (reference search_queries,
+        /root/reference/src/search.py:55-63)."""
+        scores, idx = self.batch_search(q_reps, depth, batch_size, mesh=mesh)
+        ids = [[self.lookup[int(x)] for x in row] for row in idx]
+        return scores, ids
+
+    # ---- persistence -----------------------------------------------------------
+    def save_shard(self, path: str) -> None:
+        """Write reference-compatible ``(embeddings, lookup_ids)`` pickle."""
+        corpus = np.concatenate(self._chunks) if self._chunks else \
+            np.zeros((0, self.dim or 0), np.float32)
+        with open(path, "wb") as f:
+            pickle.dump((corpus, list(self.lookup)), f)
+
+    @classmethod
+    def load(cls, path_or_dir: str, dtype=jnp.float32) -> "DenseFlatIndex":
+        """Load from a ``corpus*.pkl`` file, a directory of them, or ``query.pkl``."""
+        if os.path.isdir(path_or_dir):
+            files = sorted(glob.glob(os.path.join(path_or_dir, "corpus*.pkl")))
+            if not files:
+                files = sorted(glob.glob(os.path.join(path_or_dir, "*.pkl")))
+            if not files:
+                raise FileNotFoundError(f"no *.pkl shards under {path_or_dir}")
+        else:
+            files = [path_or_dir]
+        index = cls(dtype=dtype)
+        for fp in files:
+            with open(fp, "rb") as f:
+                reps, lookup = pickle.load(f)
+            index.add(np.asarray(reps), lookup)
+        return index
