@@ -1,0 +1,375 @@
+"""Impact inverted index: the TPU-native Lucene-impact-search replacement.
+
+Replaces the reference's Pyserini/Lucene stack — JVM index build
+(``scripts/sparse_index.sh:13-19``), ``LuceneImpactSearcher`` + whitespace
+analyzer and weight-many token-repetition query serialization
+(/root/reference/src/search.py:272-275,363-366) — with an HBM-resident index
+scored on the TPU.
+
+Scoring semantics are exactly Lucene's for this setup: the impact score of a
+doc for a query is ``sum_t q_weight(t) * d_weight(t)`` over shared terms
+(SURVEY.md §7.4). Term keys are strings by default (bit-parity with the
+reference's lowercase/filter collisions); integer token-id keys work
+identically.
+
+Two complementary layouts are stored:
+
+- **packed doc-major arrays** ``[N, K]`` (term idx + weight, zero-padded) —
+  the TPU scoring layout: a batch of queries becomes a dense ``[B, T']``
+  weight table scattered on device, docs stream through as static-shape
+  tiles, each tile's score is a gather–multiply–accumulate, ranking is
+  ``lax.top_k`` (per shard + ICI merge when the index is sharded over the
+  mesh's data axis);
+- **impact-ordered CSR postings** (terms → (doc, weight) sorted by
+  descending weight) — the classical layout, used by term-at-a-time scoring
+  and early-termination kernels, and the on-disk interchange format.
+
+Index build is pure host work (optionally accelerated by the C++ builder in
+``index/native``); queries never round-trip through strings on the device.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterable, List, Mapping, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
+
+TermKey = Union[str, int]
+SparseVector = Mapping[TermKey, int]
+
+_DOC_TILE = 2048  # docs scored per device tile (static shape)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class ImpactIndex:
+    """Impact-ordered inverted index with TPU batch scoring."""
+
+    def __init__(self):
+        self.term_to_idx: Dict[TermKey, int] = {}
+        self.doc_ids: List[str] = []
+        self._doc_vectors: List[SparseVector] = []
+        # Packed arrays, built by finalize():
+        self.doc_terms: Optional[np.ndarray] = None    # int32 [N, K]
+        self.doc_weights: Optional[np.ndarray] = None  # float32 [N, K]
+        self.csr_offsets: Optional[np.ndarray] = None  # int64 [T+1]
+        self.csr_docs: Optional[np.ndarray] = None     # int32 [NNZ]
+        self.csr_weights: Optional[np.ndarray] = None  # float32 [NNZ]
+        self._dev = None     # (doc_terms, doc_weights) on device
+        self._mesh = None
+        self._n_valid = 0
+
+    # ---- build ---------------------------------------------------------------
+    def add(self, doc_id: str, vector: SparseVector) -> None:
+        """Add one document's sparse vector. Non-positive weights are dropped
+        (they contribute nothing to any impact score; Lucene's analyzer never
+        sees them because ``token * weight`` repetitions vanish for w <= 0)."""
+        self.doc_ids.append(str(doc_id))
+        self._doc_vectors.append(
+            {k: int(v) for k, v in vector.items() if int(v) > 0})
+        self.doc_terms = None  # invalidate
+
+    def add_many(self, docs: Iterable[Tuple[str, SparseVector]]) -> None:
+        for doc_id, vec in docs:
+            self.add(doc_id, vec)
+
+    @property
+    def num_docs(self) -> int:
+        return len(self.doc_ids)
+
+    @property
+    def num_terms(self) -> int:
+        self._ensure_finalized()
+        return len(self.term_to_idx)
+
+    def _ensure_finalized(self) -> None:
+        if self.doc_terms is None:
+            self.finalize()
+
+    def finalize(self) -> None:
+        """Assign compact term ids and build packed + CSR layouts."""
+        term_to_idx: Dict[TermKey, int] = {}
+        for vec in self._doc_vectors:
+            for key in vec:
+                if key not in term_to_idx:
+                    term_to_idx[key] = len(term_to_idx)
+        self.term_to_idx = term_to_idx
+
+        n = len(self._doc_vectors)
+        k_max = max((len(v) for v in self._doc_vectors), default=1)
+        k_max = max(k_max, 1)
+        doc_terms = np.zeros((n, k_max), dtype=np.int32)
+        doc_weights = np.zeros((n, k_max), dtype=np.float32)
+        nnz = 0
+        for i, vec in enumerate(self._doc_vectors):
+            for j, (key, w) in enumerate(vec.items()):
+                doc_terms[i, j] = term_to_idx[key]
+                doc_weights[i, j] = w
+            nnz += len(vec)
+        self.doc_terms = doc_terms
+        self.doc_weights = doc_weights
+
+        # CSR, impact-ordered within each term's postings.
+        t = len(term_to_idx)
+        flat_t = doc_terms.reshape(-1)
+        flat_w = doc_weights.reshape(-1)
+        flat_d = np.repeat(np.arange(n, dtype=np.int32), k_max)
+        valid = flat_w > 0
+        flat_t, flat_w, flat_d = flat_t[valid], flat_w[valid], flat_d[valid]
+        # sort by (term asc, weight desc)
+        order = np.lexsort((-flat_w, flat_t))
+        flat_t, flat_w, flat_d = flat_t[order], flat_w[order], flat_d[order]
+        counts = np.bincount(flat_t, minlength=t)
+        self.csr_offsets = np.zeros(t + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.csr_offsets[1:])
+        self.csr_docs = flat_d
+        self.csr_weights = flat_w
+        self._dev = None
+
+    # ---- device placement ------------------------------------------------------
+    def _materialize(self, mesh=None) -> None:
+        self._ensure_finalized()
+        if self._dev is not None and self._mesh is mesh:
+            return
+        n = self.doc_terms.shape[0]
+        self._n_valid = n
+        n_pad = _round_up(n, _DOC_TILE)
+        if mesh is not None:
+            n_pad = _round_up(n, _DOC_TILE * mesh.shape[DATA_AXIS])
+        terms = np.zeros((n_pad, self.doc_terms.shape[1]), np.int32)
+        weights = np.zeros((n_pad, self.doc_terms.shape[1]), np.float32)
+        terms[:n] = self.doc_terms
+        weights[:n] = self.doc_weights
+        self._mesh = mesh
+        if mesh is None:
+            self._dev = (jnp.asarray(terms), jnp.asarray(weights))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P(DATA_AXIS, None))
+            self._dev = (jax.device_put(terms, sh), jax.device_put(weights, sh))
+
+    # ---- query encoding -----------------------------------------------------------
+    def encode_queries(
+        self, query_vectors: Sequence[SparseVector], q_max: int = 0
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Map query dicts to padded (term_idx [B, Qm], weight [B, Qm]) arrays.
+
+        Out-of-vocabulary terms are dropped (they match no postings, exactly
+        as in Lucene). Non-positive weights are dropped (see ``add``).
+        """
+        self._ensure_finalized()
+        rows = []
+        for vec in query_vectors:
+            row = [(self.term_to_idx[k], int(w)) for k, w in vec.items()
+                   if int(w) > 0 and k in self.term_to_idx]
+            rows.append(row)
+        q_m = max(q_max, max((len(r) for r in rows), default=1), 1)
+        idx = np.zeros((len(rows), q_m), dtype=np.int32)
+        wts = np.zeros((len(rows), q_m), dtype=np.float32)
+        for i, row in enumerate(rows):
+            for j, (t, w) in enumerate(row):
+                idx[i, j] = t
+                wts[i, j] = w
+        return idx, wts
+
+    # ---- search -----------------------------------------------------------------
+    def search(
+        self,
+        query_vectors: Sequence[SparseVector],
+        depth: int,
+        mesh=None,
+    ) -> Tuple[np.ndarray, List[List[str]]]:
+        """Batch impact search. Returns (scores [B,k], ranked doc-id lists).
+
+        Docs with zero score are never returned (Lucene returns only matching
+        docs); rows may therefore be shorter than ``depth``.
+        """
+        self._materialize(mesh)
+        q_idx, q_w = self.encode_queries(query_vectors)
+        k = min(depth, self._n_valid)
+        terms_dev, weights_dev = self._dev
+        if mesh is None:
+            scores, idx = _impact_topk(
+                terms_dev, weights_dev, q_idx, q_w,
+                self.num_terms, self._n_valid, k)
+        else:
+            scores, idx = _sharded_impact_topk(
+                mesh, terms_dev, weights_dev, q_idx, q_w,
+                self.num_terms, self._n_valid, k)
+        scores = np.asarray(scores)
+        idx = np.asarray(idx)
+        out_scores: List[List[float]] = []
+        out_ids: List[List[str]] = []
+        for b in range(scores.shape[0]):
+            pos = scores[b] > 0.0
+            out_scores.append(scores[b][pos].tolist())
+            out_ids.append([self.doc_ids[i] for i in idx[b][pos]])
+        return out_scores, out_ids
+
+    # ---- persistence ---------------------------------------------------------------
+    def save(self, directory: str) -> None:
+        self._ensure_finalized()
+        os.makedirs(directory, exist_ok=True)
+        keys = list(self.term_to_idx.keys())
+        with open(os.path.join(directory, "terms.json"), "w") as f:
+            json.dump({"keys": keys, "doc_ids": self.doc_ids}, f)
+        np.savez(
+            os.path.join(directory, "index.npz"),
+            doc_terms=self.doc_terms,
+            doc_weights=self.doc_weights,
+            csr_offsets=self.csr_offsets,
+            csr_docs=self.csr_docs,
+            csr_weights=self.csr_weights,
+        )
+
+    @classmethod
+    def load(cls, directory: str) -> "ImpactIndex":
+        index = cls()
+        with open(os.path.join(directory, "terms.json")) as f:
+            meta = json.load(f)
+        index.term_to_idx = {k: i for i, k in enumerate(meta["keys"])}
+        index.doc_ids = [str(d) for d in meta["doc_ids"]]
+        data = np.load(os.path.join(directory, "index.npz"))
+        index.doc_terms = data["doc_terms"]
+        index.doc_weights = data["doc_weights"]
+        index.csr_offsets = data["csr_offsets"]
+        index.csr_docs = data["csr_docs"]
+        index.csr_weights = data["csr_weights"]
+        # reconstruct doc vectors lazily only if add() is called again
+        index._doc_vectors = [None] * len(index.doc_ids)  # type: ignore
+        return index
+
+    # ---- interchange with reference artifact formats ---------------------------------
+    @classmethod
+    def from_jsonl(cls, paths: Sequence[str], use_native: bool = True
+                   ) -> "ImpactIndex":
+        """Build from reference ``corpus_*.jsonl`` files
+        (``{"id", "content", "vector": {token: weight}}`` documents,
+        /root/reference/src/encode.py:353-359).
+
+        Uses the C++ builder (index/native) when available — it parses,
+        interns, packs, and impact-sorts in one pass — falling back to the
+        pure-Python path otherwise. Both produce identical layouts.
+        """
+        if use_native:
+            from mllm_sparse_retrieval_tpu.index import native
+            if native.available():
+                builder = native.NativeImpactBuilder()
+                for path in paths:
+                    builder.add_jsonl_file(path)
+                return cls._from_packed(builder.finalize())
+        index = cls()
+        for path in paths:
+            with open(path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    doc = json.loads(line)
+                    index.add(doc["id"], doc["vector"])
+        index.finalize()
+        return index
+
+    @classmethod
+    def _from_packed(cls, packed: dict) -> "ImpactIndex":
+        index = cls()
+        index.term_to_idx = {k: i for i, k in enumerate(packed["term_keys"])}
+        index.doc_ids = list(packed["doc_ids"])
+        index.doc_terms = packed["doc_terms"]
+        index.doc_weights = packed["doc_weights"]
+        index.csr_offsets = packed["csr_offsets"]
+        index.csr_docs = packed["csr_docs"]
+        index.csr_weights = packed["csr_weights"]
+        index._doc_vectors = [None] * len(index.doc_ids)  # type: ignore
+        return index
+
+
+# ---------------------------------------------------------------------------
+# Device scoring
+# ---------------------------------------------------------------------------
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("num_terms", "n_valid", "k"))
+def _impact_topk(doc_terms, doc_weights, q_idx, q_w, num_terms, n_valid, k):
+    scores = _impact_scores(doc_terms, doc_weights, q_idx, q_w, num_terms)
+    row_ids = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
+    scores = jnp.where(row_ids < n_valid, scores, -jnp.inf)
+    return lax.top_k(scores, k)
+
+
+def _impact_scores(doc_terms, doc_weights, q_idx, q_w, num_terms):
+    """Gather–multiply–accumulate scoring over doc tiles.
+
+    Queries are scattered into a dense ``[B, T+1]`` table (one extra padding
+    slot), then each static doc tile scores as
+    ``(table[:, tile_terms] * tile_weights).sum(-1)``. XLA keeps the gather
+    tile-resident; peak intermediate is ``B × _DOC_TILE × K`` per tile.
+    """
+    b = q_idx.shape[0]
+    # Scatter query weights; duplicate term idxs (string-collision sums) add.
+    table = jnp.zeros((b, num_terms + 1), jnp.float32)
+    batch_ix = lax.broadcasted_iota(jnp.int32, q_idx.shape, 0)
+    # shift +1 so padding slot 0 stays empty: padded entries have w == 0 anyway,
+    # but routing them to slot 0 keeps them off real term 0.
+    safe_idx = jnp.where(q_w > 0, q_idx + 1, 0)
+    table = table.at[batch_ix, safe_idx].add(q_w)
+
+    n_pad, k_dim = doc_terms.shape
+    num_tiles = n_pad // _DOC_TILE
+    tiles_t = doc_terms.reshape(num_tiles, _DOC_TILE, k_dim)
+    tiles_w = doc_weights.reshape(num_tiles, _DOC_TILE, k_dim)
+
+    def tile_score(carry, tile):
+        t_terms, t_weights = tile
+        gathered = jnp.take(table, t_terms.reshape(-1) + 1, axis=1)
+        gathered = gathered.reshape(b, _DOC_TILE, k_dim)
+        s = jnp.einsum("bdk,dk->bd", gathered, t_weights)
+        return carry, s
+
+    _, per_tile = lax.scan(tile_score, None, (tiles_t, tiles_w))
+    # per_tile: [num_tiles, B, _DOC_TILE] -> [B, N]
+    return jnp.moveaxis(per_tile, 0, 1).reshape(b, n_pad)
+
+
+def _sharded_impact_topk(mesh, doc_terms, doc_weights, q_idx, q_w,
+                         num_terms, n_valid, k):
+    """Per-shard impact scoring + top-k, ICI candidate merge (same merge
+    pattern as sharded dense MIPS)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[DATA_AXIS]
+    shard_rows = doc_terms.shape[0] // n_shards
+    k_local = min(k, shard_rows)
+
+    def local_fn(dt, dw, qi, qw):
+        shard_idx = lax.axis_index(DATA_AXIS)
+        base = shard_idx * shard_rows
+        scores = _impact_scores(dt, dw, qi, qw, num_terms)
+        row_ids = base + lax.broadcasted_iota(jnp.int32, (1, shard_rows), 1)
+        scores = jnp.where(row_ids < n_valid, scores, -jnp.inf)
+        lv, li = lax.top_k(scores, k_local)
+        lg = li + base
+        av = lax.all_gather(lv, DATA_AXIS, axis=1, tiled=True)
+        ag = lax.all_gather(lg, DATA_AXIS, axis=1, tiled=True)
+        vals, pos = lax.top_k(av, k)
+        return vals, jnp.take_along_axis(ag, pos, axis=1)
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(None, None),
+                  P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(doc_terms, doc_weights, q_idx, q_w)

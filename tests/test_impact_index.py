@@ -1,0 +1,155 @@
+"""Impact index tests: TPU scoring vs a Python dot-product oracle.
+
+The oracle reproduces Lucene's impact score for whitespace-repeated queries:
+``score(q, d) = sum_t q_weight(t) * d_weight(t)`` over shared terms
+(SURVEY.md §7.4).
+"""
+
+import numpy as np
+import pytest
+
+from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+from mllm_sparse_retrieval_tpu.parallel import make_mesh
+
+
+def oracle_search(docs, query, depth):
+    scored = []
+    for doc_id, vec in docs:
+        s = sum(w * vec.get(t, 0) for t, w in query.items() if w > 0)
+        if s > 0:
+            scored.append((doc_id, float(s)))
+    scored.sort(key=lambda kv: -kv[1])
+    return scored[:depth]
+
+
+def random_docs(rng, n_docs, vocab, k):
+    docs = []
+    for i in range(n_docs):
+        terms = rng.choice(vocab, size=min(k, len(vocab)), replace=False)
+        weights = rng.integers(1, 300, size=len(terms))
+        docs.append((f"doc{i}", dict(zip(terms.tolist(), weights.tolist()))))
+    return docs
+
+
+def test_impact_search_matches_oracle():
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = random_docs(rng, 40, np.array(vocab), 8)
+    index = ImpactIndex()
+    index.add_many(docs)
+    index.finalize()
+
+    queries = [dict(zip(rng.choice(vocab, 5, replace=False).tolist(),
+                        rng.integers(1, 100, 5).tolist())) for _ in range(6)]
+    scores, ids = index.search(queries, depth=10)
+    for q, s_row, id_row in zip(queries, scores, ids):
+        expected = oracle_search(docs, q, 10)
+        got = list(zip(id_row, s_row))
+        # scores must match exactly; order can differ only within ties
+        assert [s for _, s in got] == [s for _, s in expected]
+        exp_by_score = {}
+        for d, s in expected:
+            exp_by_score.setdefault(s, set()).add(d)
+        for d, s in got:
+            assert d in exp_by_score[s]
+
+
+def test_zero_score_docs_excluded():
+    index = ImpactIndex()
+    index.add("a", {"x": 5})
+    index.add("b", {"y": 3})
+    index.finalize()
+    scores, ids = index.search([{"x": 2}], depth=10)
+    assert ids[0] == ["a"]
+    assert scores[0] == [10.0]
+
+
+def test_oov_and_nonpositive_query_terms_dropped():
+    index = ImpactIndex()
+    index.add("a", {"x": 5, "y": 1})
+    index.finalize()
+    scores, ids = index.search([{"zzz": 50, "x": 0, "y": 2}], depth=10)
+    assert ids[0] == ["a"]
+    assert scores[0] == [2.0]
+
+
+def test_nonpositive_doc_weights_dropped_at_add():
+    index = ImpactIndex()
+    index.add("a", {"x": -5, "y": 4})
+    index.finalize()
+    scores, ids = index.search([{"x": 3, "y": 1}], depth=5)
+    assert scores[0] == [4.0]
+
+
+def test_csr_impact_ordering():
+    index = ImpactIndex()
+    index.add("d0", {"x": 5})
+    index.add("d1", {"x": 9, "y": 1})
+    index.add("d2", {"x": 7})
+    index.finalize()
+    t = index.term_to_idx["x"]
+    lo, hi = index.csr_offsets[t], index.csr_offsets[t + 1]
+    np.testing.assert_array_equal(index.csr_weights[lo:hi], [9, 7, 5])
+    np.testing.assert_array_equal(index.csr_docs[lo:hi], [1, 2, 0])
+
+
+def test_sharded_search_matches_single_device():
+    rng = np.random.default_rng(1)
+    vocab = np.array([f"t{i}" for i in range(80)])
+    docs = random_docs(rng, 300, vocab, 12)
+    index = ImpactIndex()
+    index.add_many(docs)
+    index.finalize()
+    queries = [dict(zip(rng.choice(vocab, 6, replace=False).tolist(),
+                        rng.integers(1, 50, 6).tolist())) for _ in range(4)]
+    s1, i1 = index.search(queries, depth=20)
+    mesh = make_mesh()
+    s2, i2 = index.search(queries, depth=20, mesh=mesh)
+    for a, b in zip(s1, s2):
+        assert a == b
+    # ids equal up to tie order; verify by (score -> id set)
+    for sa, ia, sb, ib in zip(s1, i1, s2, i2):
+        da, db = {}, {}
+        for s, d in zip(sa, ia):
+            da.setdefault(s, set()).add(d)
+        for s, d in zip(sb, ib):
+            db.setdefault(s, set()).add(d)
+        assert da == db
+
+
+def test_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    vocab = np.array([f"t{i}" for i in range(30)])
+    docs = random_docs(rng, 25, vocab, 6)
+    index = ImpactIndex()
+    index.add_many(docs)
+    index.finalize()
+    index.save(str(tmp_path / "idx"))
+    back = ImpactIndex.load(str(tmp_path / "idx"))
+    q = [docs[3][1]]
+    s1, i1 = index.search(q, depth=5)
+    s2, i2 = back.search(q, depth=5)
+    assert s1 == s2 and i1 == i2
+    assert i1[0][0] == "doc3"  # self-match ranks first for its own vector
+
+
+def test_from_jsonl(tmp_path):
+    import json
+    path = tmp_path / "corpus_0.jsonl"
+    with open(path, "w") as f:
+        f.write(json.dumps({"id": "d1", "content": "", "vector": {"cat": 3, "dog": 2}}) + "\n")
+        f.write(json.dumps({"id": "d2", "content": "", "vector": {"dog": 7}}) + "\n")
+    index = ImpactIndex.from_jsonl([str(path)])
+    scores, ids = index.search([{"dog": 1}], depth=10)
+    assert ids[0] == ["d2", "d1"]
+    assert scores[0] == [7.0, 2.0]
+
+
+def test_integer_token_id_keys():
+    index = ImpactIndex()
+    index.add("a", {11: 4, 22: 2})
+    index.add("b", {22: 9})
+    index.finalize()
+    scores, ids = index.search([{22: 10, 11: 1}], depth=2)
+    assert ids[0] == ["b", "a"]
+    assert scores[0] == [90.0, 24.0]
