@@ -1,0 +1,142 @@
+"""Shared functional building blocks: dense (+LoRA), norms, attention, RoPE.
+
+Parameters are plain pytrees (nested dicts of jnp arrays); every apply
+function is pure and jit/grad/shard-transparent. LoRA is carried as an
+optional parallel pytree so adapter-only training is a tree filter, not a
+module surgery (the TPU-native counterpart of PEFT's wrapped modules,
+/root/reference/src/train.py:113-152).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def dense_init(key, in_dim: int, out_dim: int, scale: Optional[float] = None,
+               dtype=jnp.float32) -> Dict:
+    if scale is None:
+        scale = 1.0 / math.sqrt(in_dim)
+    return {"w": jax.random.normal(key, (in_dim, out_dim), dtype) * scale}
+
+
+def dense(x, p: Dict, lora: Optional[Dict] = None):
+    """``x @ w (+ bias) (+ LoRA low-rank path)``.
+
+    The LoRA path is computed factored — ``(x @ a) @ b * scale`` — never as a
+    materialized delta-W, so adapters train at rank-r cost. ``merge_lora``
+    folds it into ``w`` for inference parity with the reference's
+    ``merge_and_unload`` (/root/reference/src/model.py:179-182).
+    """
+    y = x @ p["w"]
+    if lora is not None:
+        y = y + ((x @ lora["a"]) @ lora["b"]) * lora["scale"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def lora_init(key, in_dim: int, out_dim: int, rank: int, alpha: float,
+              dtype=jnp.float32) -> Dict:
+    """Standard LoRA init: A ~ N(0, 1/r), B = 0 (identity at step 0)."""
+    ka, _ = jax.random.split(key)
+    return {
+        "a": jax.random.normal(ka, (in_dim, rank), dtype) / rank,
+        "b": jnp.zeros((rank, out_dim), dtype),
+        "scale": jnp.asarray(alpha / rank, dtype),
+    }
+
+
+def merge_lora_into_dense(p: Dict, lora: Dict) -> Dict:
+    merged = dict(p)
+    merged["w"] = p["w"] + (lora["a"] @ lora["b"]) * lora["scale"]
+    return merged
+
+
+def rmsnorm_init(dim: int, dtype=jnp.float32) -> Dict:
+    return {"scale": jnp.ones((dim,), dtype)}
+
+
+def rmsnorm(x, p: Dict, eps: float = 1e-6):
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x * p["scale"].astype(jnp.float32)).astype(dtype)
+
+
+def layernorm_init(dim: int, dtype=jnp.float32) -> Dict:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layernorm(x, p: Dict, eps: float = 1e-5):
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings (Llama convention: rotate half pairs)
+# ---------------------------------------------------------------------------
+
+def rope_frequencies(head_dim: int, max_len: int, theta: float = 10000.0):
+    inv = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                           / head_dim))
+    t = jnp.arange(max_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv)                      # [T, head_dim/2]
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x, cos, sin):
+    """x: [B, T, H, Dh]; cos/sin: [T, Dh/2]."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    c = cos[None, :, None, :].astype(x.dtype)
+    s = sin[None, :, None, :].astype(x.dtype)
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+def attention(q, k, v, mask, *, scale: Optional[float] = None):
+    """Batched multi-head attention with additive mask.
+
+    q: [B, T, Hq, Dh], k/v: [B, S, Hkv, Dh] (GQA: Hq a multiple of Hkv),
+    mask: broadcastable to [B, Hq, T, S] bool (True = attend).
+    Softmax in float32 regardless of compute dtype.
+    """
+    b, t, hq, dh = q.shape
+    hkv = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(dh)
+    if hq != hkv:
+        rep = hq // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v)
+
+
+def causal_padding_mask(attention_mask):
+    """[B, T] padding mask -> [B, 1, T, T] causal+padding attend mask."""
+    t = attention_mask.shape[1]
+    causal = jnp.tril(jnp.ones((t, t), bool))
+    pad = attention_mask.astype(bool)[:, None, None, :]       # keys
+    return causal[None, None] & pad
+
+
+def full_padding_mask(attention_mask):
+    """[B, T] padding mask -> [B, 1, T, T] bidirectional attend mask."""
+    pad = attention_mask.astype(bool)
+    return (pad[:, None, :, None] & pad[:, None, None, :])[:, :, :, :]

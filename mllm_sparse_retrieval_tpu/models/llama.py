@@ -1,0 +1,127 @@
+"""Decoder LM: Llama-family architecture (RMSNorm, RoPE, GQA, SwiGLU).
+
+The language backbone for the LLaVA/E5-V families (and, with config deltas,
+Qwen2-style backbones: bias on qkv). Functional params, causal+padding
+masking, float32 softmax/norms, bf16-friendly matmuls.
+
+The LM head is *not* applied over the sequence here — the sparse head needs
+logits only at one position per sample, so full ``[B, T, V]`` logits are
+never materialized (SURVEY.md §7.4; the reference materializes them all,
+/root/reference/src/model.py:96).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mllm_sparse_retrieval_tpu.models import layers as L
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    intermediate_size: int = 14336
+    max_seq_len: int = 4096
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    qkv_bias: bool = False       # True for Qwen2-style backbones
+    tie_lm_head: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def init_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Dict:
+    keys = jax.random.split(key, 3 + cfg.num_layers)
+    params = {
+        "embed": jax.random.normal(
+            keys[0], (cfg.vocab_size, cfg.hidden_size), dtype) * 0.02,
+        "final_norm": L.rmsnorm_init(cfg.hidden_size, dtype),
+        "blocks": [],
+    }
+    if not cfg.tie_lm_head:
+        params["lm_head"] = L.dense_init(
+            keys[1], cfg.hidden_size, cfg.vocab_size, dtype=dtype)
+    h = cfg.hidden_size
+    dh = cfg.head_dim
+    for i in range(cfg.num_layers):
+        bk = jax.random.split(keys[3 + i], 7)
+        blk = {
+            "attn_norm": L.rmsnorm_init(h, dtype),
+            "q": L.dense_init(bk[0], h, cfg.num_heads * dh, dtype=dtype),
+            "k": L.dense_init(bk[1], h, cfg.num_kv_heads * dh, dtype=dtype),
+            "v": L.dense_init(bk[2], h, cfg.num_kv_heads * dh, dtype=dtype),
+            "o": L.dense_init(bk[3], cfg.num_heads * dh, h, dtype=dtype),
+            "mlp_norm": L.rmsnorm_init(h, dtype),
+            "gate": L.dense_init(bk[4], h, cfg.intermediate_size, dtype=dtype),
+            "up": L.dense_init(bk[5], h, cfg.intermediate_size, dtype=dtype),
+            "down": L.dense_init(bk[6], cfg.intermediate_size, h, dtype=dtype),
+        }
+        if cfg.qkv_bias:
+            blk["q"]["b"] = jnp.zeros((cfg.num_heads * dh,), dtype)
+            blk["k"]["b"] = jnp.zeros((cfg.num_kv_heads * dh,), dtype)
+            blk["v"]["b"] = jnp.zeros((cfg.num_kv_heads * dh,), dtype)
+        params["blocks"].append(blk)
+    return params
+
+
+def _block(x, p, cfg: LlamaConfig, mask, cos, sin,
+           lora: Optional[Dict] = None):
+    b, t, h = x.shape
+    dh = cfg.head_dim
+    lget = (lambda name: lora.get(name) if lora else None)
+
+    y = L.rmsnorm(x, p["attn_norm"], cfg.rms_eps)
+    q = L.dense(y, p["q"], lget("q")).reshape(b, t, cfg.num_heads, dh)
+    k = L.dense(y, p["k"], lget("k")).reshape(b, t, cfg.num_kv_heads, dh)
+    v = L.dense(y, p["v"], lget("v")).reshape(b, t, cfg.num_kv_heads, dh)
+    q = L.apply_rope(q, cos, sin)
+    k = L.apply_rope(k, cos, sin)
+    attn = L.attention(q, k, v, mask).reshape(b, t, cfg.num_heads * dh)
+    x = x + L.dense(attn, p["o"], lget("o"))
+
+    y = L.rmsnorm(x, p["mlp_norm"], cfg.rms_eps)
+    gated = jax.nn.silu(L.dense(y, p["gate"], lget("gate"))) * \
+        L.dense(y, p["up"], lget("up"))
+    x = x + L.dense(gated, p["down"], lget("down"))
+    return x
+
+
+def apply(
+    params: Dict,
+    inputs_embeds: jax.Array,     # [B, T, H] (embedding/splicing done upstream)
+    attention_mask: jax.Array,    # [B, T]
+    cfg: LlamaConfig,
+    lora: Optional[Dict] = None,
+) -> jax.Array:
+    """Run the decoder stack; returns final-norm hidden states [B, T, H]."""
+    t = inputs_embeds.shape[1]
+    cos, sin = L.rope_frequencies(cfg.head_dim, t, cfg.rope_theta)
+    mask = L.causal_padding_mask(attention_mask)
+    x = inputs_embeds
+    for i, blk in enumerate(params["blocks"]):
+        blora = None
+        if lora is not None and "blocks" in lora and lora["blocks"][i]:
+            blora = lora["blocks"][i]
+        x = _block(x, blk, cfg, mask, cos, sin, blora)
+    return L.rmsnorm(x, params["final_norm"], cfg.rms_eps)
+
+
+def embed_tokens(params: Dict, input_ids: jax.Array) -> jax.Array:
+    return jnp.take(params["embed"], input_ids, axis=0)
+
+
+def lm_head_weight(params: Dict, cfg: LlamaConfig) -> jax.Array:
+    """[H, V] head matrix (transposed embedding when tied)."""
+    if cfg.tie_lm_head:
+        return params["embed"].T
+    return params["lm_head"]["w"]

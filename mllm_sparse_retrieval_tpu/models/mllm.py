@@ -1,0 +1,116 @@
+"""LLaVA-style multimodal composition: vision tower → projector → decoder LM.
+
+The image path mirrors the capability of the reference's HF
+``Llava*ForConditionalGeneration`` forward (/root/reference/src/model.py:145):
+``<image>`` placeholder tokens in the prompt are replaced, position-wise, by
+projected ViT patch features, then the whole sequence runs through the
+decoder. The splice is a static-shape cumsum-gather (no dynamic shapes):
+
+    img_slot[b, t] = (number of image tokens at positions <= t) - 1
+    embeds[b, t]   = is_image[b, t] ? projected[b, img_slot[b, t]] : token_emb
+
+Representations come from ``reps.extract_reps`` (last-non-pad gather; LM head
+applied at one position only).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mllm_sparse_retrieval_tpu.configs import RepsLoc
+from mllm_sparse_retrieval_tpu.models import layers as L
+from mllm_sparse_retrieval_tpu.models import llama, vit
+from mllm_sparse_retrieval_tpu.models.llama import LlamaConfig
+from mllm_sparse_retrieval_tpu.models.vit import ViTConfig
+
+
+@dataclass(frozen=True)
+class MLLMConfig:
+    vision: ViTConfig = field(default_factory=ViTConfig)
+    text: LlamaConfig = field(default_factory=LlamaConfig)
+    image_token_id: int = 4
+    projector_hidden: Optional[int] = None  # default: text hidden size
+
+    @property
+    def num_image_tokens(self) -> int:
+        return self.vision.num_patches
+
+
+def init_params(key, cfg: MLLMConfig, dtype=jnp.float32) -> Dict:
+    kv, kp1, kp2, kt = jax.random.split(key, 4)
+    ph = cfg.projector_hidden or cfg.text.hidden_size
+    return {
+        "vision": vit.init_params(kv, cfg.vision, dtype),
+        "projector": {
+            "fc1": L.dense_init(kp1, cfg.vision.hidden_size, ph, dtype=dtype),
+            "fc2": L.dense_init(kp2, ph, cfg.text.hidden_size, dtype=dtype),
+        },
+        "text": llama.init_params(kt, cfg.text, dtype),
+    }
+
+
+def project_image_features(params: Dict, feats: jax.Array,
+                           lora: Optional[Dict] = None) -> jax.Array:
+    """2-layer GELU MLP projector (LLaVA-1.5+ convention; exact-erf gelu,
+    matching HF's default ``projector_hidden_act='gelu'``)."""
+    lget = (lambda name: lora.get(name) if lora else None)
+    x = L.dense(feats, params["projector"]["fc1"], lget("fc1"))
+    x = jax.nn.gelu(x, approximate=False)
+    return L.dense(x, params["projector"]["fc2"], lget("fc2"))
+
+
+def splice_image_embeddings(
+    token_embeds: jax.Array,   # [B, T, H]
+    image_embeds: jax.Array,   # [B, P, H] projected patch features
+    is_image: jax.Array,       # [B, T] bool: input_ids == image_token_id
+) -> jax.Array:
+    slots = jnp.cumsum(is_image.astype(jnp.int32), axis=1) - 1  # [B, T]
+    slots = jnp.clip(slots, 0, image_embeds.shape[1] - 1)
+    gathered = jnp.take_along_axis(
+        image_embeds, slots[:, :, None], axis=1)                # [B, T, H]
+    return jnp.where(is_image[:, :, None], gathered, token_embeds)
+
+
+def forward_hidden(
+    params: Dict,
+    cfg: MLLMConfig,
+    input_ids: jax.Array,                 # [B, T]
+    attention_mask: jax.Array,            # [B, T]
+    pixel_values: Optional[jax.Array],    # [B, Himg, Wimg, 3] or None (text)
+    lora: Optional[Dict] = None,
+) -> jax.Array:
+    """Final-layer hidden states [B, T, H] for text or image+text inputs."""
+    lget = (lambda name: lora.get(name) if lora else None)
+    embeds = llama.embed_tokens(params["text"], input_ids)
+    if pixel_values is not None:
+        feats = vit.apply(params["vision"], pixel_values, cfg.vision,
+                          lget("vision"))
+        proj = project_image_features(params, feats, lget("projector"))
+        is_image = input_ids == cfg.image_token_id
+        embeds = splice_image_embeddings(embeds, proj.astype(embeds.dtype),
+                                         is_image)
+    return llama.apply(params["text"], embeds, attention_mask, cfg.text,
+                       lget("text"))
+
+
+def encode(
+    params: Dict,
+    cfg: MLLMConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    pixel_values: Optional[jax.Array] = None,
+    reps_loc: RepsLoc = RepsLoc.BEFORE_PAD,
+    lora: Optional[Dict] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """(sparse_weights [B, V], dense_embs [B, H]) — the encode_data
+    equivalent (/root/reference/src/model.py:42-160) as one jittable fn."""
+    from mllm_sparse_retrieval_tpu.models import reps as R
+
+    hidden = forward_hidden(params, cfg, input_ids, attention_mask,
+                            pixel_values, lora)
+    head = llama.lm_head_weight(params["text"], cfg.text)
+    return R.extract_reps(hidden, attention_mask, head, reps_loc)

@@ -1,0 +1,173 @@
+"""Explicit model-family registry.
+
+Replaces the reference's substring dispatch on ``model_name_or_path``
+(/root/reference/src/model.py:51-64, src/train.py:70-109, src/encode.py:200-226)
+with a declared spec per family: architecture configs, prompt template,
+tokenizer/processor source, and checkpoint converter hook.
+
+``TINY_DEBUG`` is fully self-contained (random init + corpus-built tokenizer)
+and is the family used by tests/benches in hermetic environments; real
+families load converted checkpoints via ``models/convert.py`` when weights
+are available on disk.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mllm_sparse_retrieval_tpu.configs import ModelConfig, ModelFamily
+from mllm_sparse_retrieval_tpu.models import mllm, templates
+from mllm_sparse_retrieval_tpu.models.llama import LlamaConfig
+from mllm_sparse_retrieval_tpu.models.mllm import MLLMConfig
+from mllm_sparse_retrieval_tpu.models.templates import PromptTemplate
+from mllm_sparse_retrieval_tpu.models.tokenizer import WordPieceLiteTokenizer
+from mllm_sparse_retrieval_tpu.models.vit import ViTConfig
+
+
+@dataclass(frozen=True)
+class FamilySpec:
+    family: ModelFamily
+    arch: MLLMConfig
+    template: PromptTemplate
+    hf_repo: Optional[str] = None  # provenance note only; no network access
+
+
+def _llava_next_llama3_arch() -> MLLMConfig:
+    return MLLMConfig(
+        vision=ViTConfig(image_size=336, patch_size=14, hidden_size=1024,
+                         num_layers=24, num_heads=16, feature_layer=-2),
+        text=LlamaConfig(vocab_size=128256, hidden_size=4096, num_layers=32,
+                         num_heads=32, num_kv_heads=8,
+                         intermediate_size=14336, rope_theta=500000.0),
+        image_token_id=128256 - 1,
+    )
+
+
+def _llava_1_5_arch() -> MLLMConfig:
+    return MLLMConfig(
+        vision=ViTConfig(image_size=336, patch_size=14, hidden_size=1024,
+                         num_layers=24, num_heads=16, feature_layer=-2),
+        text=LlamaConfig(vocab_size=32064, hidden_size=4096, num_layers=32,
+                         num_heads=32, num_kv_heads=32,
+                         intermediate_size=11008, rope_theta=10000.0),
+        image_token_id=32000,
+    )
+
+
+def _qwen2_5_vl_3b_arch() -> MLLMConfig:
+    # Qwen2.5-VL's windowed ViT differs from CLIP; the decoder config below is
+    # the Qwen2.5-3B backbone. Full windowed-attention tower lands with the
+    # weight converter.
+    return MLLMConfig(
+        vision=ViTConfig(image_size=448, patch_size=14, hidden_size=1280,
+                         num_layers=32, num_heads=16, feature_layer=-1,
+                         use_cls_token=False),
+        text=LlamaConfig(vocab_size=151936, hidden_size=2048, num_layers=36,
+                         num_heads=16, num_kv_heads=2,
+                         intermediate_size=11008, rope_theta=1000000.0,
+                         qkv_bias=True, tie_lm_head=True),
+        image_token_id=151655,
+    )
+
+
+def _internvl2_5_arch() -> MLLMConfig:
+    return MLLMConfig(
+        vision=ViTConfig(image_size=448, patch_size=14, hidden_size=1024,
+                         num_layers=24, num_heads=16, feature_layer=-1),
+        text=LlamaConfig(vocab_size=151674, hidden_size=3584, num_layers=28,
+                         num_heads=28, num_kv_heads=4,
+                         intermediate_size=18944, rope_theta=1000000.0),
+        image_token_id=151667,
+    )
+
+
+def tiny_debug_arch(model_cfg: Optional[ModelConfig] = None) -> MLLMConfig:
+    m = model_cfg or ModelConfig()
+    return MLLMConfig(
+        vision=ViTConfig(
+            image_size=m.tiny_image_size, patch_size=m.tiny_patch_size,
+            hidden_size=m.tiny_hidden_size, num_layers=m.tiny_num_layers,
+            num_heads=m.tiny_num_heads, feature_layer=-2),
+        text=LlamaConfig(
+            vocab_size=m.tiny_vocab_size, hidden_size=m.tiny_hidden_size,
+            num_layers=m.tiny_num_layers, num_heads=m.tiny_num_heads,
+            num_kv_heads=max(1, m.tiny_num_heads // 2),
+            intermediate_size=m.tiny_hidden_size * 4, rope_theta=10000.0),
+        image_token_id=4,  # WordPieceLiteTokenizer.IMAGE
+    )
+
+
+_SPECS: Dict[ModelFamily, Callable[[], MLLMConfig]] = {
+    ModelFamily.LLAVA_NEXT_LLAMA3: _llava_next_llama3_arch,
+    ModelFamily.LLAVA_1_5: _llava_1_5_arch,
+    ModelFamily.LLAVA_1_6_VICUNA: _llava_1_5_arch,
+    ModelFamily.E5_V: _llava_next_llama3_arch,
+    ModelFamily.QWEN2_5_VL: _qwen2_5_vl_3b_arch,
+    ModelFamily.INTERNVL2_5: _internvl2_5_arch,
+}
+
+_TEMPLATES: Dict[ModelFamily, PromptTemplate] = {
+    ModelFamily.LLAVA_NEXT_LLAMA3: templates.LLAMA3,
+    ModelFamily.E5_V: templates.LLAMA3,
+    ModelFamily.LLAVA_1_5: templates.LLAVA_V1_5,
+    ModelFamily.LLAVA_1_6_VICUNA: templates.LLAVA_V1_5,
+    ModelFamily.QWEN2_5_VL: templates.LLAMA3,      # rendered via HF chat template when available
+    ModelFamily.INTERNVL2_5: templates.LLAMA3,     # idem
+    ModelFamily.TINY_DEBUG: templates.TINY,
+}
+
+_HF_REPOS: Dict[ModelFamily, str] = {
+    ModelFamily.LLAVA_NEXT_LLAMA3: "llava-hf/llama3-llava-next-8b-hf",
+    ModelFamily.LLAVA_1_5: "llava-hf/llava-1.5-7b-hf",
+    ModelFamily.LLAVA_1_6_VICUNA: "llava-hf/llava-v1.6-vicuna-7b-hf",
+    ModelFamily.E5_V: "royokong/e5-v",
+    ModelFamily.QWEN2_5_VL: "Qwen/Qwen2.5-VL-3B-Instruct",
+    ModelFamily.INTERNVL2_5: "OpenGVLab/InternVL2_5-8B",
+}
+
+
+def get_family_spec(family: ModelFamily,
+                    model_cfg: Optional[ModelConfig] = None) -> FamilySpec:
+    if family == ModelFamily.TINY_DEBUG:
+        arch = tiny_debug_arch(model_cfg)
+    else:
+        arch = _SPECS[family]()
+    return FamilySpec(family=family, arch=arch,
+                      template=_TEMPLATES[family],
+                      hf_repo=_HF_REPOS.get(family))
+
+
+def build_model(
+    model_cfg: ModelConfig,
+    captions: Optional[list] = None,
+    seed: int = 0,
+) -> Tuple[Dict, MLLMConfig, object, PromptTemplate]:
+    """Instantiate (params, arch, tokenizer, template) for a family.
+
+    TINY_DEBUG: random params + corpus tokenizer (hermetic). Real families:
+    requires ``checkpoint_path`` with converted weights (models/convert.py);
+    raises with guidance otherwise — this environment has no model hub access.
+    """
+    spec = get_family_spec(model_cfg.family, model_cfg)
+    dtype = jnp.bfloat16 if model_cfg.dtype == "bfloat16" else jnp.float32
+
+    if model_cfg.family == ModelFamily.TINY_DEBUG:
+        tok = WordPieceLiteTokenizer.from_corpus_captions(
+            captions or ["a photo of a thing"],
+            vocab_size=model_cfg.tiny_vocab_size)
+        arch = spec.arch
+        params = mllm.init_params(jax.random.PRNGKey(seed), arch, dtype)
+        return params, arch, tok, spec.template
+
+    if model_cfg.checkpoint_path is None:
+        raise FileNotFoundError(
+            f"family {model_cfg.family.value} needs a converted checkpoint "
+            f"(from {spec.hf_repo}); set ModelConfig.checkpoint_path. "
+            "Use models/convert.py to convert an HF checkpoint directory.")
+    from mllm_sparse_retrieval_tpu.models import convert
+    params, tok = convert.load_converted(model_cfg.checkpoint_path, spec, dtype)
+    return params, spec.arch, tok, spec.template
