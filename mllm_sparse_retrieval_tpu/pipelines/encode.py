@@ -1,0 +1,242 @@
+"""Offline corpus/query encoding pipeline.
+
+The TPU re-design of /root/reference/src/encode.py:162-457:
+
+- the reference runs one NCCL process per GPU, shards the dataset with a
+  shuffled DistributedSampler, all-gathers every batch's tensors and Python
+  ids to rank 0, and does sparse term selection + all file IO there. Here one
+  process drives all chips: batches are padded to a fixed device batch,
+  sharded over the mesh's data axis inside ``jit`` (XLA partitions the
+  forward), and come back as replicated outputs — ids never leave the host,
+  so there is nothing to all-gather;
+- dense embeddings are L2-normalized on device;
+- sparse term selection runs on host against the golden implementation in
+  sparse/term_selection.py (string-keyed Lucene-parity vectors).
+
+Artifacts (format-compatible with the reference so either stack can consume
+them, /root/reference/src/encode.py:397-457):
+- dense:  ``corpus_{shard}.pkl`` / ``query.pkl``  = pickled (float32 [N, d], ids)
+- sparse: ``corpus_{shard}.jsonl`` (JsonVectorCollection docs) /
+          ``query.tsv`` (id<TAB>token repeated weight-many times)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mllm_sparse_retrieval_tpu.configs import PipelineConfig, RepsLoc
+from mllm_sparse_retrieval_tpu.data.karpathy import Example
+from mllm_sparse_retrieval_tpu.models import mllm
+from mllm_sparse_retrieval_tpu.models.reps import normalize
+from mllm_sparse_retrieval_tpu.sparse import (
+    SelectedTerms,
+    doc_string_vector,
+    get_filtered_ids,
+    query_string_weights,
+    select_image_terms,
+    select_text_terms,
+)
+
+
+@dataclass
+class EncodeResult:
+    ids: List[str] = field(default_factory=list)
+    dense: Optional[np.ndarray] = None                  # [N, d] normalized f32
+    sparse_vectors: List[Dict[str, int]] = field(default_factory=list)
+    query_weights: List[Dict[str, int]] = field(default_factory=list)
+
+
+def default_pixel_loader(image_size: int) -> Callable[[Example], np.ndarray]:
+    """Load+resize+CLIP-normalize an image; deterministic synthetic pixels
+    when the file is absent (this environment ships no image data)."""
+    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+    def load(ex: Example) -> np.ndarray:
+        if os.path.exists(ex.image_path):
+            from PIL import Image
+            img = Image.open(ex.image_path).convert("RGB")
+            img = img.resize((image_size, image_size), Image.BICUBIC)
+            arr = np.asarray(img, np.float32) / 255.0
+        else:
+            rng = np.random.default_rng(abs(hash(ex.img_id)) % (2 ** 31))
+            arr = rng.uniform(size=(image_size, image_size, 3)).astype(np.float32)
+        return (arr - mean) / std
+
+    return load
+
+
+def _pad_batch_examples(batch: Sequence[Example], size: int) -> List[Example]:
+    out = list(batch)
+    while len(out) < size:
+        out.append(batch[-1])
+    return out
+
+
+def encode_examples(
+    examples: Sequence[Example],
+    params,
+    arch,
+    tokenizer,
+    template,
+    *,
+    encode_type: str,                  # 'text' | 'image'
+    sparse_cfg,
+    reps_loc: RepsLoc = RepsLoc.BEFORE_PAD,
+    batch_size: int = 8,
+    is_query: bool = False,
+    mesh=None,
+    lora=None,
+    pixel_loader: Optional[Callable[[Example], np.ndarray]] = None,
+    seq_pad_multiple: int = 16,
+) -> EncodeResult:
+    """Encode examples into dense + sparse representations."""
+    vocab = tokenizer.get_vocab()
+    id_to_token = {v: k for k, v in vocab.items()}
+    filtered_ids = get_filtered_ids(vocab)
+    encode_word = lambda w: tokenizer.encode(w, add_special_tokens=False)
+
+    if mesh is not None:
+        from mllm_sparse_retrieval_tpu.parallel.mesh import replicated
+        n_data = mesh.shape["data"]
+        if batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by data axis {n_data}")
+        params = jax.tree_util.tree_map(lambda x: replicated(mesh, x), params)
+        if lora is not None:
+            lora = jax.tree_util.tree_map(lambda x: replicated(mesh, x), lora)
+
+    def _shard(*arrays):
+        if mesh is None:
+            return arrays
+        from mllm_sparse_retrieval_tpu.parallel.mesh import shard_batch
+        return tuple(shard_batch(mesh, a) for a in arrays)
+
+    if encode_type == "image":
+        if pixel_loader is None:
+            pixel_loader = default_pixel_loader(arch.vision.image_size)
+        n_img = arch.num_image_tokens
+        img_prompt = template.image_prompt().replace(
+            "<image>", " ".join(["<image>"] * n_img))
+        fixed_rows = [tokenizer.encode(img_prompt)] * batch_size
+        fixed_ids, fixed_mask = tokenizer.pad_batch(
+            fixed_rows, pad_to_multiple=seq_pad_multiple)
+
+    @jax.jit
+    def _encode_text(p, l, ids, mask):
+        sparse, dense = mllm.encode(p, arch, ids, mask, None, reps_loc, l)
+        return sparse, normalize(dense)
+
+    @jax.jit
+    def _encode_image(p, l, ids, mask, pixels):
+        sparse, dense = mllm.encode(p, arch, ids, mask, pixels, reps_loc, l)
+        return sparse, normalize(dense)
+
+    result = EncodeResult()
+    all_dense: List[np.ndarray] = []
+
+    for start in range(0, len(examples), batch_size):
+        batch = examples[start:start + batch_size]
+        valid = len(batch)
+        batch = _pad_batch_examples(batch, batch_size)
+
+        if encode_type == "text":
+            prompts = [template.fill_text(template.text_prompt(), ex.text)
+                       for ex in batch]
+            ids, mask = tokenizer.pad_batch(
+                [tokenizer.encode(p) for p in prompts],
+                pad_to_multiple=seq_pad_multiple)
+            ids, mask = _shard(ids, mask)
+            sparse_logits, dense = _encode_text(params, lora, ids, mask)
+        else:
+            pixels = np.stack([pixel_loader(ex) for ex in batch])
+            b_ids, b_mask, pixels = _shard(fixed_ids, fixed_mask, pixels)
+            sparse_logits, dense = _encode_image(
+                params, lora, b_ids, b_mask, pixels)
+
+        sparse_logits = np.asarray(sparse_logits, np.float32)[:valid]
+        dense = np.asarray(dense, np.float32)[:valid]
+        all_dense.append(dense)
+
+        for row, ex in zip(sparse_logits, batch[:valid]):
+            if encode_type == "text":
+                terms = select_text_terms(ex.text, encode_word, row,
+                                          sparse_cfg, filtered_ids)
+                result.ids.append(ex.text_id)
+            else:
+                terms = select_image_terms(row, sparse_cfg, filtered_ids)
+                result.ids.append(ex.img_id)
+            result.sparse_vectors.append(
+                doc_string_vector(terms, id_to_token, sparse_cfg.is_filtered))
+            result.query_weights.append(
+                query_string_weights(terms, id_to_token,
+                                     sparse_cfg.is_filtered))
+
+    result.dense = np.concatenate(all_dense) if all_dense else \
+        np.zeros((0, arch.text.hidden_size), np.float32)
+    return result
+
+
+def artifact_dir(base: str, model_name: str, dataset: str, encode_type: str,
+                 sparse_cfg, lora: bool = False) -> str:
+    """Reference-shaped output tree (/root/reference/src/encode.py:397-434):
+    base/model/dataset/type/{filter|no_filter}/{exp}_{manual}_{len}[_lora]."""
+    filt = "filter" if sparse_cfg.is_filtered else "no_filter"
+    manual = "manual" if sparse_cfg.sparse_manual else "no_manual"
+    leaf = f"{sparse_cfg.num_expanded_tokens}_{manual}_{sparse_cfg.sparse_length}"
+    if lora:
+        leaf += "_lora"
+    return os.path.join(base, model_name, dataset, encode_type, filt, leaf)
+
+
+def write_artifacts(
+    result: EncodeResult,
+    dense_dir: str,
+    sparse_dir: str,
+    is_query: bool = False,
+    shard_index: int = 0,
+) -> None:
+    """Write reference-compatible dense/sparse artifacts."""
+    os.makedirs(dense_dir, exist_ok=True)
+    os.makedirs(sparse_dir, exist_ok=True)
+
+    dense_name = "query.pkl" if is_query else f"corpus_{shard_index}.pkl"
+    with open(os.path.join(dense_dir, dense_name), "wb") as f:
+        pickle.dump((result.dense, list(result.ids)), f)
+
+    if is_query:
+        # tsv: token repeated weight-many times (Lucene whitespace-count form,
+        # /root/reference/src/encode.py:421-424); empty queries skipped.
+        with open(os.path.join(sparse_dir, "query.tsv"), "w") as f:
+            for qid, weights in zip(result.ids, result.query_weights):
+                q = " ".join(" ".join([tok] * w) for tok, w in weights.items())
+                if not q.strip():
+                    continue
+                f.write(f"{qid}\t{q}\n")
+    else:
+        with open(os.path.join(sparse_dir, f"corpus_{shard_index}.jsonl"),
+                  "w") as f:
+            for doc_id, vec in zip(result.ids, result.sparse_vectors):
+                f.write(json.dumps(
+                    {"id": doc_id, "content": "", "vector": vec}) + "\n")
+
+
+def read_query_tsv(path: str) -> Dict[str, Dict[str, int]]:
+    """Parse a query.tsv back into per-query term-count dicts."""
+    out: Dict[str, Dict[str, int]] = {}
+    with open(path) as f:
+        for line in f:
+            qid, _, text = line.rstrip("\n").partition("\t")
+            counts: Dict[str, int] = {}
+            for tok in text.split():
+                counts[tok] = counts.get(tok, 0) + 1
+            out[qid] = counts
+    return out

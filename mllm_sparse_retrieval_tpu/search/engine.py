@@ -1,0 +1,103 @@
+"""Live search engine: encode queries, search dense/sparse indexes, fuse, score.
+
+The library core of /root/reference/src/search.py:102-468 — batched query
+encoding feeding a TPU dense MIPS index and/or TPU impact index, run-dict
+assembly with optional self-hit removal, min-max fusion, and recall@k.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from mllm_sparse_retrieval_tpu.configs import RepsLoc, SearchConfig, SparseConfig
+from mllm_sparse_retrieval_tpu.data.karpathy import Example
+from mllm_sparse_retrieval_tpu.eval.recall import DEFAULT_KS, RecallResult, recall_at_k
+from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
+from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+from mllm_sparse_retrieval_tpu.pipelines.encode import encode_examples
+from mllm_sparse_retrieval_tpu.search.fusion import fuse
+from mllm_sparse_retrieval_tpu.search.runs import Run, make_run
+
+
+@dataclass
+class SearchOutput:
+    dense_run: Run = field(default_factory=dict)
+    sparse_run: Run = field(default_factory=dict)
+    fusion_run: Dict[str, Dict[str, float]] = field(default_factory=dict)
+    dense_recall: Optional[RecallResult] = None
+    sparse_recall: Optional[RecallResult] = None
+    fusion_recall: Optional[RecallResult] = None
+
+    def summary(self) -> str:
+        lines = []
+        if self.dense_recall:
+            lines.append(self.dense_recall.format("dense"))
+        if self.sparse_recall:
+            lines.append(self.sparse_recall.format("sparse"))
+        if self.fusion_recall:
+            lines.append(self.fusion_recall.format("fusion"))
+        return "\n".join(lines)
+
+
+def run_search(
+    queries: Sequence[Example],
+    params,
+    arch,
+    tokenizer,
+    template,
+    *,
+    query_type: str,                       # 'text' | 'image'
+    sparse_cfg: SparseConfig,
+    search_cfg: SearchConfig,
+    dense_index: Optional[DenseFlatIndex] = None,
+    impact_index: Optional[ImpactIndex] = None,
+    reps_loc: RepsLoc = RepsLoc.BEFORE_PAD,
+    batch_size: int = 8,
+    mesh=None,
+    lora=None,
+    pixel_loader: Optional[Callable] = None,
+    get_target: Optional[Callable[[str], object]] = None,
+    ks: Sequence[int] = DEFAULT_KS,
+) -> SearchOutput:
+    """Encode queries live and search the given indexes.
+
+    ``get_target`` enables recall computation (ground truth per query id);
+    omit it to get runs only.
+    """
+    out = SearchOutput()
+
+    enc = encode_examples(
+        queries, params, arch, tokenizer, template,
+        encode_type=query_type, sparse_cfg=sparse_cfg, reps_loc=reps_loc,
+        batch_size=batch_size, is_query=True, mesh=mesh, lora=lora,
+        pixel_loader=pixel_loader)
+
+    if dense_index is not None:
+        scores, id_rows = dense_index.search_ids(
+            enc.dense, search_cfg.depth,
+            batch_size=max(search_cfg.batch_size, 1), mesh=mesh)
+        out.dense_run = make_run(enc.ids, scores.tolist(), id_rows,
+                                 remove_query=search_cfg.remove_query)
+
+    if impact_index is not None:
+        s_scores, s_ids = impact_index.search(
+            enc.query_weights, search_cfg.depth, mesh=mesh)
+        out.sparse_run = make_run(enc.ids, s_scores, s_ids,
+                                  remove_query=search_cfg.remove_query)
+
+    if dense_index is not None and impact_index is not None:
+        out.fusion_run = fuse(
+            [out.dense_run, out.sparse_run],
+            [search_cfg.alpha, 1.0 - search_cfg.alpha])
+
+    if get_target is not None:
+        if out.dense_run:
+            out.dense_recall = recall_at_k(out.dense_run, get_target, ks)
+        if out.sparse_run:
+            out.sparse_recall = recall_at_k(out.sparse_run, get_target, ks)
+        if out.fusion_run:
+            out.fusion_recall = recall_at_k(out.fusion_run, get_target, ks)
+    return out

@@ -1,0 +1,189 @@
+"""End-to-end slice (SURVEY.md §7.3): encode → index → search → recall,
+tiny model × real Flickr captions × synthetic pixels, on the 8-device mesh.
+
+With random weights cross-modal recall is chance; the deterministic pipeline
+invariant is *self-retrieval*: using the same modality as corpus and queries,
+each item's normalized dense vector scores 1.0 against itself, so dense
+recall@1 with self-targets must be 1.0, and sparse self-retrieval must beat
+chance by a wide margin. Artifact round-trips (pkl/jsonl/tsv) are also
+exercised.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from mllm_sparse_retrieval_tpu.configs import (
+    ModelConfig, ModelFamily, SearchConfig, SparseConfig)
+from mllm_sparse_retrieval_tpu.data import CrossModalCorpus
+from mllm_sparse_retrieval_tpu.eval import recall_at_k
+from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
+from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+from mllm_sparse_retrieval_tpu.models import build_model
+from mllm_sparse_retrieval_tpu.parallel import make_mesh
+from mllm_sparse_retrieval_tpu.pipelines.encode import (
+    encode_examples, read_query_tsv, write_artifacts)
+from mllm_sparse_retrieval_tpu.search.engine import run_search
+
+DATA_ROOT = "/root/reference/data"
+needs_data = pytest.mark.skipif(
+    not os.path.isdir(DATA_ROOT), reason="reference data unavailable")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    corpus = CrossModalCorpus("flickr", "test", DATA_ROOT)
+    caps = [corpus.text_dict[t] for t in corpus.text_id_list[:500]]
+    cfg = ModelConfig(family=ModelFamily.TINY_DEBUG, dtype="float32",
+                      tiny_vocab_size=1024, tiny_hidden_size=64,
+                      tiny_num_layers=2, tiny_num_heads=4,
+                      tiny_image_size=32, tiny_patch_size=16)
+    params, arch, tok, template = build_model(cfg, captions=caps)
+    return corpus, params, arch, tok, template
+
+
+@needs_data
+def test_text_encode_artifacts_roundtrip(setup, tmp_path):
+    corpus, params, arch, tok, template = setup
+    examples = corpus.examples_full()[:24]
+    scfg = SparseConfig()
+    res = encode_examples(examples, params, arch, tok, template,
+                          encode_type="text", sparse_cfg=scfg, batch_size=8)
+    assert res.dense.shape == (24, arch.text.hidden_size)
+    np.testing.assert_allclose(np.linalg.norm(res.dense, axis=1), 1.0,
+                               rtol=1e-5)
+    assert len(res.sparse_vectors) == 24
+    assert all(len(v) > 0 for v in res.sparse_vectors)
+
+    # corpus artifacts
+    write_artifacts(res, str(tmp_path / "dense"), str(tmp_path / "sparse"))
+    idx = DenseFlatIndex.load(str(tmp_path / "dense"))
+    assert idx.size == 24
+    imp = ImpactIndex.from_jsonl([str(tmp_path / "sparse" / "corpus_0.jsonl")])
+    assert imp.num_docs == 24
+
+    # query artifacts
+    write_artifacts(res, str(tmp_path / "qd"), str(tmp_path / "qs"),
+                    is_query=True)
+    parsed = read_query_tsv(str(tmp_path / "qs" / "query.tsv"))
+    # tsv counts reproduce the (collision-summed) query weights
+    for qid, weights in zip(res.ids, res.query_weights):
+        if weights:
+            assert parsed[str(qid)] == {k: v for k, v in weights.items()}
+
+
+@needs_data
+def test_dense_self_retrieval_recall_is_one(setup):
+    corpus, params, arch, tok, template = setup
+    examples = corpus.examples_single()[:32]
+    scfg = SparseConfig()
+    res = encode_examples(examples, params, arch, tok, template,
+                          encode_type="image", sparse_cfg=scfg, batch_size=8)
+    index = DenseFlatIndex()
+    index.add(res.dense, res.ids)
+
+    out = run_search(
+        examples, params, arch, tok, template,
+        query_type="image", sparse_cfg=scfg,
+        search_cfg=SearchConfig(depth=10),
+        dense_index=index, batch_size=8,
+        get_target=lambda qid: qid)  # self as ground truth
+    assert out.dense_recall[1] == 1.0
+
+
+@needs_data
+def test_sparse_self_retrieval_beats_chance(setup):
+    corpus, params, arch, tok, template = setup
+    examples = corpus.examples_single()[:32]
+    scfg = SparseConfig()
+    res = encode_examples(examples, params, arch, tok, template,
+                          encode_type="image", sparse_cfg=scfg, batch_size=8)
+    imp = ImpactIndex()
+    imp.add_many(zip(res.ids, res.sparse_vectors))
+    imp.finalize()
+
+    out = run_search(
+        examples, params, arch, tok, template,
+        query_type="image", sparse_cfg=scfg,
+        search_cfg=SearchConfig(depth=10),
+        impact_index=imp, batch_size=8,
+        get_target=lambda qid: qid)
+    # chance recall@5 for 32 docs ~= 0.16; self-vectors should dominate
+    assert out.sparse_recall[5] >= 0.9
+
+
+@needs_data
+def test_full_hybrid_search_on_mesh(setup):
+    corpus, params, arch, tok, template = setup
+    mesh = make_mesh()
+    examples = corpus.examples_single()[:16]
+    scfg = SparseConfig()
+    res = encode_examples(examples, params, arch, tok, template,
+                          encode_type="image", sparse_cfg=scfg,
+                          batch_size=8, mesh=mesh)
+    dense = DenseFlatIndex()
+    dense.add(res.dense, res.ids)
+    imp = ImpactIndex()
+    imp.add_many(zip(res.ids, res.sparse_vectors))
+    imp.finalize()
+
+    out = run_search(
+        examples, params, arch, tok, template,
+        query_type="image", sparse_cfg=scfg,
+        search_cfg=SearchConfig(depth=10, alpha=0.5),
+        dense_index=dense, impact_index=imp, batch_size=8, mesh=mesh,
+        get_target=lambda qid: qid)
+    assert out.dense_recall[1] == 1.0
+    assert out.fusion_recall is not None
+    assert out.fusion_recall[5] >= 0.9
+    # fused scores live in [0, 1] (min-max normalized, alpha-weighted)
+    for docs in out.fusion_run.values():
+        assert all(0.0 <= s <= 1.0 + 1e-9 for s in docs.values())
+
+
+@needs_data
+def test_remove_query_drops_self_hit(setup):
+    corpus, params, arch, tok, template = setup
+    examples = corpus.examples_single()[:16]
+    scfg = SparseConfig()
+    res = encode_examples(examples, params, arch, tok, template,
+                          encode_type="image", sparse_cfg=scfg, batch_size=8)
+    dense = DenseFlatIndex()
+    dense.add(res.dense, res.ids)
+    out = run_search(
+        examples, params, arch, tok, template,
+        query_type="image", sparse_cfg=scfg,
+        search_cfg=SearchConfig(depth=5, remove_query=True),
+        dense_index=dense, batch_size=8,
+        get_target=lambda qid: qid)
+    # self-hit removed -> recall@1 of self-target collapses to 0
+    assert out.dense_recall[1] == 0.0
+    for qid, entry in out.dense_run.items():
+        assert qid not in entry["docs"]
+
+
+@needs_data
+def test_t2i_pipeline_runs_with_ground_truth(setup):
+    """Cross-modal t2i with a random model: validates plumbing + ground-truth
+    wiring (recall is chance-level, just assert the machinery)."""
+    corpus, params, arch, tok, template = setup
+    img_examples = corpus.examples_single()[:20]
+    scfg = SparseConfig()
+    res = encode_examples(img_examples, params, arch, tok, template,
+                          encode_type="image", sparse_cfg=scfg, batch_size=4)
+    dense = DenseFlatIndex()
+    dense.add(res.dense, res.ids)
+
+    text_queries = [e for e in corpus.examples_full()[:40]
+                    if e.img_id in set(res.ids)]
+    out = run_search(
+        text_queries, params, arch, tok, template,
+        query_type="text", sparse_cfg=scfg,
+        search_cfg=SearchConfig(depth=20),
+        dense_index=dense, batch_size=8,
+        get_target=lambda qid: corpus.get_target(qid, "text"))
+    # depth >= corpus size -> every target is found somewhere
+    r = recall_at_k(out.dense_run,
+                    lambda q: corpus.get_target(q, "text"), ks=(20,))
+    assert r[20] == 1.0
