@@ -135,7 +135,13 @@ class WordPieceLiteTokenizer:
 
     def pad_batch(self, batch: Sequence[Sequence[int]], max_len: Optional[int] = None,
                   pad_to_multiple: int = 8):
-        """Right-pad a batch of id lists; returns (ids [B,T], mask [B,T])."""
+        """Right-pad a batch of id lists; returns (ids [B,T], mask [B,T]).
+
+        WARNING: rows longer than ``max_len`` are truncated. Never train with
+        a ``max_len`` shorter than the full prompt unless encode-time inputs
+        are truncated identically — representations are read at the last
+        non-pad token, so a cut prompt trains different reps than it serves.
+        """
         import numpy as np
 
         longest = max((len(x) for x in batch), default=1)
