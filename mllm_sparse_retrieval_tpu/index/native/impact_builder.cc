@@ -373,35 +373,39 @@ void ib_get_csr_weights(void* h, float* out) {
   memcpy(out, b.csr_weights.data(), b.csr_weights.size() * sizeof(float));
 }
 
-// Term keys / doc ids serialized as '\n'-joined buffers.
-static std::string join(const std::vector<std::string>& v) {
-  std::string out;
+// Term keys / doc ids serialized as concatenated bytes + a lengths array
+// (term strings can contain ANY byte, including newlines — vocab pieces are
+// arbitrary unicode).
+static size_t total_bytes(const std::vector<std::string>& v) {
   size_t total = 0;
-  for (const auto& s : v) total += s.size() + 1;
-  out.reserve(total);
-  for (const auto& s : v) {
-    out += s;
-    out += '\n';
+  for (const auto& s : v) total += s.size();
+  return total;
+}
+
+static void copy_concat(const std::vector<std::string>& v, char* out,
+                        int64_t* lengths) {
+  size_t pos = 0;
+  for (size_t i = 0; i < v.size(); ++i) {
+    memcpy(out + pos, v[i].data(), v[i].size());
+    pos += v[i].size();
+    lengths[i] = static_cast<int64_t>(v[i].size());
   }
-  return out;
 }
 
 long ib_terms_bytes(void* h) {
-  return static_cast<long>(join(static_cast<Builder*>(h)->term_keys).size());
+  return static_cast<long>(total_bytes(static_cast<Builder*>(h)->term_keys));
 }
 
-void ib_get_terms(void* h, char* out) {
-  std::string s = join(static_cast<Builder*>(h)->term_keys);
-  memcpy(out, s.data(), s.size());
+void ib_get_terms(void* h, char* out, int64_t* lengths) {
+  copy_concat(static_cast<Builder*>(h)->term_keys, out, lengths);
 }
 
 long ib_docids_bytes(void* h) {
-  return static_cast<long>(join(static_cast<Builder*>(h)->doc_ids).size());
+  return static_cast<long>(total_bytes(static_cast<Builder*>(h)->doc_ids));
 }
 
-void ib_get_docids(void* h, char* out) {
-  std::string s = join(static_cast<Builder*>(h)->doc_ids);
-  memcpy(out, s.data(), s.size());
+void ib_get_docids(void* h, char* out, int64_t* lengths) {
+  copy_concat(static_cast<Builder*>(h)->doc_ids, out, lengths);
 }
 
 }  // extern "C"

@@ -1,0 +1,189 @@
+"""CLI entry points, data prep tools, tiling, and statistics tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mllm_sparse_retrieval_tpu.data.prep import (
+    check_captions_per_image, karpathy_json_to_csvs, sample_few_shot_csv)
+from mllm_sparse_retrieval_tpu.data.tiling import (
+    candidate_grids, closest_aspect_ratio, dynamic_tile, pad_tiles)
+
+DATA_ROOT = "/root/reference/data"
+needs_data = pytest.mark.skipif(
+    not os.path.isdir(DATA_ROOT), reason="reference data unavailable")
+
+
+# ---- data prep -------------------------------------------------------------
+
+def _fake_karpathy_json(path, data_name):
+    images = []
+    sid = 0
+    for split, n in (("train", 3), ("restval", 2), ("val", 1), ("test", 2)):
+        for i in range(n):
+            img = {
+                "imgid": len(images),
+                "filename": f"img_{len(images)}.jpg",
+                "split": split,
+                "sentences": [
+                    {"raw": f"caption {sid + j} of image {len(images)}",
+                     "sentid": sid + j} for j in range(5)],
+            }
+            if data_name == "coco":
+                img["filepath"] = "val2014"
+            images.append(img)
+            sid += 5
+    with open(path, "w") as f:
+        json.dump({"images": images}, f)
+
+
+def test_karpathy_split_and_few_shot(tmp_path):
+    jp = tmp_path / "dataset.json"
+    _fake_karpathy_json(str(jp), "coco")
+    out = karpathy_json_to_csvs(str(jp), str(tmp_path), "coco")
+    assert set(out) == {"train", "val", "test"}
+    # train merges train + restval: 5 images x 5 captions
+    hist = check_captions_per_image(out["train"])
+    assert hist == {5: 5}
+    assert check_captions_per_image(out["test"]) == {5: 2}
+
+    fs = tmp_path / "coco_train_2.csv"
+    n = sample_few_shot_csv(out["train"], str(fs), num_images=2, seed=0)
+    assert n == 10
+    assert check_captions_per_image(str(fs)) == {5: 2}
+    # deterministic under the same seed
+    fs2 = tmp_path / "again.csv"
+    sample_few_shot_csv(out["train"], str(fs2), num_images=2, seed=0)
+    assert open(fs).read() == open(fs2).read()
+
+
+@needs_data
+def test_reference_csv_invariants():
+    hist = check_captions_per_image(
+        os.path.join(DATA_ROOT, "coco", "coco_test.csv"))
+    assert hist == {5: 4990, 6: 10}
+    hist_f = check_captions_per_image(
+        os.path.join(DATA_ROOT, "flickr", "flickr_test.csv"))
+    assert hist_f == {5: 1000}
+
+
+# ---- tiling ----------------------------------------------------------------
+
+def test_candidate_grids_and_aspect():
+    grids = candidate_grids(1, 6)
+    assert (1, 1) in grids and (3, 2) in grids and (6, 1) in grids
+    assert all(1 <= c * r <= 6 for c, r in grids)
+    best = closest_aspect_ratio(2.0, grids, 800, 400, 448)
+    assert best[0] / best[1] == 2.0
+
+
+def test_dynamic_tile_shapes():
+    img = np.random.default_rng(0).uniform(size=(300, 600, 3)).astype(np.float32)
+    tiles = dynamic_tile(img, tile_size=64, max_num=6)
+    # wide image -> multi-tile grid + thumbnail
+    assert tiles.shape[1:] == (64, 64, 3)
+    assert 2 <= tiles.shape[0] <= 7
+    # small square image (below the area threshold for the tie upgrade)
+    # -> single tile, no thumbnail
+    sq = np.random.default_rng(1).uniform(size=(40, 40, 3)).astype(np.float32)
+    tiles_sq = dynamic_tile(sq, tile_size=64, max_num=6)
+    assert tiles_sq.shape[0] == 1
+
+    padded, mask = pad_tiles(tiles, 7)
+    assert padded.shape == (7, 64, 64, 3)
+    assert mask.sum() == tiles.shape[0]
+
+
+# ---- CLIs ------------------------------------------------------------------
+
+@needs_data
+def test_cli_encode_index_search_roundtrip(tmp_path, capsys):
+    from mllm_sparse_retrieval_tpu.cli import encode as cli_encode
+    from mllm_sparse_retrieval_tpu.cli import index as cli_index
+    from mllm_sparse_retrieval_tpu.cli import search as cli_search
+
+    common = ["--dataset", "flickr", "--family", "tiny_debug",
+              "--dtype", "float32", "--batch-size", "8"]
+    # encode 16 images as the corpus
+    cli_encode.main(common + [
+        "--encode-type", "image", "--limit", "16",
+        "--dense-output-dir", str(tmp_path / "dense"),
+        "--sparse-output-dir", str(tmp_path / "sparse")])
+    out = capsys.readouterr().out.strip().splitlines()
+    dense_dir, sparse_dir = out[-2], out[-1]
+    assert os.path.exists(os.path.join(dense_dir, "corpus_0.pkl"))
+
+    # build impact index
+    cli_index.main(["--input", sparse_dir,
+                    "--index", str(tmp_path / "impact")])
+    capsys.readouterr()
+
+    # image self-search, hybrid
+    cli_search.main(common + [
+        "--query-type", "image", "--limit", "16", "--depth", "10",
+        "--passage-reps", dense_dir,
+        "--sparse-index", str(tmp_path / "impact"),
+        "--save-dir", str(tmp_path / "runs")])
+    out = capsys.readouterr().out
+    assert "dense recall" in out
+    assert "fusion recall" in out
+    assert os.path.exists(tmp_path / "runs" / "fusion.trec")
+
+
+def test_cli_prepare_data(tmp_path, capsys):
+    from mllm_sparse_retrieval_tpu.cli import prepare_data
+
+    jp = tmp_path / "dataset.json"
+    _fake_karpathy_json(str(jp), "flickr")
+    prepare_data.main(["split", "--json", str(jp),
+                       "--out-dir", str(tmp_path), "--dataset", "flickr"])
+    out = capsys.readouterr().out
+    assert "train" in out
+    prepare_data.main(["check", "--csv", str(tmp_path / "flickr_test.csv")])
+    assert "5 captions: 2 images" in capsys.readouterr().out
+
+
+# ---- statistics ------------------------------------------------------------
+
+def test_fusion_provenance_statistics():
+    from mllm_sparse_retrieval_tpu.eval.statistics import (
+        fusion_provenance_statistics)
+
+    dense = {"q": {"docs": {"a": 3.0, "b": 2.0}, "min_score": 2.0,
+                   "max_score": 3.0}}
+    sparse = {"q": {"docs": {"b": 9.0, "c": 1.0}, "min_score": 1.0,
+                    "max_score": 9.0}}
+    stats = fusion_provenance_statistics(dense, sparse, alpha=0.5, top_n=10)
+    assert stats.dense_ranks.size == 1   # 'a'
+    assert stats.sparse_ranks.size == 1  # 'c'
+    assert stats.fused_ranks.size == 1   # 'b'
+    # 'b' fuses to 0.0 + 0.5 = 0.5, tying 'a' (0.5): rank 2 after stable sort
+    assert stats.fused_ranks[0] == 2
+    assert stats.sparse_ranks[0] == 3  # 'c' normalizes to 0
+
+
+@needs_data
+def test_term_weight_statistics_and_plots(tmp_path):
+    from mllm_sparse_retrieval_tpu.configs import (
+        ModelConfig, ModelFamily, SparseConfig)
+    from mllm_sparse_retrieval_tpu.data import CrossModalCorpus
+    from mllm_sparse_retrieval_tpu.eval.statistics import (
+        plot_term_weight_stats, term_weight_statistics)
+    from mllm_sparse_retrieval_tpu.models import build_model
+
+    corpus = CrossModalCorpus("flickr", "test", DATA_ROOT)
+    caps = [corpus.text_dict[t] for t in corpus.text_id_list[:200]]
+    params, arch, tok, template = build_model(
+        ModelConfig(family=ModelFamily.TINY_DEBUG, dtype="float32"),
+        captions=caps)
+    stats = term_weight_statistics(
+        corpus, params, arch, tok, template, sparse_cfg=SparseConfig(),
+        num_images=4, batch_size=4)
+    assert stats.image_in_text.size > 0
+    assert stats.image_out_text.size > 0
+    assert stats.text_in_text.size > 0
+    paths = plot_term_weight_stats(stats, str(tmp_path))
+    assert len(paths) == 3
+    assert all(os.path.exists(p) for p in paths)
