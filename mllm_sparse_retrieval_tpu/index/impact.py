@@ -316,16 +316,28 @@ import functools
 
 
 def _query_table(q_idx, q_w, num_rows):
-    """Scatter-add query weights into a dense [B, num_rows] table.
+    """Accumulate query weights into a dense [B, num_rows] table.
 
-    Term t maps to row t+1; padded/non-positive entries route to the dead
-    row 0. Duplicate term idxs (string-collision sums) add.
+    Term t maps to column t+1; padded/non-positive entries route to the dead
+    column 0. Duplicate term idxs (string-collision sums) add.
+
+    Implemented as a scan of compare-select-add steps over the (small) query
+    width rather than a scatter: XLA scatters at [B, T] scale lower to slow
+    serialized updates on TPU and blow up remote compile time, while this
+    form is pure VPU work that compiles in seconds.
     """
     b = q_idx.shape[0]
-    table = jnp.zeros((b, num_rows), jnp.float32)
-    batch_ix = lax.broadcasted_iota(jnp.int32, q_idx.shape, 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, num_rows), 1)   # [1, rows]
     safe_idx = jnp.where(q_w > 0, q_idx + 1, 0)
-    return table.at[batch_ix, safe_idx].add(q_w)
+
+    def step(table, term):
+        idx, w = term                                          # [B], [B]
+        hit = cols == idx[:, None]
+        return table + jnp.where(hit, w[:, None], 0.0), None
+
+    table0 = jnp.zeros((b, num_rows), jnp.float32)
+    table, _ = lax.scan(step, table0, (safe_idx.T, q_w.T))
+    return table
 
 
 def _scores_from_matrix(matrix, q_idx, q_w):

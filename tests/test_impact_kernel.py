@@ -1,0 +1,72 @@
+"""Pallas term-at-a-time impact kernel: parity with the XLA matmul path.
+
+Runs in interpreter mode on the CPU test mesh; real-TPU timing lives in the
+bench harness.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
+    QUERY_TILE, impact_scores_taat, prepare_query_arrays)
+
+
+def _ref_scores(matrix, safe_idx, q_w):
+    """numpy oracle: sum_j w[b,j] * matrix[idx[b,j], :]."""
+    b = safe_idx.shape[0]
+    out = np.zeros((b, matrix.shape[1]), np.float32)
+    for i in range(b):
+        for j in range(safe_idx.shape[1]):
+            out[i] += q_w[i, j] * matrix[safe_idx[i, j]]
+    return out
+
+
+def test_taat_kernel_matches_oracle():
+    rng = np.random.default_rng(0)
+    t, n, b, q = 50, 256, QUERY_TILE * 2, 6
+    matrix = np.zeros((t + 1, n), np.float32)
+    matrix[1:] = rng.integers(0, 300, size=(t, n)).astype(np.float32)
+    q_idx = rng.integers(0, t, size=(b, q)).astype(np.int32)
+    q_w = rng.integers(-20, 300, size=(b, q)).astype(np.float32)  # some <= 0
+
+    safe_idx, safe_w = prepare_query_arrays(q_idx, q_w)
+    scores = impact_scores_taat(jnp.asarray(matrix), jnp.asarray(safe_idx),
+                                jnp.asarray(safe_w), interpret=True)
+    np.testing.assert_allclose(np.asarray(scores),
+                               _ref_scores(matrix, safe_idx, safe_w),
+                               rtol=1e-6)
+
+
+def test_taat_matches_xla_matmul_path():
+    from mllm_sparse_retrieval_tpu.index.impact import _scores_from_matrix
+
+    rng = np.random.default_rng(1)
+    t, n, b, q = 80, 384, QUERY_TILE, 12
+    matrix = np.zeros((t + 1, n), np.float32)
+    matrix[1:] = rng.integers(0, 200, size=(t, n)).astype(np.float32)
+    q_idx = rng.integers(0, t, size=(b, q)).astype(np.int32)
+    q_w = rng.integers(1, 150, size=(b, q)).astype(np.float32)
+
+    xla = np.asarray(_scores_from_matrix(jnp.asarray(matrix),
+                                         jnp.asarray(q_idx),
+                                         jnp.asarray(q_w)))
+    safe_idx, safe_w = prepare_query_arrays(q_idx, q_w)
+    taat = np.asarray(impact_scores_taat(
+        jnp.asarray(matrix), jnp.asarray(safe_idx), jnp.asarray(safe_w),
+        interpret=True))
+    np.testing.assert_allclose(taat, xla, rtol=1e-6)
+
+
+def test_duplicate_query_terms_sum():
+    matrix = np.zeros((3, 128), np.float32)
+    matrix[1] = 2.0
+    matrix[2] = 5.0
+    q_idx = np.array([[0, 0, 1]] * QUERY_TILE, np.int32)
+    q_w = np.array([[3.0, 4.0, 1.0]] * QUERY_TILE, np.float32)
+    safe_idx, safe_w = prepare_query_arrays(q_idx, q_w)
+    scores = np.asarray(impact_scores_taat(
+        jnp.asarray(matrix), jnp.asarray(safe_idx), jnp.asarray(safe_w),
+        interpret=True))
+    np.testing.assert_allclose(scores[:, 0], (3 + 4) * 2.0 + 1 * 5.0)
