@@ -81,6 +81,10 @@ class ImpactIndex:
         """Add one document's sparse vector. Non-positive weights are dropped
         (they contribute nothing to any impact score; Lucene's analyzer never
         sees them because ``token * weight`` repetitions vanish for w <= 0)."""
+        if self._doc_vectors and self._doc_vectors[0] is None:
+            raise RuntimeError(
+                "cannot add() to an index restored from disk/packed form — "
+                "raw doc vectors were not retained; rebuild from jsonl")
         self.doc_ids.append(str(doc_id))
         self._doc_vectors.append(
             {k: int(v) for k, v in vector.items() if int(v) > 0})

@@ -18,6 +18,12 @@ with vocabulary size.
 The query term ids live in SMEM (per-tile BlockSpec), so they are scalar-
 readable for DMA addressing. Padding entries must point at row 0 (the dead
 zero row) with weight 0.
+
+Layout note: Mosaic requires HBM slices aligned to the (8, 128) f32 tile, so
+a term's N-column posting row cannot be DMA'd as a ``[1, N]`` slice. The
+matrix is therefore viewed as ``[T+1, 8, N/8]`` — one aligned ``[8, N/8]``
+block per term, bit-identical to the flat row under row-major order — and
+scores come back as ``[B, 8, N/8]`` reshaped to ``[B, N]``.
 """
 
 from __future__ import annotations
@@ -36,7 +42,10 @@ QUERY_TILE = 8  # queries scored per grid step
 
 def _taat_kernel(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
                  *, num_terms_per_query: int):
-    """One grid step: score QUERY_TILE queries against all N doc columns."""
+    """One grid step: score QUERY_TILE queries against all N doc columns.
+
+    matrix_ref: [T+1, 8, N/8] in HBM; out_ref: [QT, 8, N/8] in VMEM.
+    """
     q_count = out_ref.shape[0]
     total = q_count * num_terms_per_query
 
@@ -62,7 +71,7 @@ def _taat_kernel(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
         q = step // num_terms_per_query
         j = step % num_terms_per_query
         w = qw_ref[q, j]
-        out_ref[q, :] = out_ref[q, :] + w * rowbuf[slot, :]
+        out_ref[q] = out_ref[q] + w * rowbuf[slot]
         return 0
 
     lax.fori_loop(0, total, body, 0, unroll=False)
@@ -78,16 +87,19 @@ def impact_scores_taat(
 ) -> jax.Array:
     """[B, N] impact scores via the term-at-a-time Pallas kernel.
 
-    B must be a multiple of QUERY_TILE and N a multiple of 128.
+    B must be a multiple of QUERY_TILE and N a multiple of 1024
+    (8 sublanes × 128 lanes for the aligned per-term block view).
     """
     b, q = q_idx.shape
     t_rows, n = matrix.shape
     assert b % QUERY_TILE == 0, f"batch {b} % {QUERY_TILE} != 0"
-    assert n % 128 == 0, f"doc columns {n} % 128 != 0"
+    assert n % 1024 == 0, f"doc columns {n} % 1024 != 0"
+    sub = n // 8
+    matrix3 = matrix.reshape(t_rows, 8, sub)
 
     grid = (b // QUERY_TILE,)
     kernel = functools.partial(_taat_kernel, num_terms_per_query=q)
-    return pl.pallas_call(
+    scores = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -97,15 +109,16 @@ def impact_scores_taat(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((QUERY_TILE, n), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((QUERY_TILE, 8, sub), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 8, sub), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, n), jnp.float32),
+            pltpu.VMEM((2, 8, sub), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(q_idx, q_w, matrix)
+    )(q_idx, q_w, matrix3)
+    return scores.reshape(b, n)
 
 
 def prepare_query_arrays(q_idx, q_w):

@@ -97,8 +97,16 @@ def encode_examples(
     lora=None,
     pixel_loader: Optional[Callable[[Example], np.ndarray]] = None,
     seq_pad_multiple: int = 16,
+    device_select: bool = True,
 ) -> EncodeResult:
-    """Encode examples into dense + sparse representations."""
+    """Encode examples into dense + sparse representations.
+
+    ``device_select=True`` (default) runs the sparse top-k on device and
+    transfers only ``[B, k]`` ids+values instead of the full ``[B, V]``
+    logits (ops/select.py) — bit-identical to the host golden path.
+    Expansion configs (``num_expanded_tokens > 0``) fall back to the host
+    path, which needs full-vocab logits.
+    """
     vocab = tokenizer.get_vocab()
     id_to_token = {v: k for k, v in vocab.items()}
     filtered_ids = get_filtered_ids(vocab)
@@ -130,6 +138,11 @@ def encode_examples(
         fixed_ids, fixed_mask = tokenizer.pad_batch(
             fixed_rows, pad_to_multiple=seq_pad_multiple)
 
+    use_device_select = device_select and sparse_cfg.num_expanded_tokens == 0
+    k_image = sparse_cfg.sparse_length if sparse_cfg.sparse_manual else 128
+    k_text_full = sparse_cfg.sparse_length if sparse_cfg.sparse_manual \
+        else sparse_cfg.fallback_top_k
+
     @jax.jit
     def _encode_text(p, l, ids, mask):
         sparse, dense = mllm.encode(p, arch, ids, mask, None, reps_loc, l)
@@ -140,6 +153,25 @@ def encode_examples(
         sparse, dense = mllm.encode(p, arch, ids, mask, pixels, reps_loc, l)
         return sparse, normalize(dense)
 
+    @jax.jit
+    def _encode_text_ds(p, l, ids, mask, cand_ids, cand_mask):
+        from mllm_sparse_retrieval_tpu.ops.select import (
+            candidate_topk, vocab_topk)
+        sparse, dense = mllm.encode(p, arch, ids, mask, None, reps_loc, l)
+        fv, fi = vocab_topk(sparse, k_text_full)
+        cv, ci, cnt = candidate_topk(sparse, cand_ids, cand_mask, 128)
+        return fv, fi, cv, ci, cnt, normalize(dense)
+
+    @jax.jit
+    def _encode_image_ds(p, l, ids, mask, pixels):
+        from mllm_sparse_retrieval_tpu.ops.select import vocab_topk
+        sparse, dense = mllm.encode(p, arch, ids, mask, pixels, reps_loc, l)
+        fv, fi = vocab_topk(sparse, k_image)
+        return fv, fi, normalize(dense)
+
+    from mllm_sparse_retrieval_tpu.sparse.term_selection import (
+        quantize_weights, text_candidate_ids)
+
     result = EncodeResult()
     all_dense: List[np.ndarray] = []
 
@@ -147,6 +179,7 @@ def encode_examples(
         batch = examples[start:start + batch_size]
         valid = len(batch)
         batch = _pad_batch_examples(batch, batch_size)
+        batch_terms: List[SelectedTerms] = []
 
         if encode_type == "text":
             prompts = [template.fill_text(template.text_prompt(), ex.text)
@@ -155,25 +188,63 @@ def encode_examples(
                 [tokenizer.encode(p) for p in prompts],
                 pad_to_multiple=seq_pad_multiple)
             ids, mask = _shard(ids, mask)
-            sparse_logits, dense = _encode_text(params, lora, ids, mask)
+            if use_device_select:
+                from mllm_sparse_retrieval_tpu.ops.select import pad_candidates
+                cand_rows = [text_candidate_ids(ex.text, encode_word)
+                             for ex in batch]
+                cand_ids, cand_mask = pad_candidates(cand_rows)
+                cand_ids, cand_mask = _shard(cand_ids, cand_mask)
+                fv, fi, cv, ci, cnt, dense = _encode_text_ds(
+                    params, lora, ids, mask, cand_ids, cand_mask)
+                fv, fi = np.asarray(fv), np.asarray(fi)
+                cv, ci = np.asarray(cv), np.asarray(ci)
+                cnt = np.asarray(cnt)
+                for b in range(valid):
+                    if cnt[b] == 0:
+                        take = sparse_cfg.fallback_top_k
+                        t_ids, t_vals = fi[b][:take], fv[b][:take]
+                    elif sparse_cfg.sparse_manual:
+                        t_ids, t_vals = fi[b], fv[b]
+                    else:
+                        take = min(int(cnt[b]), 128)
+                        t_ids, t_vals = ci[b][:take], cv[b][:take]
+                    batch_terms.append(SelectedTerms(
+                        t_ids.astype(np.int32),
+                        quantize_weights(t_vals,
+                                         sparse_cfg.quantization_scale)))
+            else:
+                sparse_logits, dense = _encode_text(params, lora, ids, mask)
+                sparse_logits = np.asarray(sparse_logits, np.float32)
+                for b in range(valid):
+                    batch_terms.append(select_text_terms(
+                        batch[b].text, encode_word, sparse_logits[b],
+                        sparse_cfg, filtered_ids))
         else:
             pixels = np.stack([pixel_loader(ex) for ex in batch])
             b_ids, b_mask, pixels = _shard(fixed_ids, fixed_mask, pixels)
-            sparse_logits, dense = _encode_image(
-                params, lora, b_ids, b_mask, pixels)
+            if use_device_select:
+                fv, fi, dense = _encode_image_ds(params, lora, b_ids, b_mask,
+                                                 pixels)
+                fv, fi = np.asarray(fv), np.asarray(fi)
+                for b in range(valid):
+                    batch_terms.append(SelectedTerms(
+                        fi[b].astype(np.int32),
+                        quantize_weights(fv[b],
+                                         sparse_cfg.quantization_scale)))
+            else:
+                sparse_logits, dense = _encode_image(
+                    params, lora, b_ids, b_mask, pixels)
+                sparse_logits = np.asarray(sparse_logits, np.float32)
+                for b in range(valid):
+                    batch_terms.append(select_image_terms(
+                        sparse_logits[b], sparse_cfg, filtered_ids))
 
-        sparse_logits = np.asarray(sparse_logits, np.float32)[:valid]
         dense = np.asarray(dense, np.float32)[:valid]
         all_dense.append(dense)
 
-        for row, ex in zip(sparse_logits, batch[:valid]):
-            if encode_type == "text":
-                terms = select_text_terms(ex.text, encode_word, row,
-                                          sparse_cfg, filtered_ids)
-                result.ids.append(ex.text_id)
-            else:
-                terms = select_image_terms(row, sparse_cfg, filtered_ids)
-                result.ids.append(ex.img_id)
+        for terms, ex in zip(batch_terms, batch[:valid]):
+            result.ids.append(ex.text_id if encode_type == "text"
+                              else ex.img_id)
             result.sparse_vectors.append(
                 doc_string_vector(terms, id_to_token, sparse_cfg.is_filtered))
             result.query_weights.append(

@@ -1,0 +1,102 @@
+"""Device-side term selection: parity with the host golden implementation."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mllm_sparse_retrieval_tpu.configs import (
+    ModelConfig, ModelFamily, SparseConfig)
+from mllm_sparse_retrieval_tpu.ops.select import (
+    candidate_topk, pad_candidates, vocab_topk)
+from mllm_sparse_retrieval_tpu.sparse.term_selection import _topk
+
+DATA_ROOT = "/root/reference/data"
+needs_data = pytest.mark.skipif(
+    not os.path.isdir(DATA_ROOT), reason="reference data unavailable")
+
+
+def test_vocab_topk_matches_host():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(4, 300)).astype(np.float32)
+    vals, ids = vocab_topk(jnp.asarray(logits), 16)
+    for b in range(4):
+        hv, hi = _topk(logits[b], 16)
+        np.testing.assert_array_equal(np.asarray(ids[b]), hi)
+        np.testing.assert_allclose(np.asarray(vals[b]), hv, rtol=1e-6)
+
+
+def test_vocab_topk_tie_breaking():
+    logits = np.zeros((1, 64), np.float32)
+    logits[0, [5, 9, 30]] = 1.0   # three-way tie
+    vals, ids = vocab_topk(jnp.asarray(logits), 3)
+    np.testing.assert_array_equal(np.asarray(ids[0]), [5, 9, 30])
+
+
+def test_candidate_topk_matches_host_restriction():
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(3, 200)).astype(np.float32)
+    rows = [np.sort(rng.choice(200, size=n, replace=False)).astype(np.int32)
+            for n in (5, 37, 0)]
+    ids, mask = pad_candidates(rows)
+    vals, sel_ids, counts = candidate_topk(
+        jnp.asarray(logits), jnp.asarray(ids), jnp.asarray(mask), 128)
+    np.testing.assert_array_equal(np.asarray(counts), [5, 37, 0])
+    for b, cands in enumerate(rows):
+        if len(cands) == 0:
+            continue
+        k = min(len(cands), 128)
+        hv, hpos = _topk(logits[b][cands], k)
+        np.testing.assert_array_equal(np.asarray(sel_ids[b])[:k], cands[hpos])
+        np.testing.assert_allclose(np.asarray(vals[b])[:k], hv, rtol=1e-6)
+
+
+@needs_data
+@pytest.mark.parametrize("encode_type", ["text", "image"])
+@pytest.mark.parametrize("manual", [False, True])
+def test_pipeline_device_select_parity(encode_type, manual):
+    """encode_examples(device_select=True) == host path, term for term."""
+    from mllm_sparse_retrieval_tpu.data import CrossModalCorpus
+    from mllm_sparse_retrieval_tpu.models import build_model
+    from mllm_sparse_retrieval_tpu.pipelines.encode import encode_examples
+
+    corpus = CrossModalCorpus("flickr", "test", DATA_ROOT)
+    caps = [corpus.text_dict[t] for t in corpus.text_id_list[:300]]
+    params, arch, tok, template = build_model(
+        ModelConfig(family=ModelFamily.TINY_DEBUG, dtype="float32"),
+        captions=caps)
+    examples = (corpus.examples_full()[:12] if encode_type == "text"
+                else corpus.examples_single()[:12])
+    scfg = SparseConfig(sparse_manual=manual, sparse_length=32)
+
+    dev = encode_examples(examples, params, arch, tok, template,
+                          encode_type=encode_type, sparse_cfg=scfg,
+                          batch_size=4, device_select=True)
+    host = encode_examples(examples, params, arch, tok, template,
+                           encode_type=encode_type, sparse_cfg=scfg,
+                           batch_size=4, device_select=False)
+    assert dev.ids == host.ids
+    assert dev.sparse_vectors == host.sparse_vectors
+    assert dev.query_weights == host.query_weights
+    np.testing.assert_allclose(dev.dense, host.dense, rtol=1e-6)
+
+
+@needs_data
+def test_expansion_config_falls_back_to_host_path():
+    from mllm_sparse_retrieval_tpu.data import CrossModalCorpus
+    from mllm_sparse_retrieval_tpu.models import build_model
+    from mllm_sparse_retrieval_tpu.pipelines.encode import encode_examples
+
+    corpus = CrossModalCorpus("flickr", "test", DATA_ROOT)
+    caps = [corpus.text_dict[t] for t in corpus.text_id_list[:100]]
+    params, arch, tok, template = build_model(
+        ModelConfig(family=ModelFamily.TINY_DEBUG, dtype="float32"),
+        captions=caps)
+    scfg = SparseConfig(num_expanded_tokens=4)
+    res = encode_examples(corpus.examples_full()[:4], params, arch, tok,
+                          template, encode_type="text", sparse_cfg=scfg,
+                          batch_size=4, device_select=True)
+    # expansion terms present -> selection produced more than candidates alone
+    assert all(len(v) > 0 for v in res.sparse_vectors)

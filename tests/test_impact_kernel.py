@@ -25,7 +25,7 @@ def _ref_scores(matrix, safe_idx, q_w):
 
 def test_taat_kernel_matches_oracle():
     rng = np.random.default_rng(0)
-    t, n, b, q = 50, 256, QUERY_TILE * 2, 6
+    t, n, b, q = 50, 1024, QUERY_TILE * 2, 6
     matrix = np.zeros((t + 1, n), np.float32)
     matrix[1:] = rng.integers(0, 300, size=(t, n)).astype(np.float32)
     q_idx = rng.integers(0, t, size=(b, q)).astype(np.int32)
@@ -43,7 +43,7 @@ def test_taat_matches_xla_matmul_path():
     from mllm_sparse_retrieval_tpu.index.impact import _scores_from_matrix
 
     rng = np.random.default_rng(1)
-    t, n, b, q = 80, 384, QUERY_TILE, 12
+    t, n, b, q = 80, 2048, QUERY_TILE, 12
     matrix = np.zeros((t + 1, n), np.float32)
     matrix[1:] = rng.integers(0, 200, size=(t, n)).astype(np.float32)
     q_idx = rng.integers(0, t, size=(b, q)).astype(np.int32)
@@ -60,7 +60,7 @@ def test_taat_matches_xla_matmul_path():
 
 
 def test_duplicate_query_terms_sum():
-    matrix = np.zeros((3, 128), np.float32)
+    matrix = np.zeros((3, 1024), np.float32)
     matrix[1] = 2.0
     matrix[2] = 5.0
     q_idx = np.array([[0, 0, 1]] * QUERY_TILE, np.int32)
