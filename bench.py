@@ -68,8 +68,10 @@ def bench_tpu(doc_terms, doc_weights, q_idx, q_w):
                       "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from mllm_sparse_retrieval_tpu.index.impact import (
-        _impact_topk, _round_up, _DOC_TILE)
+    from jax import lax
+    from mllm_sparse_retrieval_tpu.index.impact import _round_up, _DOC_TILE
+    from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
+        impact_scores_taat, prepare_query_arrays)
 
     n_pad = _round_up(N_DOCS, _DOC_TILE)
     matrix = np.zeros((N_TERMS + 1, n_pad), np.float32)
@@ -79,19 +81,29 @@ def bench_tpu(doc_terms, doc_weights, q_idx, q_w):
     log(f"impact matrix: {matrix.shape} "
         f"({matrix.nbytes / 1e9:.2f} GB f32 in HBM)")
 
+    # Pallas term-at-a-time kernel + top-k (the fast path; the dense-matmul
+    # backend measures ~1.7x slower at this scale — see ImpactIndex.search).
+    @jax.jit
+    def run_taat(si, sw):
+        scores = impact_scores_taat(m_dev, si, sw)
+        col = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
+        scores = jnp.where(col < N_DOCS, scores, -jnp.inf)
+        return lax.top_k(scores, DEPTH)
+
     def run(qi, qwts):
-        scores, idx = _impact_topk(m_dev, qi, qwts, N_DOCS, DEPTH)
+        si, sw = prepare_query_arrays(qi, qwts)
+        scores, idx = run_taat(jnp.asarray(si), jnp.asarray(sw))
         return np.asarray(scores), np.asarray(idx)
 
-    log("compiling TPU impact search ...")
+    log("compiling TPU impact search (Pallas TAAT kernel) ...")
     t0 = time.time()
-    run(jnp.asarray(q_idx), jnp.asarray(q_w))
+    run(q_idx, q_w)
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     times = []
     for r in range(ROUNDS):
-        qi = jnp.asarray(np.roll(q_idx, r, axis=0))
-        qwts = jnp.asarray(np.roll(q_w, r, axis=0))
+        qi = np.roll(q_idx, r, axis=0)
+        qwts = np.roll(q_w, r, axis=0)
         t0 = time.time()
         run(qi, qwts)
         times.append(time.time() - t0)
@@ -155,7 +167,7 @@ def main():
         cpu_qps = BATCH / (time.time() - t0)
 
     print(json.dumps({
-        "metric": "sparse_impact_search_qps_coco25k_depth10",
+        "metric": "sparse_impact_taat_qps_coco25k_depth10",
         "value": round(tpu_qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(tpu_qps / cpu_qps, 2),

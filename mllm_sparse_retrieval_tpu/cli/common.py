@@ -94,11 +94,25 @@ def model_config_from_args(args) -> ModelConfig:
     )
 
 
+def enable_compilation_cache(path: str = "/root/repo/.jax_cache") -> None:
+    """Persistent XLA compilation cache — first compile through a remote
+    compile service can take minutes; the cache makes reruns instant."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def build_everything(args, mode_for_captions: str = "full"):
     """(corpus, params, arch, tokenizer, template, mesh, lora)."""
     from mllm_sparse_retrieval_tpu.models import build_model
     from mllm_sparse_retrieval_tpu.models import lora as lora_lib
     from mllm_sparse_retrieval_tpu.parallel import make_mesh
+
+    enable_compilation_cache()
 
     corpus = CrossModalCorpus(args.dataset, args.split, args.data_root)
     captions = list(corpus.text_dict.values())

@@ -24,7 +24,8 @@ class ModelFamily(str, enum.Enum):
     E5_V = "e5_v"                              # royokong/e5-v (llava-next based)
     QWEN2_5_VL = "qwen2_5_vl"                  # Qwen/Qwen2.5-VL-{3B,7B}-Instruct
     INTERNVL2_5 = "internvl2_5"                # OpenGVLab/InternVL2_5-{4B,8B}
-    TINY_DEBUG = "tiny_debug"                  # random tiny model for tests/benches
+    TINY_DEBUG = "tiny_debug"                  # random tiny LLaVA-style model
+    TINY_QWEN_DEBUG = "tiny_qwen_debug"        # random tiny Qwen2.5-VL-style model
 
 
 class RepsLoc(str, enum.Enum):

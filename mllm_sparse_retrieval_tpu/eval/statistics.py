@@ -110,29 +110,35 @@ def _raw_sparse(examples, params, arch, tokenizer, template, encode_type,
     """Full-vocab sparse weights per example (before top-k selection)."""
     import jax
     from mllm_sparse_retrieval_tpu.configs import RepsLoc
-    from mllm_sparse_retrieval_tpu.models import mllm
+    from mllm_sparse_retrieval_tpu.models.api import (
+        encode_any, image_input_spec, mrope_ids_for_batch)
     from mllm_sparse_retrieval_tpu.pipelines.encode import (
         default_pixel_loader, _pad_batch_examples)
 
+    spec = image_input_spec(arch)
     if encode_type == "image" and pixel_loader is None:
-        pixel_loader = default_pixel_loader(arch.vision.image_size)
+        raw_loader = default_pixel_loader(spec.image_size)
+        pixel_loader = lambda e: spec.preprocess(raw_loader(e))
 
     @jax.jit
     def enc_text(p, l, ids, mask):
-        s, _ = mllm.encode(p, arch, ids, mask, None, RepsLoc.BEFORE_PAD, l)
+        s, _ = encode_any(p, arch, ids, mask, None, RepsLoc.BEFORE_PAD, l)
         return s
 
     @jax.jit
-    def enc_img(p, l, ids, mask, pix):
-        s, _ = mllm.encode(p, arch, ids, mask, pix, RepsLoc.BEFORE_PAD, l)
+    def enc_img(p, l, ids, mask, pix, pos):
+        s, _ = encode_any(p, arch, ids, mask, pix, RepsLoc.BEFORE_PAD, l,
+                          position_ids=pos)
         return s
 
+    fixed_pos = None
     if encode_type == "image":
-        n_img = arch.num_image_tokens
         prompt = template.image_prompt().replace(
-            "<image>", " ".join(["<image>"] * n_img))
+            "<image>", " ".join(["<image>"] * spec.num_image_tokens))
         fixed_ids, fixed_mask = tokenizer.pad_batch(
             [tokenizer.encode(prompt)] * batch_size, pad_to_multiple=16)
+        if spec.needs_mrope:
+            fixed_pos = mrope_ids_for_batch(arch, fixed_ids, fixed_mask)
 
     out = []
     for start in range(0, len(examples), batch_size):
@@ -147,7 +153,8 @@ def _raw_sparse(examples, params, arch, tokenizer, template, encode_type,
             s = enc_text(params, lora, ids, mask)
         else:
             pixels = np.stack([pixel_loader(e) for e in batch])
-            s = enc_img(params, lora, fixed_ids, fixed_mask, pixels)
+            s = enc_img(params, lora, fixed_ids, fixed_mask, pixels,
+                        fixed_pos)
         out.append(np.asarray(s, np.float32)[:valid])
     return np.concatenate(out) if out else np.zeros((0, tokenizer.vocab_size))
 

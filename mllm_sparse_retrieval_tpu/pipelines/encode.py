@@ -128,15 +128,23 @@ def encode_examples(
         from mllm_sparse_retrieval_tpu.parallel.mesh import shard_batch
         return tuple(shard_batch(mesh, a) for a in arrays)
 
+    from mllm_sparse_retrieval_tpu.models.api import (
+        encode_any, image_input_spec, mrope_ids_for_batch)
+
+    spec = image_input_spec(arch)
+    fixed_pos_ids = None
     if encode_type == "image":
         if pixel_loader is None:
-            pixel_loader = default_pixel_loader(arch.vision.image_size)
-        n_img = arch.num_image_tokens
+            raw_loader = default_pixel_loader(spec.image_size)
+            pixel_loader = lambda ex: spec.preprocess(raw_loader(ex))
+        n_img = spec.num_image_tokens
         img_prompt = template.image_prompt().replace(
             "<image>", " ".join(["<image>"] * n_img))
         fixed_rows = [tokenizer.encode(img_prompt)] * batch_size
         fixed_ids, fixed_mask = tokenizer.pad_batch(
             fixed_rows, pad_to_multiple=seq_pad_multiple)
+        if spec.needs_mrope:
+            fixed_pos_ids = mrope_ids_for_batch(arch, fixed_ids, fixed_mask)
 
     use_device_select = device_select and sparse_cfg.num_expanded_tokens == 0
     k_image = sparse_cfg.sparse_length if sparse_cfg.sparse_manual else 128
@@ -145,27 +153,29 @@ def encode_examples(
 
     @jax.jit
     def _encode_text(p, l, ids, mask):
-        sparse, dense = mllm.encode(p, arch, ids, mask, None, reps_loc, l)
+        sparse, dense = encode_any(p, arch, ids, mask, None, reps_loc, l)
         return sparse, normalize(dense)
 
     @jax.jit
-    def _encode_image(p, l, ids, mask, pixels):
-        sparse, dense = mllm.encode(p, arch, ids, mask, pixels, reps_loc, l)
+    def _encode_image(p, l, ids, mask, pixels, pos):
+        sparse, dense = encode_any(p, arch, ids, mask, pixels, reps_loc, l,
+                                   position_ids=pos)
         return sparse, normalize(dense)
 
     @jax.jit
     def _encode_text_ds(p, l, ids, mask, cand_ids, cand_mask):
         from mllm_sparse_retrieval_tpu.ops.select import (
             candidate_topk, vocab_topk)
-        sparse, dense = mllm.encode(p, arch, ids, mask, None, reps_loc, l)
+        sparse, dense = encode_any(p, arch, ids, mask, None, reps_loc, l)
         fv, fi = vocab_topk(sparse, k_text_full)
         cv, ci, cnt = candidate_topk(sparse, cand_ids, cand_mask, 128)
         return fv, fi, cv, ci, cnt, normalize(dense)
 
     @jax.jit
-    def _encode_image_ds(p, l, ids, mask, pixels):
+    def _encode_image_ds(p, l, ids, mask, pixels, pos):
         from mllm_sparse_retrieval_tpu.ops.select import vocab_topk
-        sparse, dense = mllm.encode(p, arch, ids, mask, pixels, reps_loc, l)
+        sparse, dense = encode_any(p, arch, ids, mask, pixels, reps_loc, l,
+                                   position_ids=pos)
         fv, fi = vocab_topk(sparse, k_image)
         return fv, fi, normalize(dense)
 
@@ -224,7 +234,7 @@ def encode_examples(
             b_ids, b_mask, pixels = _shard(fixed_ids, fixed_mask, pixels)
             if use_device_select:
                 fv, fi, dense = _encode_image_ds(params, lora, b_ids, b_mask,
-                                                 pixels)
+                                                 pixels, fixed_pos_ids)
                 fv, fi = np.asarray(fv), np.asarray(fi)
                 for b in range(valid):
                     batch_terms.append(SelectedTerms(
@@ -233,7 +243,7 @@ def encode_examples(
                                          sparse_cfg.quantization_scale)))
             else:
                 sparse_logits, dense = _encode_image(
-                    params, lora, b_ids, b_mask, pixels)
+                    params, lora, b_ids, b_mask, pixels, fixed_pos_ids)
                 sparse_logits = np.asarray(sparse_logits, np.float32)
                 for b in range(valid):
                     batch_terms.append(select_image_terms(

@@ -46,7 +46,8 @@ class TrainBatch:
     text_mask: np.ndarray     # [B, Tt]
     image_ids: np.ndarray     # [B, Ti]
     image_mask: np.ndarray    # [B, Ti]
-    pixels: np.ndarray        # [B, H, W, 3]
+    pixels: np.ndarray        # [B, H, W, 3] (LLaVA) or [B, S, pd] (Qwen)
+    image_pos_ids: Optional[np.ndarray] = None  # [3, B, Ti] M-RoPE (Qwen)
 
 
 def make_collator(tokenizer, template, arch,
@@ -55,11 +56,15 @@ def make_collator(tokenizer, template, arch,
     """Host collator: examples -> TrainBatch (the PromptRepsTrainCollator
     equivalent, /root/reference/src/dataset.py:178-208, with text processing
     done here too since our tokenizer is framework-owned)."""
+    from mllm_sparse_retrieval_tpu.models.api import (
+        image_input_spec, mrope_ids_for_batch)
+
+    spec = image_input_spec(arch)
     if pixel_loader is None:
-        pixel_loader = default_pixel_loader(arch.vision.image_size)
-    n_img = arch.num_image_tokens
+        raw_loader = default_pixel_loader(spec.image_size)
+        pixel_loader = lambda e: spec.preprocess(raw_loader(e))
     img_prompt = template.image_prompt().replace(
-        "<image>", " ".join(["<image>"] * n_img))
+        "<image>", " ".join(["<image>"] * spec.num_image_tokens))
 
     def collate(batch: Sequence[Example], text_max_len: Optional[int] = None
                 ) -> TrainBatch:
@@ -72,7 +77,9 @@ def make_collator(tokenizer, template, arch,
         i_ids, i_mask = tokenizer.pad_batch(
             img_rows, pad_to_multiple=seq_pad_multiple)
         pixels = np.stack([pixel_loader(e) for e in batch])
-        return TrainBatch(t_ids, t_mask, i_ids, i_mask, pixels)
+        pos = mrope_ids_for_batch(arch, i_ids, i_mask) if spec.needs_mrope \
+            else None
+        return TrainBatch(t_ids, t_mask, i_ids, i_mask, pixels, pos)
 
     return collate
 
@@ -136,12 +143,14 @@ class ContrastiveTrainer:
     def _build_train_step(self):
         arch, cfg, reps_loc = self.arch, self.cfg, self.reps_loc
 
+        from mllm_sparse_retrieval_tpu.models.api import encode_any
+
         def loss_fn(adapters, params, batch: TrainBatch):
-            _, t_emb = mllm.encode(params, arch, batch.text_ids,
-                                   batch.text_mask, None, reps_loc, adapters)
-            _, i_emb = mllm.encode(params, arch, batch.image_ids,
-                                   batch.image_mask, batch.pixels, reps_loc,
-                                   adapters)
+            _, t_emb = encode_any(params, arch, batch.text_ids,
+                                  batch.text_mask, None, reps_loc, adapters)
+            _, i_emb = encode_any(params, arch, batch.image_ids,
+                                  batch.image_mask, batch.pixels, reps_loc,
+                                  adapters, position_ids=batch.image_pos_ids)
             return info_nce_loss(t_emb, i_emb, cfg.tau)
 
         def train_step(adapters, opt_state, params, batch):
@@ -159,16 +168,25 @@ class ContrastiveTrainer:
             jax.tree_util.tree_map(lambda _: replicated, self.opt_state)
         adapter_shardings = jax.tree_util.tree_map(
             lambda _: replicated, self.adapters)
-        batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        # batch placement happens in train_on_batch (fields have different
+        # batch axes: [B, ...] arrays shard on axis 0, M-RoPE ids on axis 1)
         return jax.jit(
             train_step,
-            in_shardings=(adapter_shardings, opt_shardings, None,
-                          TrainBatch(*([batch_sharding] * 5))),
+            in_shardings=(adapter_shardings, opt_shardings, None, None),
             out_shardings=(adapter_shardings, opt_shardings, replicated),
         )
 
     def train_on_batch(self, batch: TrainBatch) -> float:
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        if self.mesh is not None:
+            data = NamedSharding(self.mesh, P(DATA_AXIS))
+            pos = batch.image_pos_ids
+            batch = TrainBatch(
+                *(jax.device_put(x, data) for x in
+                  (batch.text_ids, batch.text_mask, batch.image_ids,
+                   batch.image_mask, batch.pixels)),
+                image_pos_ids=None if pos is None else jax.device_put(
+                    pos, NamedSharding(self.mesh, P(None, DATA_AXIS, None))))
         self.adapters, self.opt_state, loss = self._train_step(
             self.adapters, self.opt_state, self.params, batch)
         self.step += 1

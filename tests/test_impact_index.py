@@ -117,6 +117,27 @@ def test_sharded_search_matches_single_device():
         assert da == db
 
 
+def test_taat_backend_matches_matmul():
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"t{i}" for i in range(60)])
+    docs = random_docs(rng, 100, vocab, 10)
+    index = ImpactIndex()
+    index.add_many(docs)
+    index.finalize()
+    queries = [dict(zip(rng.choice(vocab, 7, replace=False).tolist(),
+                        rng.integers(1, 80, 7).tolist())) for _ in range(5)]
+    s_mm, i_mm = index.search(queries, depth=15)
+    s_tt, i_tt = index.search(queries, depth=15, backend="taat")
+    assert s_mm == s_tt
+    for sa, ia, sb, ib in zip(s_mm, i_mm, s_tt, i_tt):
+        da, db = {}, {}
+        for s, d in zip(sa, ia):
+            da.setdefault(s, set()).add(d)
+        for s, d in zip(sb, ib):
+            db.setdefault(s, set()).add(d)
+        assert da == db
+
+
 def test_save_load_roundtrip(tmp_path):
     rng = np.random.default_rng(2)
     vocab = np.array([f"t{i}" for i in range(30)])
