@@ -17,7 +17,8 @@ from typing import Callable, Optional, Tuple
 import numpy as np
 
 from mllm_sparse_retrieval_tpu.configs import RepsLoc
-from mllm_sparse_retrieval_tpu.models import mllm, qwen_vl
+from mllm_sparse_retrieval_tpu.models import internvl, mllm, qwen_vl
+from mllm_sparse_retrieval_tpu.models.internvl import InternVLConfig
 from mllm_sparse_retrieval_tpu.models.mllm import MLLMConfig
 from mllm_sparse_retrieval_tpu.models.qwen_vl import QwenVLConfig
 
@@ -25,12 +26,15 @@ from mllm_sparse_retrieval_tpu.models.qwen_vl import QwenVLConfig
 def encode_any(params, arch, input_ids, attention_mask, vision_input=None,
                reps_loc: RepsLoc = RepsLoc.BEFORE_PAD, lora=None,
                position_ids=None):
-    """(sparse [B,V], dense [B,H]) for either model family."""
+    """(sparse [B,V], dense [B,H]) for any model family."""
     if isinstance(arch, QwenVLConfig):
         return qwen_vl.encode(params, arch, input_ids, attention_mask,
                               patches=vision_input,
                               position_ids=position_ids,
                               reps_loc=reps_loc, lora=lora)
+    if isinstance(arch, InternVLConfig):
+        return internvl.encode(params, arch, input_ids, attention_mask,
+                               vision_input, reps_loc, lora)
     return mllm.encode(params, arch, input_ids, attention_mask,
                        vision_input, reps_loc, lora)
 
@@ -57,7 +61,7 @@ def image_input_spec(arch) -> ImageInputSpec:
             preprocess=prep,
             needs_mrope=True,
         )
-    # LLaVA family: pixels pass through
+    # LLaVA / InternVL families: pixels pass through
     return ImageInputSpec(
         num_image_tokens=arch.num_image_tokens,
         image_size=arch.vision.image_size,

@@ -192,6 +192,87 @@ def convert_qwen25vl_state_dict(sd: Dict, num_vision_layers: int,
     return {"vision": vision, "text": text}
 
 
+def convert_internvl_state_dict(sd: Dict, num_vision_layers: int,
+                                num_text_layers: int,
+                                use_qk_norm: bool = False,
+                                norm_type: str = "layer_norm") -> Dict:
+    """Map an HF InternVLForConditionalGeneration state dict to our tree
+    (models/internvl.py layout)."""
+
+    def k(prefix: str) -> str:
+        for cand in (prefix, f"model.{prefix}"):
+            if cand in sd or f"{cand}.weight" in sd:
+                return cand
+        raise KeyError(prefix)
+
+    def norm(prefix: str) -> Dict:
+        if norm_type == "rms_norm":
+            return _rmsnorm(sd, prefix)
+        return _layernorm(sd, prefix)
+
+    vt = "vision_tower"
+    conv = _t(sd[k(f"{vt}.embeddings.patch_embeddings.projection.weight")])
+    h = conv.shape[0]
+    vision = {
+        "patch_embed": {
+            "w": conv.transpose(2, 3, 1, 0).reshape(-1, h),
+            "b": _t(sd[k(f"{vt}.embeddings.patch_embeddings.projection.bias")]),
+        },
+        "cls_token": _t(sd[k(f"{vt}.embeddings.cls_token")]).reshape(-1),
+        "pos_embed": _t(sd[k(f"{vt}.embeddings.position_embeddings")])[0],
+        "blocks": [],
+    }
+    for i in range(num_vision_layers):
+        p = f"{vt}.encoder.layer.{i}"
+        blk = {
+            "norm1": norm(k(f"{p}.layernorm_before")),
+            "norm2": norm(k(f"{p}.layernorm_after")),
+            "q": _linear(sd, k(f"{p}.attention.q_proj")),
+            "k": _linear(sd, k(f"{p}.attention.k_proj")),
+            "v": _linear(sd, k(f"{p}.attention.v_proj")),
+            "proj": _linear(sd, k(f"{p}.attention.projection_layer")),
+            "fc1": _linear(sd, k(f"{p}.mlp.fc1")),
+            "fc2": _linear(sd, k(f"{p}.mlp.fc2")),
+            "lambda1": _t(sd[k(f"{p}.lambda_1")]),
+            "lambda2": _t(sd[k(f"{p}.lambda_2")]),
+        }
+        if use_qk_norm:
+            blk["q_norm"] = _rmsnorm(sd, k(f"{p}.attention.q_norm"))
+            blk["k_norm"] = _rmsnorm(sd, k(f"{p}.attention.k_norm"))
+        vision["blocks"].append(blk)
+
+    projector = {
+        "ln": _layernorm(sd, k("multi_modal_projector.layer_norm")),
+        "fc1": _linear(sd, k("multi_modal_projector.linear_1")),
+        "fc2": _linear(sd, k("multi_modal_projector.linear_2")),
+    }
+
+    lm = "language_model"
+    text = {
+        "embed": _t(sd[k(f"{lm}.embed_tokens.weight")]),
+        "final_norm": _rmsnorm(sd, k(f"{lm}.norm")),
+        "blocks": [],
+    }
+    for i in range(num_text_layers):
+        p = f"{lm}.layers.{i}"
+        text["blocks"].append({
+            "attn_norm": _rmsnorm(sd, k(f"{p}.input_layernorm")),
+            "q": _linear(sd, k(f"{p}.self_attn.q_proj")),
+            "k": _linear(sd, k(f"{p}.self_attn.k_proj")),
+            "v": _linear(sd, k(f"{p}.self_attn.v_proj")),
+            "o": _linear(sd, k(f"{p}.self_attn.o_proj")),
+            "mlp_norm": _rmsnorm(sd, k(f"{p}.post_attention_layernorm")),
+            "gate": _linear(sd, k(f"{p}.mlp.gate_proj")),
+            "up": _linear(sd, k(f"{p}.mlp.up_proj")),
+            "down": _linear(sd, k(f"{p}.mlp.down_proj")),
+        })
+    try:
+        text["lm_head"] = _linear(sd, k("lm_head"))
+    except KeyError:
+        pass
+    return {"vision": vision, "projector": projector, "text": text}
+
+
 def convert_hf_llava_dir(hf_dir: str, out_path: str, num_vision_layers: int,
                          num_text_layers: int, patch_size: int) -> None:
     """Convert a local HF checkpoint directory to a pickled param tree."""

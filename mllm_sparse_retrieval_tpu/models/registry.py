@@ -74,7 +74,7 @@ def _qwen2_5_vl_3b_arch():
         text=LlamaConfig(vocab_size=151936, hidden_size=2048, num_layers=36,
                          num_heads=16, num_kv_heads=2,
                          intermediate_size=11008, rope_theta=1000000.0,
-                         qkv_bias=True, tie_lm_head=True,
+                         qkv_bias=True, tie_lm_head=True, rms_eps=1e-6,
                          mrope_section=(16, 24, 24)),
         image_token_id=151655, vision_start_token_id=151652,
         grid_h=32, grid_w=32,
@@ -109,13 +109,22 @@ def _tiny_qwen_debug_arch(model_cfg: Optional[ModelConfig] = None):
     )
 
 
-def _internvl2_5_arch() -> MLLMConfig:
-    return MLLMConfig(
-        vision=ViTConfig(image_size=448, patch_size=14, hidden_size=1024,
-                         num_layers=24, num_heads=16, feature_layer=-1),
+def _internvl2_5_arch():
+    """InternVL2.5-8B (HF-integrated layout): InternViT-300M tower + 8B
+    backbone (models/internvl.py; HF-verified in tests/test_internvl_parity.py).
+    Dynamic-tiling preprocessing lives in data/tiling.py."""
+    from mllm_sparse_retrieval_tpu.models.internvl import (
+        InternViTConfig, InternVLConfig)
+
+    return InternVLConfig(
+        vision=InternViTConfig(hidden_size=1024, num_layers=24, num_heads=16,
+                               intermediate_size=4096, image_size=448,
+                               patch_size=14, norm_type="layer_norm",
+                               use_qk_norm=False),
         text=LlamaConfig(vocab_size=151674, hidden_size=3584, num_layers=28,
                          num_heads=28, num_kv_heads=4,
-                         intermediate_size=18944, rope_theta=1000000.0),
+                         intermediate_size=18944, rope_theta=1000000.0,
+                         qkv_bias=True, rms_eps=1e-6),
         image_token_id=151667,
     )
 
