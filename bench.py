@@ -5,12 +5,19 @@ the CPU reference"): queries/second for impact search over a COCO-caption-
 scale corpus (25,010 docs x 128 quantized terms, ~20k distinct terms),
 retrieval depth 10 (the reference's sparse-only script configuration,
 scripts/search_sparse.sh), measured end to end from padded query arrays to
-ranked (ids, scores) on host.
+ranked (ids, scores) on host, through the production
+``ImpactIndex.search_encoded`` path (both TAAT-kernel and matmul backends are
+timed; the faster — TAAT on real TPU — is the headline).
+
+The impact matrix is passed to the jitted scorer as an ARGUMENT (the library
+has always done this; round 1's bench wrapped its own jit that closed over
+the 2.13 GB device matrix, which XLA embeds as a compile-time constant and
+the remote-compile relay rejects with HTTP 413).
 
 Note on this environment: the TPU is reached through a relay with ~30 ms
 fixed dispatch overhead and ~30 MB/s device->host bandwidth, so the batch
 size is large and the persistent compilation cache is enabled (first run
-pays a ~4 min remote compile; later runs hit the cache).
+pays a long remote compile; later runs hit the cache).
 
 ``vs_baseline`` = TPU QPS / CPU QPS, where the CPU baseline is a strong
 in-process equivalent of the Lucene impact scorer: scipy CSR sparse matmul
@@ -64,53 +71,43 @@ def build_queries(rng):
 
 def bench_tpu(doc_terms, doc_weights, q_idx, q_w):
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
-    from jax import lax
-    from mllm_sparse_retrieval_tpu.index.impact import _round_up, _DOC_TILE
-    from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
-        impact_scores_taat, prepare_query_arrays)
+    from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
 
-    n_pad = _round_up(N_DOCS, _DOC_TILE)
-    matrix = np.zeros((N_TERMS + 1, n_pad), np.float32)
-    matrix[doc_terms.ravel() + 1,
-           np.repeat(np.arange(N_DOCS), DOC_K)] = doc_weights.ravel()
-    m_dev = jnp.asarray(matrix)
-    log(f"impact matrix: {matrix.shape} "
-        f"({matrix.nbytes / 1e9:.2f} GB f32 in HBM)")
-
-    # Pallas term-at-a-time kernel + top-k (the fast path; the dense-matmul
-    # backend measures ~1.7x slower at this scale — see ImpactIndex.search).
-    @jax.jit
-    def run_taat(si, sw):
-        scores = impact_scores_taat(m_dev, si, sw)
-        col = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
-        scores = jnp.where(col < N_DOCS, scores, -jnp.inf)
-        return lax.top_k(scores, DEPTH)
-
-    def run(qi, qwts):
-        si, sw = prepare_query_arrays(qi, qwts)
-        scores, idx = run_taat(jnp.asarray(si), jnp.asarray(sw))
-        return np.asarray(scores), np.asarray(idx)
-
-    log("compiling TPU impact search (Pallas TAAT kernel) ...")
     t0 = time.time()
-    run(q_idx, q_w)
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    index = ImpactIndex.from_packed_arrays(doc_terms, doc_weights,
+                                           term_keys=range(N_TERMS))
+    build_s = time.time() - t0
+    t0 = time.time()
+    index._materialize(None)  # scatter CSR -> dense HBM matrix once
+    log(f"index build: {build_s:.2f}s CSR + {time.time() - t0:.2f}s "
+        f"HBM placement ({index._dev.shape}, "
+        f"{index._dev.nbytes / 1e9:.2f} GB f32)")
 
-    times = []
-    for r in range(ROUNDS):
-        qi = np.roll(q_idx, r, axis=0)
-        qwts = np.roll(q_w, r, axis=0)
+    on_tpu = jax.default_backend() == "tpu"
+    backends = ["taat", "matmul"] if on_tpu else ["matmul"]
+    qps = {}
+    for backend in backends:
+        def run(qi, qwts):
+            return index.search_encoded(qi, qwts, DEPTH, backend=backend)
+
+        log(f"compiling {backend} impact search ...")
         t0 = time.time()
-        run(qi, qwts)
-        times.append(time.time() - t0)
-    best = min(times)
-    qps = BATCH / best
-    log(f"TPU: best {best * 1e3:.1f} ms/batch -> {qps:.0f} QPS")
-    return qps
+        run(q_idx, q_w)
+        log(f"  compile+first run: {time.time() - t0:.1f}s")
+        times = []
+        for r in range(ROUNDS):
+            qi = np.roll(q_idx, r, axis=0)
+            qwts = np.roll(q_w, r, axis=0)
+            t0 = time.time()
+            run(qi, qwts)
+            times.append(time.time() - t0)
+        best = min(times)
+        qps[backend] = BATCH / best
+        log(f"  {backend}: best {best * 1e3:.1f} ms/batch -> "
+            f"{qps[backend]:.0f} QPS")
+    return max(qps.values())
 
 
 def bench_cpu(doc_terms, doc_weights, q_idx, q_w):

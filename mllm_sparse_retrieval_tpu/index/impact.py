@@ -52,7 +52,8 @@ from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
 TermKey = Union[str, int]
 SparseVector = Mapping[TermKey, int]
 
-_DOC_TILE = 2048  # docs scored per device tile (static shape)
+_DOC_TILE = 2048       # docs scored per device tile (static shape)
+_QUERY_WIDTH_PAD = 64  # query term-count padding granularity (one compile)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -121,19 +122,20 @@ class ImpactIndex:
         k_max = max(k_max, 1)
         doc_terms = np.zeros((n, k_max), dtype=np.int32)
         doc_weights = np.zeros((n, k_max), dtype=np.float32)
-        nnz = 0
         for i, vec in enumerate(self._doc_vectors):
             for j, (key, w) in enumerate(vec.items()):
                 doc_terms[i, j] = term_to_idx[key]
                 doc_weights[i, j] = w
-            nnz += len(vec)
         self.doc_terms = doc_terms
         self.doc_weights = doc_weights
+        self._build_csr()
 
-        # CSR, impact-ordered within each term's postings.
-        t = len(term_to_idx)
-        flat_t = doc_terms.reshape(-1)
-        flat_w = doc_weights.reshape(-1)
+    def _build_csr(self) -> None:
+        """CSR postings from the packed layout, impact-ordered per term."""
+        n, k_max = self.doc_terms.shape
+        t = len(self.term_to_idx)
+        flat_t = self.doc_terms.reshape(-1)
+        flat_w = self.doc_weights.reshape(-1)
         flat_d = np.repeat(np.arange(n, dtype=np.int32), k_max)
         valid = flat_w > 0
         flat_t, flat_w, flat_d = flat_t[valid], flat_w[valid], flat_d[valid]
@@ -146,6 +148,34 @@ class ImpactIndex:
         self.csr_docs = flat_d
         self.csr_weights = flat_w
         self._dev = None
+
+    @classmethod
+    def from_packed_arrays(
+        cls,
+        doc_terms: np.ndarray,
+        doc_weights: np.ndarray,
+        doc_ids: Optional[Sequence[str]] = None,
+        term_keys: Optional[Sequence[TermKey]] = None,
+    ) -> "ImpactIndex":
+        """Build directly from packed ``[N, K]`` (term idx, weight) arrays.
+
+        ``term_keys`` defaults to the identity mapping over the observed term
+        id range. This is the fast bulk-construction path (no Python dict
+        loop) used by benchmarks and array-producing encode pipelines.
+        """
+        index = cls()
+        n = doc_terms.shape[0]
+        index.doc_ids = ([str(i) for i in range(n)] if doc_ids is None
+                         else [str(d) for d in doc_ids])
+        if term_keys is None:
+            t = int(doc_terms.max()) + 1 if doc_terms.size else 0
+            term_keys = range(t)
+        index.term_to_idx = {k: i for i, k in enumerate(term_keys)}
+        index.doc_terms = np.asarray(doc_terms, np.int32)
+        index.doc_weights = np.asarray(doc_weights, np.float32)
+        index._doc_vectors = [None] * n  # type: ignore
+        index._build_csr()
+        return index
 
     # ---- device placement ------------------------------------------------------
     def _materialize(self, mesh=None) -> None:
@@ -187,7 +217,10 @@ class ImpactIndex:
         """Map query dicts to padded (term_idx [B, Qm], weight [B, Qm]) arrays.
 
         Out-of-vocabulary terms are dropped (they match no postings, exactly
-        as in Lucene). Non-positive weights are dropped (see ``add``).
+        as in Lucene). Non-positive weights are dropped (see ``add``). The
+        query width is padded up to a multiple of ``_QUERY_WIDTH_PAD`` so one
+        compiled program serves batches of varying widths (per-batch-longest
+        sizing would recompile for every distinct width).
         """
         self._ensure_finalized()
         rows = []
@@ -196,6 +229,7 @@ class ImpactIndex:
                    if int(w) > 0 and k in self.term_to_idx]
             rows.append(row)
         q_m = max(q_max, max((len(r) for r in rows), default=1), 1)
+        q_m = _round_up(q_m, _QUERY_WIDTH_PAD)
         idx = np.zeros((len(rows), q_m), dtype=np.int32)
         wts = np.zeros((len(rows), q_m), dtype=np.float32)
         for i, row in enumerate(rows):
@@ -210,39 +244,69 @@ class ImpactIndex:
         query_vectors: Sequence[SparseVector],
         depth: int,
         mesh=None,
-        backend: str = "matmul",
+        backend: str = "auto",
     ) -> Tuple[np.ndarray, List[List[str]]]:
         """Batch impact search. Returns (scores [B,k], ranked doc-id lists).
 
         Docs with zero score are never returned (Lucene returns only matching
         docs); rows may therefore be shorter than ``depth``.
 
-        ``backend='taat'`` scores with the Pallas term-at-a-time kernel
-        (ops/impact_kernel.py) — ~1.7× the matmul path on a real chip at COCO
-        scale — and is bit-identical to ``'matmul'``. Single-chip only.
+        ``backend``:
+          - ``'taat'`` — Pallas term-at-a-time kernel (ops/impact_kernel.py),
+            ~1.7× the matmul path on a real chip at COCO scale, bit-identical
+            scores. Works single-chip and column-sharded over a mesh.
+          - ``'matmul'`` — dense query-table × impact-matrix MXU matmul.
+          - ``'auto'`` (default) — TAAT on a real TPU backend, matmul
+            elsewhere (the kernel only runs interpreted off-TPU, which is
+            test-grade, not production speed).
         """
         self._materialize(mesh)
         q_idx, q_w = self.encode_queries(query_vectors)
+        return self.search_encoded(q_idx, q_w, depth, mesh=mesh,
+                                   backend=backend)
+
+    def search_encoded(
+        self,
+        q_idx: np.ndarray,
+        q_w: np.ndarray,
+        depth: int,
+        mesh=None,
+        backend: str = "auto",
+    ) -> Tuple[List[List[float]], List[List[str]]]:
+        """Search pre-encoded padded query arrays (see ``encode_queries``).
+
+        The low-level entry used by the engine and the benchmark; term ids
+        are this index's compact ids (column of ``doc_terms``), padding
+        entries have weight 0.
+        """
+        self._materialize(mesh)
+        if backend == "auto":
+            backend = "taat" if jax.default_backend() == "tpu" else "matmul"
         k = min(depth, self._n_valid)
-        if backend == "taat":
-            if mesh is not None:
-                raise NotImplementedError("taat backend is single-chip")
-            scores, idx = _taat_topk(self._dev, q_idx, q_w,
-                                     self._n_valid, k)
-        elif mesh is None:
+        use_taat = backend == "taat"
+        b = q_idx.shape[0]
+        if use_taat:
+            from mllm_sparse_retrieval_tpu.ops.impact_kernel import QUERY_TILE
+            pad = (-b) % QUERY_TILE
+            if pad:
+                q_idx = np.concatenate(
+                    [q_idx, np.zeros((pad, q_idx.shape[1]), q_idx.dtype)])
+                q_w = np.concatenate(
+                    [q_w, np.zeros((pad, q_w.shape[1]), q_w.dtype)])
+        if mesh is None:
             scores, idx = _impact_topk(self._dev, q_idx, q_w,
-                                       self._n_valid, k)
+                                       self._n_valid, k, use_taat)
         else:
             scores, idx = _sharded_impact_topk(mesh, self._dev, q_idx, q_w,
-                                               self._n_valid, k)
-        scores = np.asarray(scores)
-        idx = np.asarray(idx)
+                                               self._n_valid, k, use_taat)
+        scores = np.asarray(scores)[:b]
+        idx = np.asarray(idx)[:b]
         out_scores: List[List[float]] = []
         out_ids: List[List[str]] = []
-        for b in range(scores.shape[0]):
-            pos = scores[b] > 0.0
-            out_scores.append(scores[b][pos].tolist())
-            out_ids.append([self.doc_ids[i] for i in idx[b][pos]])
+        for row in range(b):
+            pos = scores[row] > 0.0
+            out_scores.append(scores[row][pos].tolist())
+            out_ids.append([self.doc_ids[i] for i in idx[row][pos]])
         return out_scores, out_ids
 
     # ---- persistence ---------------------------------------------------------------
@@ -366,42 +430,38 @@ def _scores_from_matrix(matrix, q_idx, q_w):
                    precision=lax.Precision.HIGHEST)
 
 
-@functools.partial(jax.jit, static_argnames=("n_valid", "k"))
-def _impact_topk(matrix, q_idx, q_w, n_valid, k):
-    scores = _scores_from_matrix(matrix, q_idx, q_w)
+def _taat_scores(matrix, q_idx, q_w):
+    """Pallas term-at-a-time scoring (traced context; q_idx = raw term ids).
+
+    Shifts ids to matrix rows (+1), routes padding to the dead zero row, and
+    runs interpreted on non-TPU backends (tests).
+    """
+    from mllm_sparse_retrieval_tpu.ops.impact_kernel import impact_scores_taat
+
+    safe_idx = jnp.where(q_w > 0, q_idx + 1, 0).astype(jnp.int32)
+    safe_w = jnp.where(q_w > 0, q_w, 0.0).astype(jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+    return impact_scores_taat(matrix, safe_idx, safe_w, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "k", "use_taat"))
+def _impact_topk(matrix, q_idx, q_w, n_valid, k, use_taat=False):
+    if use_taat:
+        scores = _taat_scores(matrix, q_idx, q_w)
+    else:
+        scores = _scores_from_matrix(matrix, q_idx, q_w)
     col_ids = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
     scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
     return lax.top_k(scores, k)
 
 
-def _taat_topk(matrix, q_idx, q_w, n_valid, k):
-    """Pallas term-at-a-time scoring + top-k (single chip).
-
-    Pads the query batch to the kernel's QUERY_TILE and runs interpreted on
-    non-TPU backends (tests).
-    """
-    from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
-        QUERY_TILE, impact_scores_taat, prepare_query_arrays)
-
-    b = q_idx.shape[0]
-    pad = (-b) % QUERY_TILE
-    if pad:
-        q_idx = np.concatenate([q_idx, np.zeros((pad, q_idx.shape[1]),
-                                                q_idx.dtype)])
-        q_w = np.concatenate([q_w, np.zeros((pad, q_w.shape[1]), q_w.dtype)])
-    safe_idx, safe_w = prepare_query_arrays(q_idx, q_w)
-    interpret = jax.default_backend() != "tpu"
-    scores = impact_scores_taat(matrix, jnp.asarray(safe_idx),
-                                jnp.asarray(safe_w), interpret=interpret)
-    col_ids = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
-    scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
-    vals, idx = lax.top_k(scores, k)
-    return vals[:b], idx[:b]
-
-
-def _sharded_impact_topk(mesh, matrix, q_idx, q_w, n_valid, k):
+def _sharded_impact_topk(mesh, matrix, q_idx, q_w, n_valid, k,
+                         use_taat=False):
     """Per-shard (doc-column-sharded) scoring + top-k, ICI candidate merge
-    (same merge pattern as sharded dense MIPS)."""
+    (same merge pattern as sharded dense MIPS). Both backends: each shard
+    scores its own column block (the TAAT kernel sees a ``[T+1, N/shards]``
+    local matrix — column counts stay 1024-aligned because ``_materialize``
+    pads to ``_DOC_TILE × n_shards``), then candidates merge over ICI."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -412,7 +472,10 @@ def _sharded_impact_topk(mesh, matrix, q_idx, q_w, n_valid, k):
     def local_fn(m, qi, qw):
         shard_idx = lax.axis_index(DATA_AXIS)
         base = shard_idx * shard_cols
-        scores = _scores_from_matrix(m, qi, qw)
+        if use_taat:
+            scores = _taat_scores(m, qi, qw)
+        else:
+            scores = _scores_from_matrix(m, qi, qw)
         col_ids = base + lax.broadcasted_iota(jnp.int32, (1, shard_cols), 1)
         scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
         lv, li = lax.top_k(scores, k_local)
