@@ -41,10 +41,29 @@ def encode_any(params, arch, input_ids, attention_mask, vision_input=None,
 
 @dataclass(frozen=True)
 class ImageInputSpec:
+    """How a family consumes images.
+
+    Fixed families (``variable=False``): every image maps to the same token
+    count; ``preprocess`` converts a square ``image_size`` pixel grid into
+    the model's vision input.
+
+    Variable families (``variable=True`` — LLaVA-NeXT anyres, InternVL
+    dynamic tiling): the token count depends on the ORIGINAL image size.
+    ``preprocess_example`` maps a raw original-resolution image ([H, W, 3]
+    float in [0,1] or uint8, NOT pre-resized) to ``(vision_item, n_tokens)``
+    with static per-example shapes; ``batch_vision`` stacks items into the
+    model's vision input. ``max_image_tokens`` bounds n_tokens so callers can
+    pad prompts to one fixed length (one compile for the whole corpus).
+    """
+
     num_image_tokens: int
-    image_size: int                       # square pixel size to load at
-    preprocess: Callable[[np.ndarray], np.ndarray]  # [H,W,3] -> model input
+    image_size: int                       # square pixel size (fixed families)
+    preprocess: Optional[Callable] = None
     needs_mrope: bool = False
+    variable: bool = False
+    preprocess_example: Optional[Callable] = None
+    batch_vision: Optional[Callable] = None
+    max_image_tokens: int = 0
 
 
 def image_input_spec(arch) -> ImageInputSpec:
@@ -61,7 +80,63 @@ def image_input_spec(arch) -> ImageInputSpec:
             preprocess=prep,
             needs_mrope=True,
         )
-    # LLaVA / InternVL families: pixels pass through
+
+    if isinstance(arch, InternVLConfig):
+        # dynamic tiling (data/tiling.py): <=12 aspect-matched 448^2 tiles +
+        # thumbnail, padded to a static tile count; the prompt carries
+        # num_image_token x n_tiles context tokens
+        # (/root/reference/src/model.py:112-118, src/utils.py:72-117).
+        from mllm_sparse_retrieval_tpu.data.tiling import (
+            dynamic_tile, pad_tiles)
+
+        size = arch.vision.image_size
+        tiles_max = arch.max_dynamic_tiles + 1  # + thumbnail
+
+        def prep_ex(image: np.ndarray):
+            tiles = dynamic_tile(image, tile_size=size,
+                                 max_num=arch.max_dynamic_tiles)
+            padded, _ = pad_tiles(tiles, tiles_max)
+            return padded, arch.num_image_tokens * tiles.shape[0]
+
+        return ImageInputSpec(
+            num_image_tokens=0,
+            image_size=size,
+            variable=True,
+            preprocess_example=prep_ex,
+            batch_vision=lambda items: np.stack(items),
+            max_image_tokens=arch.num_image_tokens * tiles_max,
+        )
+
+    if isinstance(arch, MLLMConfig) and arch.anyres:
+        # LLaVA-NeXT anyres (models/anyres.py): grid-pinpoint tiles + base,
+        # host-computed feature gather map.
+        from mllm_sparse_retrieval_tpu.models import anyres as A
+
+        size = arch.vision.image_size
+        pps = arch.patches_per_side
+        mt, mtok = arch.max_tiles, arch.max_image_tokens
+
+        def prep_anyres(image: np.ndarray):
+            a = A.preprocess_anyres(image, arch.grid_pinpoints, size, pps,
+                                    mt, mtok)
+            return ({"pixels": a.pixels, "feature_index": a.feature_index},
+                    a.n_tokens)
+
+        def batch_anyres(items):
+            return {"pixels": np.stack([i["pixels"] for i in items]),
+                    "feature_index": np.stack([i["feature_index"]
+                                               for i in items])}
+
+        return ImageInputSpec(
+            num_image_tokens=0,
+            image_size=size,
+            variable=True,
+            preprocess_example=prep_anyres,
+            batch_vision=batch_anyres,
+            max_image_tokens=mtok,
+        )
+
+    # fixed-grid LLaVA families: pixels pass through
     return ImageInputSpec(
         num_image_tokens=arch.num_image_tokens,
         image_size=arch.vision.image_size,

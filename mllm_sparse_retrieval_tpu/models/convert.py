@@ -128,7 +128,14 @@ def convert_llava_state_dict(sd: Dict, num_vision_layers: int,
     except KeyError:
         pass  # tied embeddings
 
-    return {"vision": vision, "projector": projector, "text": text}
+    params = {"vision": vision, "projector": projector, "text": text}
+    # LLaVA-NeXT anyres models carry a learned newline embedding appended to
+    # each unpadded feature row (HF ``pack_image_features``).
+    for cand in ("image_newline", "model.image_newline"):
+        if cand in sd:
+            params["image_newline"] = _t(sd[cand]).reshape(-1)
+            break
+    return params
 
 
 def convert_qwen25vl_state_dict(sd: Dict, num_vision_layers: int,

@@ -61,9 +61,15 @@ class InternVLConfig:
     text: LlamaConfig = field(default_factory=LlamaConfig)
     image_token_id: int = 151667
     downsample_ratio: float = 0.5
+    # dynamic preprocessing tile budget (reference max_num=12 + thumbnail,
+    # /root/reference/src/utils.py:72-108); pipelines pad to
+    # ``max_dynamic_tiles + 1`` tiles with zero tiles.
+    max_dynamic_tiles: int = 12
 
     @property
     def num_image_tokens(self) -> int:
+        """Per-TILE context-token count (num_image_token in the reference,
+        /root/reference/src/model.py:112-118)."""
         grid = self.vision.image_size // self.vision.patch_size
         return int(grid * self.downsample_ratio) ** 2
 
@@ -227,7 +233,17 @@ def encode(
     lget = (lambda name: lora.get(name) if lora else None)
     embeds = llama.embed_tokens(params["text"], input_ids)
     if pixel_values is not None:
-        feats = image_features(params, pixel_values, cfg)
+        if pixel_values.ndim == 5:
+            # dynamic tiling: [B, max_tiles, S, S, 3] -> per-tile features
+            # concatenated in tile order (valid tiles lead; zero-padding
+            # tiles trail and are never spliced — the prompt carries exactly
+            # num_image_tokens x n_valid_tiles image tokens).
+            b, mt = pixel_values.shape[:2]
+            flat = pixel_values.reshape((b * mt,) + pixel_values.shape[2:])
+            feats = image_features(params, flat, cfg)
+            feats = feats.reshape(b, mt * feats.shape[1], feats.shape[2])
+        else:
+            feats = image_features(params, pixel_values, cfg)
         is_image = input_ids == cfg.image_token_id
         embeds = splice_image_embeddings(embeds, feats.astype(embeds.dtype),
                                          is_image)

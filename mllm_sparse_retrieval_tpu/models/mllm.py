@@ -34,16 +34,39 @@ class MLLMConfig:
     text: LlamaConfig = field(default_factory=LlamaConfig)
     image_token_id: int = 4
     projector_hidden: Optional[int] = None  # default: text hidden size
+    # LLaVA-NeXT anyres multi-patch mode (models/anyres.py). When set, image
+    # inputs are [B, max_tiles, S, S, 3] + a per-image feature gather map, and
+    # params carry a learned ``image_newline`` embedding.
+    grid_pinpoints: Tuple[Tuple[int, int], ...] = ()
+
+    @property
+    def anyres(self) -> bool:
+        return len(self.grid_pinpoints) > 0
 
     @property
     def num_image_tokens(self) -> int:
         return self.vision.num_patches
 
+    @property
+    def patches_per_side(self) -> int:
+        return self.vision.image_size // self.vision.patch_size
+
+    @property
+    def max_tiles(self) -> int:
+        from mllm_sparse_retrieval_tpu.models import anyres as A
+        return A.max_tiles(self.grid_pinpoints, self.vision.image_size)
+
+    @property
+    def max_image_tokens(self) -> int:
+        from mllm_sparse_retrieval_tpu.models import anyres as A
+        return A.max_image_tokens(self.grid_pinpoints, self.vision.image_size,
+                                  self.patches_per_side)
+
 
 def init_params(key, cfg: MLLMConfig, dtype=jnp.float32) -> Dict:
-    kv, kp1, kp2, kt = jax.random.split(key, 4)
+    kv, kp1, kp2, kt, kn = jax.random.split(key, 5)
     ph = cfg.projector_hidden or cfg.text.hidden_size
-    return {
+    params = {
         "vision": vit.init_params(kv, cfg.vision, dtype),
         "projector": {
             "fc1": L.dense_init(kp1, cfg.vision.hidden_size, ph, dtype=dtype),
@@ -51,6 +74,10 @@ def init_params(key, cfg: MLLMConfig, dtype=jnp.float32) -> Dict:
         },
         "text": llama.init_params(kt, cfg.text, dtype),
     }
+    if cfg.anyres:
+        params["image_newline"] = jax.random.normal(
+            kn, (cfg.text.hidden_size,), dtype) * 0.02
+    return params
 
 
 def project_image_features(params: Dict, feats: jax.Array,
@@ -75,23 +102,59 @@ def splice_image_embeddings(
     return jnp.where(is_image[:, :, None], gathered, token_embeds)
 
 
+def anyres_image_features(
+    params: Dict,
+    cfg: MLLMConfig,
+    pixel_values: jax.Array,    # [B, max_tiles, S, S, 3]
+    feature_index: jax.Array,   # [B, max_image_tokens] int32
+    lora: Optional[Dict] = None,
+) -> jax.Array:
+    """[B, max_image_tokens, H] spliceable features for anyres inputs.
+
+    All tiles run through the ViT as one flat batch (static shape; invalid
+    tiles cost FLOPs but their features are never gathered), the per-image
+    feature table gets the learned ``image_newline`` row appended, and the
+    host-computed gather map lays features out in HF ``pack_image_features``
+    order (base tile, unpadded grid rows each ending in a newline).
+    """
+    lget = (lambda name: lora.get(name) if lora else None)
+    b, mt, s, _, c = pixel_values.shape
+    flat = pixel_values.reshape(b * mt, s, s, c)
+    feats = vit.apply(params["vision"], flat, cfg.vision, lget("vision"))
+    proj = project_image_features(params, feats, lget("projector"))
+    ppt = proj.shape[1]
+    table = proj.reshape(b, mt * ppt, proj.shape[-1])
+    newline = jnp.broadcast_to(
+        params["image_newline"].astype(table.dtype),
+        (b, 1, table.shape[-1]))
+    table = jnp.concatenate([table, newline], axis=1)  # [B, mt*ppt+1, H]
+    return jnp.take_along_axis(table, feature_index[:, :, None], axis=1)
+
+
 def forward_hidden(
     params: Dict,
     cfg: MLLMConfig,
     input_ids: jax.Array,                 # [B, T]
     attention_mask: jax.Array,            # [B, T]
-    pixel_values: Optional[jax.Array],    # [B, Himg, Wimg, 3] or None (text)
+    pixel_values=None,                    # [B, Himg, Wimg, 3]; anyres: dict
+                                          # {"pixels": [B, mt, S, S, 3],
+                                          #  "feature_index": [B, maxTok]}
     lora: Optional[Dict] = None,
 ) -> jax.Array:
     """Final-layer hidden states [B, T, H] for text or image+text inputs."""
     lget = (lambda name: lora.get(name) if lora else None)
     embeds = llama.embed_tokens(params["text"], input_ids)
     if pixel_values is not None:
-        feats = vit.apply(params["vision"], pixel_values, cfg.vision,
-                          lget("vision"))
-        proj = project_image_features(params, feats, lget("projector"))
+        if isinstance(pixel_values, dict):
+            img = anyres_image_features(
+                params, cfg, pixel_values["pixels"],
+                pixel_values["feature_index"], lora)
+        else:
+            feats = vit.apply(params["vision"], pixel_values, cfg.vision,
+                              lget("vision"))
+            img = project_image_features(params, feats, lget("projector"))
         is_image = input_ids == cfg.image_token_id
-        embeds = splice_image_embeddings(embeds, proj.astype(embeds.dtype),
+        embeds = splice_image_embeddings(embeds, img.astype(embeds.dtype),
                                          is_image)
     return llama.apply(params["text"], embeds, attention_mask, cfg.text,
                        lget("text"))

@@ -37,6 +37,12 @@ class FamilySpec:
 
 
 def _llava_next_llama3_arch() -> MLLMConfig:
+    """LLaVA-NeXT-Llama3-8B — the reference's default model
+    (/root/reference/src/encode.py:221-224) — with the anyres multi-patch
+    vision path (models/anyres.py; HF-verified in
+    tests/test_llava_next_parity.py)."""
+    from mllm_sparse_retrieval_tpu.models.anyres import DEFAULT_GRID_PINPOINTS
+
     return MLLMConfig(
         vision=ViTConfig(image_size=336, patch_size=14, hidden_size=1024,
                          num_layers=24, num_heads=16, feature_layer=-2),
@@ -44,6 +50,7 @@ def _llava_next_llama3_arch() -> MLLMConfig:
                          num_heads=32, num_kv_heads=8,
                          intermediate_size=14336, rope_theta=500000.0),
         image_token_id=128256 - 1,
+        grid_pinpoints=DEFAULT_GRID_PINPOINTS,
     )
 
 
@@ -160,8 +167,11 @@ _TEMPLATES: Dict[ModelFamily, PromptTemplate] = {
     ModelFamily.E5_V: templates.LLAMA3,
     ModelFamily.LLAVA_1_5: templates.LLAVA_V1_5,
     ModelFamily.LLAVA_1_6_VICUNA: templates.LLAVA_V1_5,
-    ModelFamily.QWEN2_5_VL: templates.LLAMA3,      # rendered via HF chat template when available
-    ModelFamily.INTERNVL2_5: templates.LLAMA3,     # idem
+    # Chat-message families: rendered through the checkpoint's own HF chat
+    # template when available (templates.resolve_template); the fallback
+    # wrappers reproduce the official templates' output.
+    ModelFamily.QWEN2_5_VL: templates.QWEN2_5_VL,
+    ModelFamily.INTERNVL2_5: templates.INTERNVL2_5,
     ModelFamily.TINY_DEBUG: templates.TINY,
 }
 
@@ -208,6 +218,12 @@ def build_model(
             captions or ["a photo of a thing"],
             vocab_size=model_cfg.tiny_vocab_size)
         arch = spec.arch
+        if tok.vocab_size > arch.text.vocab_size:
+            # the tokenizer's specials + alphabet pieces form a floor on its
+            # vocab; ids past the embed table silently clamp (garbage reps)
+            raise ValueError(
+                f"tokenizer vocab {tok.vocab_size} exceeds model vocab "
+                f"{arch.text.vocab_size}; raise ModelConfig.tiny_vocab_size")
         if model_cfg.family == ModelFamily.TINY_QWEN_DEBUG:
             from mllm_sparse_retrieval_tpu.models import qwen_vl
             params = qwen_vl.init_params(jax.random.PRNGKey(seed), arch,
@@ -223,4 +239,5 @@ def build_model(
             "Use models/convert.py to convert an HF checkpoint directory.")
     from mllm_sparse_retrieval_tpu.models import convert
     params, tok = convert.load_converted(model_cfg.checkpoint_path, spec, dtype)
-    return params, spec.arch, tok, spec.template
+    template = templates.resolve_template(spec.template, tok)
+    return params, spec.arch, tok, template

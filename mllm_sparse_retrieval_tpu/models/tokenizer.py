@@ -163,6 +163,12 @@ class HFTokenizerAdapter:
         self._tok = hf_tokenizer
         self.pad_id = hf_tokenizer.pad_token_id or 0
 
+    @property
+    def hf_tokenizer(self):
+        """Underlying HF tokenizer (templates.resolve_template renders chat
+        templates through it for Qwen/InternVL prompt parity)."""
+        return self._tok
+
     def get_vocab(self) -> Dict[str, int]:
         return self._tok.get_vocab()
 
@@ -172,3 +178,19 @@ class HFTokenizerAdapter:
 
     def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
         return self._tok.encode(text, add_special_tokens=add_special_tokens)
+
+    def pad_batch(self, batch: Sequence[Sequence[int]],
+                  max_len: Optional[int] = None, pad_to_multiple: int = 8):
+        """Right-pad a batch of id lists; returns (ids [B,T], mask [B,T])."""
+        import numpy as np
+
+        longest = max((len(x) for x in batch), default=1)
+        target = max_len if max_len is not None else longest
+        target = -(-target // pad_to_multiple) * pad_to_multiple
+        ids = np.full((len(batch), target), self.pad_id, dtype=np.int32)
+        mask = np.zeros((len(batch), target), dtype=np.int32)
+        for i, row in enumerate(batch):
+            row = list(row)[:target]
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        return ids, mask

@@ -74,6 +74,25 @@ def default_pixel_loader(image_size: int) -> Callable[[Example], np.ndarray]:
     return load
 
 
+def default_raw_image_loader(
+    synthetic_size: tuple = (480, 640),
+) -> Callable[[Example], np.ndarray]:
+    """Load an image at its ORIGINAL resolution, un-normalized [H, W, 3] in
+    [0,1] — the input form for variable-token families (anyres grid choice /
+    dynamic tiling depend on the true aspect ratio). Deterministic synthetic
+    non-square pixels when the file is absent."""
+
+    def load(ex: Example) -> np.ndarray:
+        if os.path.exists(ex.image_path):
+            from PIL import Image
+            img = Image.open(ex.image_path).convert("RGB")
+            return np.asarray(img, np.float32) / 255.0
+        rng = np.random.default_rng(abs(hash(ex.img_id)) % (2 ** 31))
+        return rng.uniform(size=synthetic_size + (3,)).astype(np.float32)
+
+    return load
+
+
 def _pad_batch_examples(batch: Sequence[Example], size: int) -> List[Example]:
     out = list(batch)
     while len(out) < size:
@@ -126,25 +145,39 @@ def encode_examples(
         if mesh is None:
             return arrays
         from mllm_sparse_retrieval_tpu.parallel.mesh import shard_batch
-        return tuple(shard_batch(mesh, a) for a in arrays)
+        # each arg may be an array or a pytree of arrays (anyres vision dict)
+        return tuple(jax.tree_util.tree_map(lambda a: shard_batch(mesh, a), x)
+                     for x in arrays)
 
     from mllm_sparse_retrieval_tpu.models.api import (
         encode_any, image_input_spec, mrope_ids_for_batch)
 
     spec = image_input_spec(arch)
     fixed_pos_ids = None
+    img_fixed_len = None
+    base_img_prompt = None
     if encode_type == "image":
-        if pixel_loader is None:
-            raw_loader = default_pixel_loader(spec.image_size)
-            pixel_loader = lambda ex: spec.preprocess(raw_loader(ex))
-        n_img = spec.num_image_tokens
-        img_prompt = template.image_prompt().replace(
-            "<image>", " ".join(["<image>"] * n_img))
-        fixed_rows = [tokenizer.encode(img_prompt)] * batch_size
-        fixed_ids, fixed_mask = tokenizer.pad_batch(
-            fixed_rows, pad_to_multiple=seq_pad_multiple)
-        if spec.needs_mrope:
-            fixed_pos_ids = mrope_ids_for_batch(arch, fixed_ids, fixed_mask)
+        if spec.variable:
+            # anyres / dynamic tiling: per-example token counts. Prompts are
+            # padded to the family's max-token length so ONE compiled program
+            # serves every image in the corpus.
+            if pixel_loader is None:
+                pixel_loader = default_raw_image_loader()
+            base_img_prompt = template.image_prompt()
+            img_fixed_len = len(tokenizer.encode(template.expand_image(
+                base_img_prompt, spec.max_image_tokens)))
+        else:
+            if pixel_loader is None:
+                raw_loader = default_pixel_loader(spec.image_size)
+                pixel_loader = lambda ex: spec.preprocess(raw_loader(ex))
+            img_prompt = template.expand_image(template.image_prompt(),
+                                               spec.num_image_tokens)
+            fixed_rows = [tokenizer.encode(img_prompt)] * batch_size
+            fixed_ids, fixed_mask = tokenizer.pad_batch(
+                fixed_rows, pad_to_multiple=seq_pad_multiple)
+            if spec.needs_mrope:
+                fixed_pos_ids = mrope_ids_for_batch(arch, fixed_ids,
+                                                    fixed_mask)
 
     use_device_select = device_select and sparse_cfg.num_expanded_tokens == 0
     k_image = sparse_cfg.sparse_length if sparse_cfg.sparse_manual else 128
@@ -230,8 +263,19 @@ def encode_examples(
                         batch[b].text, encode_word, sparse_logits[b],
                         sparse_cfg, filtered_ids))
         else:
-            pixels = np.stack([pixel_loader(ex) for ex in batch])
-            b_ids, b_mask, pixels = _shard(fixed_ids, fixed_mask, pixels)
+            if spec.variable:
+                vitems = [spec.preprocess_example(pixel_loader(ex))
+                          for ex in batch]
+                rows = [tokenizer.encode(template.expand_image(
+                    base_img_prompt, n)) for _, n in vitems]
+                b_ids, b_mask = tokenizer.pad_batch(
+                    rows, max_len=img_fixed_len,
+                    pad_to_multiple=seq_pad_multiple)
+                pixels = spec.batch_vision([item for item, _ in vitems])
+            else:
+                pixels = np.stack([pixel_loader(ex) for ex in batch])
+                b_ids, b_mask = fixed_ids, fixed_mask
+            b_ids, b_mask, pixels = _shard(b_ids, b_mask, pixels)
             if use_device_select:
                 fv, fi, dense = _encode_image_ds(params, lora, b_ids, b_mask,
                                                  pixels, fixed_pos_ids)

@@ -60,11 +60,22 @@ def make_collator(tokenizer, template, arch,
         image_input_spec, mrope_ids_for_batch)
 
     spec = image_input_spec(arch)
-    if pixel_loader is None:
-        raw_loader = default_pixel_loader(spec.image_size)
-        pixel_loader = lambda e: spec.preprocess(raw_loader(e))
-    img_prompt = template.image_prompt().replace(
-        "<image>", " ".join(["<image>"] * spec.num_image_tokens))
+    if spec.variable:
+        # anyres / dynamic tiling: per-example image token counts; prompts
+        # padded to the family max so the train step compiles once.
+        if pixel_loader is None:
+            from mllm_sparse_retrieval_tpu.pipelines.encode import (
+                default_raw_image_loader)
+            pixel_loader = default_raw_image_loader()
+        base_prompt = template.image_prompt()
+        img_fixed_len = len(tokenizer.encode(template.expand_image(
+            base_prompt, spec.max_image_tokens)))
+    else:
+        if pixel_loader is None:
+            raw_loader = default_pixel_loader(spec.image_size)
+            pixel_loader = lambda e: spec.preprocess(raw_loader(e))
+        img_prompt = template.expand_image(template.image_prompt(),
+                                           spec.num_image_tokens)
 
     def collate(batch: Sequence[Example], text_max_len: Optional[int] = None
                 ) -> TrainBatch:
@@ -73,12 +84,22 @@ def make_collator(tokenizer, template, arch,
             for e in batch]
         t_ids, t_mask = tokenizer.pad_batch(
             text_rows, max_len=text_max_len, pad_to_multiple=seq_pad_multiple)
-        img_rows = [tokenizer.encode(img_prompt)] * len(batch)
-        i_ids, i_mask = tokenizer.pad_batch(
-            img_rows, pad_to_multiple=seq_pad_multiple)
-        pixels = np.stack([pixel_loader(e) for e in batch])
-        pos = mrope_ids_for_batch(arch, i_ids, i_mask) if spec.needs_mrope \
-            else None
+        if spec.variable:
+            vitems = [spec.preprocess_example(pixel_loader(e)) for e in batch]
+            img_rows = [tokenizer.encode(template.expand_image(base_prompt, n))
+                        for _, n in vitems]
+            i_ids, i_mask = tokenizer.pad_batch(
+                img_rows, max_len=img_fixed_len,
+                pad_to_multiple=seq_pad_multiple)
+            pixels = spec.batch_vision([item for item, _ in vitems])
+            pos = None
+        else:
+            img_rows = [tokenizer.encode(img_prompt)] * len(batch)
+            i_ids, i_mask = tokenizer.pad_batch(
+                img_rows, pad_to_multiple=seq_pad_multiple)
+            pixels = np.stack([pixel_loader(e) for e in batch])
+            pos = mrope_ids_for_batch(arch, i_ids, i_mask) \
+                if spec.needs_mrope else None
         return TrainBatch(t_ids, t_mask, i_ids, i_mask, pixels, pos)
 
     return collate

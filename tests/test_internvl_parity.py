@@ -114,3 +114,54 @@ def test_multimodal_forward_parity(hf_model, jax_setup):
     expected = np.log1p(np.maximum(out.logits[0, pos].numpy(), 0))
     np.testing.assert_allclose(np.asarray(sparse[0]), expected,
                                rtol=5e-4, atol=5e-5)
+
+
+def test_multitile_forward_parity(hf_model, jax_setup):
+    """Dynamic-tiling batch form: [B, max_tiles, S, S, 3] + per-row valid
+    tile counts vs HF's ragged concatenation (the reference's
+    num_image_token x num_patches insertion, /root/reference/src/model.py:112-118)."""
+    params, cfg = jax_setup
+    rng = np.random.default_rng(7)
+    n_img = cfg.num_image_tokens
+    tiles_a = rng.normal(size=(3, 3, IMAGE_SIZE, IMAGE_SIZE)).astype(np.float32)
+    tiles_b = rng.normal(size=(2, 3, IMAGE_SIZE, IMAGE_SIZE)).astype(np.float32)
+
+    # HF: ragged tiles concatenated; image tokens repeated per valid tile
+    hf_pixels = np.concatenate([tiles_a, tiles_b])
+    rows = []
+    for n_tiles in (3, 2):
+        rows.append(np.concatenate([
+            rng.integers(1, 100, size=2),
+            np.full(n_img * n_tiles, IMG_TOKEN),
+            rng.integers(1, 100, size=3)]))
+    seq = max(len(r) for r in rows)
+    ids = np.zeros((2, seq), np.int64)
+    mask = np.zeros((2, seq), np.int64)
+    for b, r in enumerate(rows):
+        ids[b, :len(r)] = r
+        mask[b, :len(r)] = 1
+
+    with torch.no_grad():
+        out = hf_model(input_ids=torch.tensor(ids),
+                       attention_mask=torch.tensor(mask),
+                       pixel_values=torch.tensor(hf_pixels),
+                       output_hidden_states=True)
+    hf_hidden = out.hidden_states[-1].numpy()
+    hf_logits = out.logits.numpy()
+
+    # ours: padded static tile stacks (valid tiles lead, zero tiles trail)
+    max_tiles = 4
+    pixels5d = np.zeros((2, max_tiles, IMAGE_SIZE, IMAGE_SIZE, 3), np.float32)
+    pixels5d[0, :3] = tiles_a.transpose(0, 2, 3, 1)
+    pixels5d[1, :2] = tiles_b.transpose(0, 2, 3, 1)
+
+    sparse, dense = internvl.encode(
+        params, cfg, jnp.asarray(ids.astype(np.int32)),
+        jnp.asarray(mask.astype(np.int32)), jnp.asarray(pixels5d))
+    for b in range(2):
+        pos = int(mask[b].sum()) - 1
+        np.testing.assert_allclose(np.asarray(dense[b]), hf_hidden[b, pos],
+                                   rtol=5e-4, atol=5e-5)
+        expected = np.log1p(np.maximum(hf_logits[b, pos], 0))
+        np.testing.assert_allclose(np.asarray(sparse[b]), expected,
+                                   rtol=5e-4, atol=5e-5)
