@@ -25,11 +25,14 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not os.path.exists(_SO):
-        try:
-            subprocess.run(["make", "-C", _DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # Always invoke make: its dependency check rebuilds when the .cc is newer
+    # than the .so, so source edits never execute against a stale binary.
+    # A make failure only matters if no usable .so exists at all.
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_SO):
             _build_failed = True
             return None
     try:

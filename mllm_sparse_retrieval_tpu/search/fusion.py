@@ -57,21 +57,29 @@ def _normalized(run_entry: dict, doc: str) -> float:
 
 
 def fuse(runs: Sequence[Run], weights: Sequence[float]) -> Dict[str, Dict[str, float]]:
-    """Weighted min-max fusion. Returns ``qid -> {docid: fused_score}``."""
+    """Weighted min-max fusion. Returns ``qid -> {docid: fused_score}``.
+
+    Conscious deviation from the reference: a qid missing from one run (an
+    asymmetric run pair — e.g. a sparse query serialized to an empty string
+    and skipped, src/encode.py:422-423) contributes 0 from that run instead
+    of raising KeyError (reference hybrid.py:37 indexes unconditionally).
+    """
     fused: Dict[str, Dict[str, float]] = {}
     qids = set()
     for run in runs:
         qids.update(run.keys())
+    empty = {"docs": {}}
     for qid in qids:
         fused[qid] = {}
         for run in runs:
-            for doc in run[qid]["docs"]:
+            for doc in run.get(qid, empty)["docs"]:
                 if doc in fused[qid]:
                     continue
                 score = 0.0
                 for temp_run, weight in zip(runs, weights):
-                    if doc in temp_run[qid]["docs"]:
-                        score += weight * _normalized(temp_run[qid], doc)
+                    entry = temp_run.get(qid)
+                    if entry is not None and doc in entry["docs"]:
+                        score += weight * _normalized(entry, doc)
                 fused[qid][doc] = score
     return fused
 
@@ -88,17 +96,19 @@ def fuse_statistic(
     qids = set()
     for run in runs:
         qids.update(run.keys())
+    empty = {"docs": {}}
     for qid in qids:
         fused[qid] = {}
         for run_count, run in enumerate(runs, start=1):
-            for doc in run[qid]["docs"]:
+            for doc in run.get(qid, empty)["docs"]:
                 if doc in fused[qid]:
                     continue
                 score = 0.0
                 score_count = 0
                 for temp_run, weight in zip(runs, weights):
-                    if doc in temp_run[qid]["docs"]:
-                        score += weight * _normalized(temp_run[qid], doc)
+                    entry = temp_run.get(qid)
+                    if entry is not None and doc in entry["docs"]:
+                        score += weight * _normalized(entry, doc)
                         score_count += 1
                 if score_count == 1:
                     score_type = "dense" if run_count == 1 else "sparse"

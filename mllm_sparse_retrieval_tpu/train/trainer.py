@@ -126,16 +126,21 @@ class ContrastiveTrainer:
         self,
         params: Dict,
         arch,
-        adapters: Dict,
+        adapters: Optional[Dict],
         cfg: TrainConfig,
         mesh: Optional[Mesh] = None,
         reps_loc: RepsLoc = RepsLoc.BEFORE_PAD,
     ):
+        """``adapters=None`` (or ``cfg.train_full``) trains the FULL param
+        tree — the reference's no-LoRA mode; combine with
+        ``cfg.shard_params_data_axis`` (ZeRO-3/FSDP equivalent,
+        parallel/fsdp.py) to fit 7–8B params across the data axis."""
         self.params = params
         self.arch = arch
         self.cfg = cfg
         self.mesh = mesh
         self.reps_loc = reps_loc
+        self.full_finetune = cfg.train_full or adapters is None
         self.step = 0
         self.loss_history: List[float] = []
 
@@ -146,27 +151,54 @@ class ContrastiveTrainer:
         self.tx = optax.adamw(schedule, weight_decay=cfg.weight_decay) \
             if cfg.weight_decay > 0 else optax.adam(schedule)
 
-        self.adapters = adapters
-        self.opt_state = self.tx.init(adapters)
-
         if mesh is not None:
-            replicated = NamedSharding(mesh, P())
-            self.params = jax.device_put(params, jax.tree_util.tree_map(
-                lambda _: replicated, params))
-            self.adapters = jax.device_put(adapters, jax.tree_util.tree_map(
-                lambda _: replicated, adapters))
-            if cfg.shard_optimizer_state:
-                self.opt_state = jax.device_put(
-                    self.opt_state, zero1_shardings(self.opt_state, mesh))
+            if cfg.shard_params_data_axis:
+                from mllm_sparse_retrieval_tpu.parallel.fsdp import (
+                    shard_params_fsdp)
+                self.params = shard_params_fsdp(params, mesh)
+            else:
+                replicated = NamedSharding(mesh, P())
+                self.params = jax.device_put(params, jax.tree_util.tree_map(
+                    lambda _: replicated, params))
+
+        if self.full_finetune:
+            self.adapters = None
+            self.opt_state = self.tx.init(self.params)
+        else:
+            self.adapters = adapters
+            if mesh is not None:
+                replicated = NamedSharding(mesh, P())
+                self.adapters = jax.device_put(
+                    adapters,
+                    jax.tree_util.tree_map(lambda _: replicated, adapters))
+            self.opt_state = self.tx.init(self.adapters)
+        if mesh is not None and cfg.shard_optimizer_state:
+            self.opt_state = jax.device_put(
+                self.opt_state, self._opt_shardings())
 
         self._train_step = self._build_train_step()
 
+    def _trainable(self):
+        return self.params if self.full_finetune else self.adapters
+
+    def _opt_shardings(self):
+        """ZeRO-1 over LoRA state; for full finetune the optimizer moments
+        inherit the FSDP param layout (moments shard exactly like params —
+        the ZeRO-3 state partitioning)."""
+        if self.full_finetune and self.cfg.shard_params_data_axis:
+            from mllm_sparse_retrieval_tpu.parallel.fsdp import fsdp_shardings
+            return fsdp_shardings(self.opt_state, self.mesh)
+        return zero1_shardings(self.opt_state, self.mesh)
+
     def _build_train_step(self):
         arch, cfg, reps_loc = self.arch, self.cfg, self.reps_loc
+        full = self.full_finetune
 
         from mllm_sparse_retrieval_tpu.models.api import encode_any
 
-        def loss_fn(adapters, params, batch: TrainBatch):
+        def loss_fn(trainable, base_params, batch: TrainBatch):
+            params = trainable if full else base_params
+            adapters = None if full else trainable
             _, t_emb = encode_any(params, arch, batch.text_ids,
                                   batch.text_mask, None, reps_loc, adapters)
             _, i_emb = encode_any(params, arch, batch.image_ids,
@@ -174,27 +206,37 @@ class ContrastiveTrainer:
                                   adapters, position_ids=batch.image_pos_ids)
             return info_nce_loss(t_emb, i_emb, cfg.tau)
 
-        def train_step(adapters, opt_state, params, batch):
-            loss, grads = jax.value_and_grad(loss_fn)(adapters, params, batch)
-            updates, opt_state = self.tx.update(grads, opt_state, adapters)
-            adapters = optax.apply_updates(adapters, updates)
-            return adapters, opt_state, loss
+        def train_step(trainable, opt_state, base_params, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(trainable, base_params,
+                                                      batch)
+            updates, opt_state = self.tx.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, loss
 
         if self.mesh is None:
             return jax.jit(train_step)
 
         replicated = NamedSharding(self.mesh, P())
-        opt_shardings = zero1_shardings(self.opt_state, self.mesh) \
+        opt_shardings = self._opt_shardings() \
             if cfg.shard_optimizer_state else \
             jax.tree_util.tree_map(lambda _: replicated, self.opt_state)
-        adapter_shardings = jax.tree_util.tree_map(
-            lambda _: replicated, self.adapters)
+        if full:
+            if cfg.shard_params_data_axis:
+                from mllm_sparse_retrieval_tpu.parallel.fsdp import (
+                    fsdp_shardings)
+                trainable_shardings = fsdp_shardings(self.params, self.mesh)
+            else:
+                trainable_shardings = jax.tree_util.tree_map(
+                    lambda _: replicated, self.params)
+        else:
+            trainable_shardings = jax.tree_util.tree_map(
+                lambda _: replicated, self.adapters)
         # batch placement happens in train_on_batch (fields have different
         # batch axes: [B, ...] arrays shard on axis 0, M-RoPE ids on axis 1)
         return jax.jit(
             train_step,
-            in_shardings=(adapter_shardings, opt_shardings, None, None),
-            out_shardings=(adapter_shardings, opt_shardings, replicated),
+            in_shardings=(trainable_shardings, opt_shardings, None, None),
+            out_shardings=(trainable_shardings, opt_shardings, replicated),
         )
 
     def train_on_batch(self, batch: TrainBatch) -> float:
@@ -208,8 +250,12 @@ class ContrastiveTrainer:
                    batch.image_mask, batch.pixels)),
                 image_pos_ids=None if pos is None else jax.device_put(
                     pos, NamedSharding(self.mesh, P(None, DATA_AXIS, None))))
-        self.adapters, self.opt_state, loss = self._train_step(
-            self.adapters, self.opt_state, self.params, batch)
+        trainable, self.opt_state, loss = self._train_step(
+            self._trainable(), self.opt_state, self.params, batch)
+        if self.full_finetune:
+            self.params = trainable
+        else:
+            self.adapters = trainable
         self.step += 1
         loss = float(loss)
         self.loss_history.append(loss)
@@ -247,6 +293,8 @@ class ContrastiveTrainer:
 
     def merged_params(self) -> Dict:
         """Fold trained adapters into the base params (inference form)."""
+        if self.full_finetune:
+            return self.params
         return lora_lib.merge_lora(self.params, jax.device_get(self.adapters))
 
     # ---- checkpointing (Orbax) ---------------------------------------------
@@ -256,7 +304,7 @@ class ContrastiveTrainer:
         path = os.path.abspath(os.path.join(directory, f"step_{self.step}"))
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, {
-            "adapters": jax.device_get(self.adapters),
+            "adapters": jax.device_get(self._trainable()),
             "opt_state": jax.device_get(self.opt_state),
         }, force=True)
         ckptr.wait_until_finished()
@@ -273,21 +321,29 @@ class ContrastiveTrainer:
         path = os.path.abspath(os.path.join(directory, f"step_{step}"))
         ckptr = ocp.StandardCheckpointer()
         target = {
-            "adapters": jax.device_get(self.adapters),
+            "adapters": jax.device_get(self._trainable()),
             "opt_state": jax.device_get(self.opt_state),
         }
         restored = ckptr.restore(path, target)
-        self.adapters = jax.tree_util.tree_map(jnp.asarray,
-                                               restored["adapters"])
+        trainable = jax.tree_util.tree_map(jnp.asarray, restored["adapters"])
         self.opt_state = jax.tree_util.tree_map(jnp.asarray,
                                                 restored["opt_state"])
         if self.mesh is not None:
-            replicated = NamedSharding(self.mesh, P())
-            self.adapters = jax.device_put(
-                self.adapters,
-                jax.tree_util.tree_map(lambda _: replicated, self.adapters))
+            if self.full_finetune and self.cfg.shard_params_data_axis:
+                from mllm_sparse_retrieval_tpu.parallel.fsdp import (
+                    shard_params_fsdp)
+                trainable = shard_params_fsdp(trainable, self.mesh)
+            else:
+                replicated = NamedSharding(self.mesh, P())
+                trainable = jax.device_put(
+                    trainable,
+                    jax.tree_util.tree_map(lambda _: replicated, trainable))
             if self.cfg.shard_optimizer_state:
                 self.opt_state = jax.device_put(
-                    self.opt_state, zero1_shardings(self.opt_state, self.mesh))
+                    self.opt_state, self._opt_shardings())
+        if self.full_finetune:
+            self.params = trainable
+        else:
+            self.adapters = trainable
         self.step = step
         return step

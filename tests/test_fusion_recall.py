@@ -109,3 +109,21 @@ def test_recall_fused_run_shape():
     fused = {"q": {"d1": 0.9, "d2": 0.1}}
     res = recall_at_k(fused, lambda q: "d1", ks=(1,))
     assert res[1] == 1.0
+
+
+def test_fuse_tolerates_asymmetric_runs():
+    """A qid present in only one run must fuse (contribution 0 from the
+    missing run) instead of KeyError (VERDICT r1 weak #6)."""
+    from mllm_sparse_retrieval_tpu.search.fusion import fuse, fuse_statistic
+
+    dense = {"q1": {"docs": {"a": 2.0, "b": 1.0}, "max_score": 2.0,
+                    "min_score": 1.0},
+             "q2": {"docs": {"c": 5.0}, "max_score": 5.0, "min_score": 5.0}}
+    sparse = {"q1": {"docs": {"a": 9.0}, "max_score": 9.0, "min_score": 9.0}}
+    fused = fuse([dense, sparse], [0.5, 0.5])
+    assert set(fused) == {"q1", "q2"}
+    assert fused["q2"]["c"] == 0.0  # min==max -> normalized 0 (reference)
+    assert fused["q1"]["a"] > fused["q1"]["b"]
+    tagged = fuse_statistic([dense, sparse], [0.5, 0.5])
+    assert tagged["q2"]["c"].type == "dense"
+    assert tagged["q1"]["a"].type == "fuse"
