@@ -80,10 +80,11 @@ def bench_tpu(doc_terms, doc_weights, q_idx, q_w):
                                            term_keys=range(N_TERMS))
     build_s = time.time() - t0
     t0 = time.time()
-    index._materialize(None)  # scatter CSR -> dense HBM matrix once
+    dtype = "i16" if index._int16_exact() else "f32"
+    dev = index._materialize(None, dtype)  # TAAT storage form
     log(f"index build: {build_s:.2f}s CSR + {time.time() - t0:.2f}s "
-        f"HBM placement ({index._dev.shape}, "
-        f"{index._dev.nbytes / 1e9:.2f} GB f32)")
+        f"HBM placement ({dev.shape} {dev.dtype}, "
+        f"{dev.nbytes / 1e9:.2f} GB)")
 
     on_tpu = jax.default_backend() == "tpu"
     backends = ["taat", "matmul"] if on_tpu else ["matmul"]

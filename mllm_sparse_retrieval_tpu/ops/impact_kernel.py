@@ -8,22 +8,33 @@ gather, so the classical algorithm cannot be expressed efficiently in pure
 XLA; this kernel implements it with explicit DMA:
 
 for each query-tile (grid dim) the kernel walks the tile's query terms,
-DMAs each term's posting row ``matrix[t+1, :]`` from HBM into a
-double-buffered VMEM slot (next row's fetch overlaps the current row's
-accumulate), and FMAs ``weight × row`` into a VMEM accumulator — HBM
-traffic is ``Q × N × 4`` bytes per query (≈ 7 MB at COCO scale) instead of
-the matmul's effective ``T' × N`` reads, an ~8× bandwidth win that grows
-with vocabulary size.
+DMAs each term's posting row ``matrix[t+1, :]`` from HBM into a VMEM ring
+buffer, and FMAs ``weight × row`` into a VMEM accumulator. HBM traffic is
+``Q × N × itemsize`` bytes per query instead of the matmul's effective
+``T' × N`` reads.
+
+Two perf levers beyond the naive walk (measured on v5e: 162 ms/2048-query
+batch naive → the optimized form):
+
+- **deep DMA ring** (``N_SLOTS`` outstanding copies): one ~50-100 KB row
+  fetch has a few-µs issue+completion latency that dwarfs its ~100 ns of
+  wire time, so a double buffer runs latency-bound at <15% of HBM bandwidth.
+  A 16-slot ring keeps 16 fetches in flight and amortizes the latency 16×.
+- **int16 impact storage**: quantized impact weights are small integers
+  (round(log1p(relu)·100) ≤ ~1000), exactly representable in int16; storing
+  the matrix as int16 halves DMA bytes. Rows convert to f32 in-register
+  before the FMA — scores stay bit-identical to the f32 matmul path.
 
 The query term ids live in SMEM (per-tile BlockSpec), so they are scalar-
 readable for DMA addressing. Padding entries must point at row 0 (the dead
 zero row) with weight 0.
 
-Layout note: Mosaic requires HBM slices aligned to the (8, 128) f32 tile, so
-a term's N-column posting row cannot be DMA'd as a ``[1, N]`` slice. The
-matrix is therefore viewed as ``[T+1, 8, N/8]`` — one aligned ``[8, N/8]``
-block per term, bit-identical to the flat row under row-major order — and
-scores come back as ``[B, 8, N/8]`` reshaped to ``[B, N]``.
+Layout note: Mosaic requires HBM slices aligned to the native tile —
+(8, 128) for 4-byte types, (16, 128) for 2-byte — so a term's N-column
+posting row cannot be DMA'd as a ``[1, N]`` slice. The matrix is viewed as
+``[T+1, s, N/s]`` (s = 8 for f32, 16 for int16) — one aligned block per
+term, bit-identical to the flat row under row-major order — and scores come
+back as ``[B, s, N/s]`` reshaped to ``[B, N]``.
 """
 
 from __future__ import annotations
@@ -37,14 +48,20 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-QUERY_TILE = 8  # queries scored per grid step
+QUERY_TILE = 8   # queries scored per grid step
+N_SLOTS = 16     # outstanding row DMAs (latency-hiding ring depth)
+
+
+def _sublanes(dtype) -> int:
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
 
 
 def _taat_kernel(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
                  *, num_terms_per_query: int):
     """One grid step: score QUERY_TILE queries against all N doc columns.
 
-    matrix_ref: [T+1, 8, N/8] in HBM; out_ref: [QT, 8, N/8] in VMEM.
+    matrix_ref: [T+1, s, N/s] in HBM; out_ref: [QT, s, N/s] f32 in VMEM;
+    rowbuf: [N_SLOTS, s, N/s] ring in VMEM (matrix dtype).
     """
     q_count = out_ref.shape[0]
     total = q_count * num_terms_per_query
@@ -57,21 +74,25 @@ def _taat_kernel(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
             matrix_ref.at[row], rowbuf.at[slot], sems.at[slot])
 
     out_ref[:] = jnp.zeros_like(out_ref)
-    row_dma(0, 0).start()
+
+    # prologue: fill the ring
+    for s in range(N_SLOTS):
+        @pl.when(s < total)
+        def _():
+            row_dma(s, s).start()
 
     def body(step, _):
-        slot = step % 2
-        nxt_slot = (step + 1) % 2
-
-        @pl.when(step + 1 < total)
-        def _():
-            row_dma(nxt_slot, step + 1).start()
-
+        slot = step % N_SLOTS
         row_dma(slot, step).wait()
         q = step // num_terms_per_query
         j = step % num_terms_per_query
         w = qw_ref[q, j]
-        out_ref[q] = out_ref[q] + w * rowbuf[slot]
+        out_ref[q] = out_ref[q] + w * rowbuf[slot].astype(jnp.float32)
+        # refill this slot for the step N_SLOTS ahead (issued after the read
+        # above in program order — no WAR on the ring entry)
+        @pl.when(step + N_SLOTS < total)
+        def _():
+            row_dma(slot, step + N_SLOTS).start()
         return 0
 
     lax.fori_loop(0, total, body, 0, unroll=False)
@@ -79,23 +100,24 @@ def _taat_kernel(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def impact_scores_taat(
-    matrix: jax.Array,   # [T+1, N] float32 impact matrix (row 0 = zeros)
+    matrix: jax.Array,   # [T+1, N] float32 or int16 impact matrix (row 0 = 0)
     q_idx: jax.Array,    # [B, Q] int32 — term row ids +1 ALREADY APPLIED;
                          #   padding entries must be 0
     q_w: jax.Array,      # [B, Q] float32 — padding entries 0
     interpret: bool = False,
 ) -> jax.Array:
-    """[B, N] impact scores via the term-at-a-time Pallas kernel.
+    """[B, N] f32 impact scores via the term-at-a-time Pallas kernel.
 
-    B must be a multiple of QUERY_TILE and N a multiple of 1024
-    (8 sublanes × 128 lanes for the aligned per-term block view).
+    B must be a multiple of QUERY_TILE and N a multiple of the dtype's
+    aligned block (1024 for f32, 2048 for int16).
     """
     b, q = q_idx.shape
     t_rows, n = matrix.shape
+    s = _sublanes(matrix.dtype)
     assert b % QUERY_TILE == 0, f"batch {b} % {QUERY_TILE} != 0"
-    assert n % 1024 == 0, f"doc columns {n} % 1024 != 0"
-    sub = n // 8
-    matrix3 = matrix.reshape(t_rows, 8, sub)
+    assert n % (s * 128) == 0, f"doc columns {n} % {s * 128} != 0"
+    sub = n // s
+    matrix3 = matrix.reshape(t_rows, s, sub)
 
     grid = (b // QUERY_TILE,)
     kernel = functools.partial(_taat_kernel, num_terms_per_query=q)
@@ -109,12 +131,12 @@ def impact_scores_taat(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((QUERY_TILE, 8, sub), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((QUERY_TILE, s, sub), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 8, sub), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, s, sub), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, sub), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((N_SLOTS, s, sub), matrix.dtype),
+            pltpu.SemaphoreType.DMA((N_SLOTS,)),
         ],
         interpret=interpret,
     )(q_idx, q_w, matrix3)

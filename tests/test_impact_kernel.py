@@ -70,3 +70,38 @@ def test_duplicate_query_terms_sum():
         jnp.asarray(matrix), jnp.asarray(safe_idx), jnp.asarray(safe_w),
         interpret=True))
     np.testing.assert_allclose(scores[:, 0], (3 + 4) * 2.0 + 1 * 5.0)
+
+
+def test_taat_int16_matrix_matches_f32():
+    """int16 impact storage (half HBM traffic) scores bit-identically."""
+    rng = np.random.default_rng(5)
+    t, n, b, q = 30, 1024 * 2, QUERY_TILE, 12
+    matrix = np.zeros((t + 1, n), np.float32)
+    matrix[1:, :] = rng.integers(0, 400, size=(t, n)).astype(np.float32)
+    q_idx = rng.integers(0, t, size=(b, q)).astype(np.int32)
+    q_w = rng.integers(1, 300, size=(b, q)).astype(np.float32)
+    safe_idx, safe_w = prepare_query_arrays(q_idx, q_w)
+
+    f32 = np.asarray(impact_scores_taat(
+        jnp.asarray(matrix), jnp.asarray(safe_idx), jnp.asarray(safe_w),
+        interpret=True))
+    i16 = np.asarray(impact_scores_taat(
+        jnp.asarray(matrix.astype(np.int16)), jnp.asarray(safe_idx),
+        jnp.asarray(safe_w), interpret=True))
+    np.testing.assert_array_equal(f32, i16)
+
+
+def test_index_int16_eligibility():
+    from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+
+    ok = ImpactIndex()
+    ok.add("a", {"x": 340, "y": 2})
+    ok.finalize()
+    assert ok._int16_exact()
+
+    big = ImpactIndex()
+    big.add("a", {"x": 40000})  # exceeds int16 -> must keep f32
+    big.finalize()
+    assert not big._int16_exact()
+    s, i = big.search([{"x": 2}], depth=3, backend="taat")
+    assert s[0] == [80000.0] and i[0] == ["a"]
