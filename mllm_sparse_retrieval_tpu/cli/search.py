@@ -32,6 +32,10 @@ def main(argv=None):
     parser.add_argument("--depth", type=int, default=1000)
     parser.add_argument("--alpha", type=float, default=0.5)
     parser.add_argument("--remove-query", action="store_true")
+    parser.add_argument("--impact-backend", default="auto",
+                        choices=["auto", "taat", "matmul"],
+                        help="sparse scoring backend (auto = Pallas TAAT "
+                             "kernel on TPU, MXU matmul elsewhere)")
     parser.add_argument("--save-dir", default=None,
                         help="write TREC run files here")
     parser.add_argument("--limit", type=int, default=0)
@@ -76,6 +80,7 @@ def main(argv=None):
             search_cfg=search_cfg, dense_index=dense_index,
             impact_index=impact_index, reps_loc=RepsLoc(args.reps_loc),
             batch_size=args.batch_size, mesh=mesh, lora=lora,
+            impact_backend=args.impact_backend,
             get_target=lambda qid: corpus.get_target(qid, args.query_type))
     timer.close()
 

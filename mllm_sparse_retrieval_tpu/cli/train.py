@@ -38,6 +38,11 @@ def main(argv=None):
     parser.add_argument("--train-projector-lora", action="store_true")
     parser.add_argument("--no-gather-gradient", action="store_true",
                         help="stop gradients through remote-shard negatives")
+    parser.add_argument("--train-full", action="store_true",
+                        help="full finetune (no LoRA; reference --lora off)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3/FSDP-equivalent param sharding over the "
+                             "data axis (ds_configs/zero3.json parity)")
     parser.add_argument("--no-zero1", action="store_true",
                         help="replicate optimizer state instead of sharding")
     parser.add_argument("--output-dir", default="./output")
@@ -64,15 +69,21 @@ def main(argv=None):
         train_vision_lora=args.train_vision_lora,
         train_projector_lora=args.train_projector_lora,
         shard_optimizer_state=not args.no_zero1,
+        shard_params_data_axis=args.fsdp, train_full=args.train_full,
         output_dir=args.output_dir, seed=args.seed,
         checkpoint_every_steps=args.checkpoint_every)
 
-    adapters = lora_lib.init_lora(
-        jax.random.PRNGKey(args.seed), params, arch,
-        rank=tcfg.lora_rank, alpha=tcfg.lora_alpha,
-        train_vision=tcfg.train_vision_lora,
-        train_projector=tcfg.train_projector_lora)
-    logger.info("LoRA params: %d", lora_lib.num_lora_params(adapters))
+    if args.train_full:
+        adapters = None
+        logger.info("full finetune (%s)",
+                    "FSDP param sharding" if args.fsdp else "replicated params")
+    else:
+        adapters = lora_lib.init_lora(
+            jax.random.PRNGKey(args.seed), params, arch,
+            rank=tcfg.lora_rank, alpha=tcfg.lora_alpha,
+            train_vision=tcfg.train_vision_lora,
+            train_projector=tcfg.train_projector_lora)
+        logger.info("LoRA params: %d", lora_lib.num_lora_params(adapters))
 
     trainer = ContrastiveTrainer(params, arch, adapters, tcfg, mesh=mesh,
                                  reps_loc=RepsLoc(args.reps_loc))
@@ -89,10 +100,16 @@ def main(argv=None):
 
     timer.phase("save")
     os.makedirs(args.output_dir, exist_ok=True)
-    lora_path = os.path.join(args.output_dir, "lora.pkl")
-    lora_lib.save_lora(trainer.adapters, lora_path)
-    logger.info("adapters -> %s", lora_path)
-    if args.merge:
+    if args.train_full:
+        lora_path = os.path.join(args.output_dir, "params.pkl")
+        with open(lora_path, "wb") as f:
+            pickle.dump(jax.device_get(trainer.params), f)
+        logger.info("full params -> %s", lora_path)
+    else:
+        lora_path = os.path.join(args.output_dir, "lora.pkl")
+        lora_lib.save_lora(trainer.adapters, lora_path)
+        logger.info("adapters -> %s", lora_path)
+    if not args.train_full and args.merge:
         merged = trainer.merged_params()
         with open(os.path.join(args.output_dir, "params.pkl"), "wb") as f:
             pickle.dump(jax.device_get(merged), f)

@@ -65,6 +65,18 @@ def _llava_1_5_arch() -> MLLMConfig:
     )
 
 
+def _llava_1_6_vicuna_arch() -> MLLMConfig:
+    """LLaVA-1.6 (NeXT) Vicuna-7B: the 1.5 tower/decoder dims but the anyres
+    multi-patch image path (HF serves it as LlavaNextForConditionalGeneration;
+    the reference only swaps the prompt wrapper, src/model.py:51-53)."""
+    from mllm_sparse_retrieval_tpu.models.anyres import DEFAULT_GRID_PINPOINTS
+
+    base = _llava_1_5_arch()
+    return MLLMConfig(vision=base.vision, text=base.text,
+                      image_token_id=base.image_token_id,
+                      grid_pinpoints=DEFAULT_GRID_PINPOINTS)
+
+
 def _qwen2_5_vl_3b_arch():
     """Qwen2.5-VL-3B: windowed ViT + M-RoPE Qwen2.5 backbone
     (models/qwen_vl.py; numerically verified vs HF in tests/test_qwen_parity.py).
@@ -155,7 +167,7 @@ def tiny_debug_arch(model_cfg: Optional[ModelConfig] = None) -> MLLMConfig:
 _SPECS: Dict[ModelFamily, Callable[[], MLLMConfig]] = {
     ModelFamily.LLAVA_NEXT_LLAMA3: _llava_next_llama3_arch,
     ModelFamily.LLAVA_1_5: _llava_1_5_arch,
-    ModelFamily.LLAVA_1_6_VICUNA: _llava_1_5_arch,
+    ModelFamily.LLAVA_1_6_VICUNA: _llava_1_6_vicuna_arch,
     ModelFamily.E5_V: _llava_next_llama3_arch,
     ModelFamily.QWEN2_5_VL: _qwen2_5_vl_3b_arch,
     ModelFamily.INTERNVL2_5: _internvl2_5_arch,

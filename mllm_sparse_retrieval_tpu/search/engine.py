@@ -61,6 +61,7 @@ def run_search(
     pixel_loader: Optional[Callable] = None,
     get_target: Optional[Callable[[str], object]] = None,
     ks: Sequence[int] = DEFAULT_KS,
+    impact_backend: str = "auto",
 ) -> SearchOutput:
     """Encode queries live and search the given indexes.
 
@@ -84,7 +85,8 @@ def run_search(
 
     if impact_index is not None:
         s_scores, s_ids = impact_index.search(
-            enc.query_weights, search_cfg.depth, mesh=mesh)
+            enc.query_weights, search_cfg.depth, mesh=mesh,
+            backend=impact_backend)
         out.sparse_run = make_run(enc.ids, s_scores, s_ids,
                                   remove_query=search_cfg.remove_query)
 
