@@ -110,10 +110,11 @@ def num_image_tokens(original_size: Tuple[int, int],
                      tile_size: int, pps: int) -> int:
     """Final spliced embedding count: base ppt + h'·(w'+1) (newlines).
 
-    ``pps`` = patches per tile side (tile_size // vit_patch); ppt = pps²."""
+    ``pps`` = patches per tile side (tile_size // vit_patch); ppt = pps².
+    A 1×1 grid still takes the grid path (HF's ``pack_image_features`` does —
+    its single-feature branch only fires for processors that emit no grid
+    patches, which ``get_image_patches`` never does)."""
     nph, npw = grid_shape(original_size, pinpoints, tile_size)
-    if nph * npw <= 1:
-        return pps * pps + 1  # base + trailing newline (HF single-patch path)
     h, w, _, _ = unpad_dims(original_size, (nph * pps, npw * pps))
     return pps * pps + h * (w + 1)
 
@@ -157,11 +158,6 @@ def feature_index(
     pos = ppt
 
     nph, npw = grid_shape(original_size, pinpoints, tile_size)
-    if nph * npw <= 1:
-        # HF single-patch path: base + one trailing newline
-        idx[pos] = newline
-        return idx, pos + 1
-
     h, w, pad_t, pad_l = unpad_dims(original_size, (nph * pps, npw * pps))
     rows = np.arange(h, dtype=np.int64)[:, None] + pad_t       # [h, 1]
     cols = np.arange(w, dtype=np.int64)[None, :] + pad_l       # [1, w]

@@ -169,3 +169,80 @@ def test_anyres_forward_parity(hf_model, jax_setup):
         n = int(mask[b].sum())
         np.testing.assert_allclose(hidden[b, :n], hf_hidden[b, :n],
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_anyres_1x1_grid_parity():
+    """A pinpoint equal to the tile size yields a 1x1 grid; HF still runs
+    the grid path (unpad + newline rows) — not a base+newline shortcut."""
+    from transformers import (CLIPVisionConfig, LlamaConfig as HFLlamaConfig,
+                              LlavaNextConfig,
+                              LlavaNextForConditionalGeneration)
+
+    pinpoints = ((32, 32), (32, 64), (64, 32), (64, 64))
+    vision_cfg = CLIPVisionConfig(
+        hidden_size=HIDDEN, intermediate_size=HIDDEN * 4,
+        num_hidden_layers=2, num_attention_heads=4,
+        image_size=TILE, patch_size=PATCH, projection_dim=HIDDEN)
+    text_cfg = HFLlamaConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, intermediate_size=HIDDEN * 4,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10000.0, rms_norm_eps=1e-5, attention_bias=False,
+        tie_word_embeddings=False)
+    cfg = LlavaNextConfig(
+        vision_config=vision_cfg, text_config=text_cfg,
+        image_token_index=IMG_TOKEN, vision_feature_layer=-2,
+        vision_feature_select_strategy="default",
+        projector_hidden_act="gelu",
+        image_grid_pinpoints=[list(p) for p in pinpoints])
+    torch.manual_seed(1)
+    model = LlavaNextForConditionalGeneration(cfg).eval().float()
+
+    params = convert_llava_state_dict(model.state_dict(), 2, 2, PATCH)
+    params = __import__("jax").tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), params)
+    arch = MLLMConfig(
+        vision=ViTConfig(image_size=TILE, patch_size=PATCH,
+                         hidden_size=HIDDEN, num_layers=2, num_heads=4,
+                         feature_layer=-2, act="quick_gelu"),
+        text=LlamaConfig(vocab_size=VOCAB, hidden_size=HIDDEN, num_layers=2,
+                         num_heads=4, num_kv_heads=2,
+                         intermediate_size=HIDDEN * 4, rope_theta=10000.0),
+        image_token_id=IMG_TOKEN, grid_pinpoints=pinpoints)
+
+    assert A.grid_shape((20, 20), pinpoints, TILE) == (1, 1)
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(20, 20, 3)).astype(np.uint8)
+    ours = A.preprocess_anyres(img, pinpoints, TILE, TILE // PATCH,
+                               arch.max_tiles, arch.max_image_tokens)
+    # 1x1 grid, square image: no crop -> 16 base + 4 rows x (4 + newline)
+    assert ours.n_tokens == 16 + 4 * 5
+
+    from transformers.models.llava_next.image_processing_llava_next import (
+        LlavaNextImageProcessor)
+    proc = LlavaNextImageProcessor(
+        size={"shortest_edge": TILE}, crop_size={"height": TILE, "width": TILE},
+        image_grid_pinpoints=[list(p) for p in pinpoints], do_pad=True)
+    hf_in = proc.preprocess([img], return_tensors="pt")
+
+    rng2 = np.random.default_rng(10)
+    row = np.concatenate([rng2.integers(1, 90, size=2),
+                          np.full(ours.n_tokens, IMG_TOKEN),
+                          rng2.integers(1, 90, size=3)])
+    ids = row[None].astype(np.int64)
+    mask = np.ones_like(ids)
+    with torch.no_grad():
+        out = model(input_ids=torch.tensor(ids),
+                    attention_mask=torch.tensor(mask),
+                    pixel_values=hf_in["pixel_values"].float(),
+                    image_sizes=hf_in["image_sizes"],
+                    output_hidden_states=True)
+    hf_hidden = out.hidden_states[-1].numpy()
+
+    vision_input = {
+        "pixels": jnp.asarray(ours.pixels[None]),
+        "feature_index": jnp.asarray(ours.feature_index[None]),
+    }
+    hidden = np.asarray(mllm.forward_hidden(
+        params, arch, jnp.asarray(ids.astype(np.int32)),
+        jnp.asarray(mask.astype(np.int32)), vision_input))
+    np.testing.assert_allclose(hidden[0], hf_hidden[0], rtol=5e-4, atol=5e-5)
