@@ -64,7 +64,15 @@ def build_corpus(rng):
 
 
 def build_queries(rng):
-    q_idx = rng.integers(0, N_TERMS, size=(BATCH, QUERY_TERMS)).astype(np.int32)
+    """Query terms drawn from the SAME Zipf distribution as the corpus:
+    sparse queries are caption terms (in-text candidates,
+    /root/reference/src/encode.py:96-103), which follow natural word
+    frequencies — not uniform draws. Both the TPU path and the CPU baseline
+    score identical queries, so the comparison is unchanged in kind."""
+    zipf_p = 1.0 / np.arange(1, N_TERMS + 1)
+    zipf_p /= zipf_p.sum()
+    q_idx = rng.choice(N_TERMS, size=(BATCH, QUERY_TERMS), p=zipf_p
+                       ).astype(np.int32)
     q_w = rng.integers(1, 300, size=(BATCH, QUERY_TERMS)).astype(np.float32)
     return q_idx, q_w
 

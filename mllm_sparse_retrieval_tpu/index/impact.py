@@ -20,17 +20,25 @@ Two complementary layouts are stored:
   descending weight) — the classical layout, used by term-at-a-time scoring
   and early-termination kernels, and the on-disk interchange format.
 
-Device scoring uses an MXU-native formulation: the sparse corpus is
-scattered ONCE at index load into a dense ``[T'+1, N]`` impact matrix in HBM
-(T' = distinct corpus terms — ~20k at COCO scale, so ~2 GB f32); a query
-batch becomes a dense ``[B, T'+1]`` weight table (device scatter-add), and
-scoring is a single f32 matmul + ``lax.top_k``. TPUs have no hardware
-gather — XLA serializes gathers — so the classical term-at-a-time walk is
-bandwidth-starved scalar work there, while this layout runs at matmul speed
-(measured ~50× the gather formulation at COCO scale, >10× a scipy-CSR CPU
-baseline). For corpora too large for the dense matrix, the matrix shards
-column-wise (docs) over the mesh's data axis — 8×16 GB HBM holds ~3M docs —
-with the same per-shard top-k + ICI merge as dense MIPS.
+Device scoring keeps the corpus as a dense ``[T'+1, N]`` impact matrix in
+HBM (T' = distinct corpus terms — ~20k at COCO scale), scattered once at
+index load, and offers two backends (bit-identical scores, ``backend='auto'``
+picks per platform):
+
+- **'taat'** (TPU default): the Pallas term-at-a-time kernel
+  (ops/impact_kernel.py) DMAs only the query's own posting rows — int16
+  storage + a deep DMA ring; the bandwidth-optimal regime since a query
+  touches Q ≤ 128 of T' terms;
+- **'matmul'**: the query batch becomes a dense ``[B, T'+1]`` weight table
+  and scoring is one MXU matmul + ``lax.top_k`` (f32, precision=HIGHEST for
+  integer exactness) — the portable path, and the fastest formulation pure
+  XLA allows (TPUs have no hardware gather, so an XLA inverted-list walk
+  lowers to serialized scalar work, measured ~50× slower).
+
+For corpora too large for one chip's matrix budget (``hbm_budget_bytes``),
+the matrix shards column-wise (docs) over the mesh's data axis — 8×16 GB
+HBM holds ~3M docs — with the same per-shard top-k + ICI merge as dense
+MIPS, for both backends.
 
 Index build is pure host work (optionally accelerated by the C++ builder in
 ``index/native``); queries never round-trip through strings on the device.
@@ -322,25 +330,41 @@ class ImpactIndex:
         """
         if backend == "auto":
             backend = "taat" if jax.default_backend() == "tpu" else "matmul"
-        use_taat = backend == "taat"
+        use_taat = backend in ("taat", "taat-shared")
         dtype = "i16" if use_taat and self._int16_exact() else "f32"
         dev = self._materialize(mesh, dtype)
         k = min(depth, self._n_valid)
         b = q_idx.shape[0]
         if use_taat:
-            from mllm_sparse_retrieval_tpu.ops.impact_kernel import QUERY_TILE
+            from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
+                QUERY_TILE, prepare_shared_tiles)
             pad = (-b) % QUERY_TILE
             if pad:
                 q_idx = np.concatenate(
                     [q_idx, np.zeros((pad, q_idx.shape[1]), q_idx.dtype)])
                 q_w = np.concatenate(
                     [q_w, np.zeros((pad, q_w.shape[1]), q_w.dtype)])
-        if mesh is None:
-            scores, idx = _impact_topk(dev, q_idx, q_w,
-                                       self._n_valid, k, use_taat)
+            if backend == "taat-shared":
+                # one DMA per DISTINCT tile term; measured slower than the
+                # per-query walk on v5e (per-(row, query) branch overhead
+                # outweighs the DMA savings) — kept for high-dup workloads
+                tile_terms, tile_weights = prepare_shared_tiles(q_idx, q_w)
+                if mesh is None:
+                    scores, idx = _taat_shared_topk(
+                        dev, tile_terms, tile_weights, self._n_valid, k)
+                else:
+                    scores, idx = _sharded_taat_shared_topk(
+                        mesh, dev, tile_terms, tile_weights, self._n_valid, k)
+            elif mesh is None:
+                scores, idx = _taat_topk(dev, q_idx, q_w, self._n_valid, k)
+            else:
+                scores, idx = _sharded_taat_topk(mesh, dev, q_idx, q_w,
+                                                 self._n_valid, k)
+        elif mesh is None:
+            scores, idx = _impact_topk(dev, q_idx, q_w, self._n_valid, k)
         else:
             scores, idx = _sharded_impact_topk(mesh, dev, q_idx, q_w,
-                                               self._n_valid, k, use_taat)
+                                               self._n_valid, k)
         scores = np.asarray(scores)[:b]
         idx = np.asarray(idx)[:b]
         out_scores: List[List[float]] = []
@@ -473,11 +497,10 @@ def _scores_from_matrix(matrix, q_idx, q_w):
 
 
 def _taat_scores(matrix, q_idx, q_w):
-    """Pallas term-at-a-time scoring (traced context; q_idx = raw term ids).
+    """Per-query Pallas TAAT scoring (traced context; q_idx = raw term ids).
 
     Shifts ids to matrix rows (+1), routes padding to the dead zero row, and
-    runs interpreted on non-TPU backends (tests).
-    """
+    runs interpreted on non-TPU backends (tests)."""
     from mllm_sparse_retrieval_tpu.ops.impact_kernel import impact_scores_taat
 
     safe_idx = jnp.where(q_w > 0, q_idx + 1, 0).astype(jnp.int32)
@@ -486,46 +509,64 @@ def _taat_scores(matrix, q_idx, q_w):
     return impact_scores_taat(matrix, safe_idx, safe_w, interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("n_valid", "k", "use_taat"))
-def _impact_topk(matrix, q_idx, q_w, n_valid, k, use_taat=False):
-    if use_taat:
-        scores = _taat_scores(matrix, q_idx, q_w)
-    else:
-        scores = _scores_from_matrix(matrix, q_idx, q_w)
+def _taat_shared_scores(matrix, tile_terms, tile_weights):
+    """Shared-row Pallas TAAT scoring (tile arrays from
+    ``prepare_shared_tiles``). Interpreted on non-TPU backends (tests)."""
+    from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
+        impact_scores_taat_shared)
+
+    interpret = jax.default_backend() != "tpu"
+    return impact_scores_taat_shared(matrix, tile_terms, tile_weights,
+                                     interpret=interpret)
+
+
+def _masked_topk(scores, n_valid, k):
     col_ids = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
     scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
     return lax.top_k(scores, k)
 
 
-def _sharded_impact_topk(mesh, matrix, q_idx, q_w, n_valid, k,
-                         use_taat=False):
-    """Per-shard (doc-column-sharded) scoring + top-k, ICI candidate merge
-    (same merge pattern as sharded dense MIPS). Both backends: each shard
-    scores its own column block (the TAAT kernel sees a ``[T+1, N/shards]``
-    local matrix — column counts stay 1024-aligned because ``_materialize``
-    pads to ``_DOC_TILE × n_shards``), then candidates merge over ICI."""
+@functools.partial(jax.jit, static_argnames=("n_valid", "k"))
+def _impact_topk(matrix, q_idx, q_w, n_valid, k):
+    return _masked_topk(_scores_from_matrix(matrix, q_idx, q_w), n_valid, k)
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "k"))
+def _taat_topk(matrix, q_idx, q_w, n_valid, k):
+    return _masked_topk(_taat_scores(matrix, q_idx, q_w), n_valid, k)
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "k"))
+def _taat_shared_topk(matrix, tile_terms, tile_weights, n_valid, k):
+    return _masked_topk(_taat_shared_scores(matrix, tile_terms, tile_weights),
+                        n_valid, k)
+
+
+def _sharded_merge_topk(scores, base, shard_cols, n_valid, k):
+    """Per-shard top-k + ICI all-gather candidate merge (the same pattern as
+    sharded dense MIPS)."""
+    col_ids = base + lax.broadcasted_iota(jnp.int32, (1, shard_cols), 1)
+    scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
+    lv, li = lax.top_k(scores, min(k, shard_cols))
+    lg = li + base
+    av = lax.all_gather(lv, DATA_AXIS, axis=1, tiled=True)
+    ag = lax.all_gather(lg, DATA_AXIS, axis=1, tiled=True)
+    vals, pos = lax.top_k(av, k)
+    return vals, jnp.take_along_axis(ag, pos, axis=1)
+
+
+def _sharded_impact_topk(mesh, matrix, q_idx, q_w, n_valid, k):
+    """Doc-column-sharded matmul scoring + ICI merge."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_shards = mesh.shape[DATA_AXIS]
     shard_cols = matrix.shape[1] // n_shards
-    k_local = min(k, shard_cols)
 
     def local_fn(m, qi, qw):
-        shard_idx = lax.axis_index(DATA_AXIS)
-        base = shard_idx * shard_cols
-        if use_taat:
-            scores = _taat_scores(m, qi, qw)
-        else:
-            scores = _scores_from_matrix(m, qi, qw)
-        col_ids = base + lax.broadcasted_iota(jnp.int32, (1, shard_cols), 1)
-        scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
-        lv, li = lax.top_k(scores, k_local)
-        lg = li + base
-        av = lax.all_gather(lv, DATA_AXIS, axis=1, tiled=True)
-        ag = lax.all_gather(lg, DATA_AXIS, axis=1, tiled=True)
-        vals, pos = lax.top_k(av, k)
-        return vals, jnp.take_along_axis(ag, pos, axis=1)
+        base = lax.axis_index(DATA_AXIS) * shard_cols
+        return _sharded_merge_topk(_scores_from_matrix(m, qi, qw), base,
+                                   shard_cols, n_valid, k)
 
     fn = shard_map(
         local_fn, mesh=mesh,
@@ -534,3 +575,50 @@ def _sharded_impact_topk(mesh, matrix, q_idx, q_w, n_valid, k,
         check_vma=False,
     )
     return jax.jit(fn)(matrix, q_idx, q_w)
+
+
+def _sharded_taat_topk(mesh, matrix, q_idx, q_w, n_valid, k):
+    """Doc-column-sharded per-query TAAT scoring + ICI merge: each shard
+    runs the kernel over its own column block (column counts stay aligned
+    because ``_materialize`` pads to ``_DOC_TILE × n_shards``)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[DATA_AXIS]
+    shard_cols = matrix.shape[1] // n_shards
+
+    def local_fn(m, qi, qw):
+        base = lax.axis_index(DATA_AXIS) * shard_cols
+        return _sharded_merge_topk(_taat_scores(m, qi, qw), base,
+                                   shard_cols, n_valid, k)
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, DATA_AXIS), P(None, None), P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(matrix, q_idx, q_w)
+
+
+def _sharded_taat_shared_topk(mesh, matrix, tile_terms, tile_weights,
+                              n_valid, k):
+    """Doc-column-sharded shared-row TAAT scoring + ICI merge."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[DATA_AXIS]
+    shard_cols = matrix.shape[1] // n_shards
+
+    def local_fn(m, tt, tw):
+        base = lax.axis_index(DATA_AXIS) * shard_cols
+        return _sharded_merge_topk(_taat_shared_scores(m, tt, tw), base,
+                                   shard_cols, n_valid, k)
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, DATA_AXIS), P(None, None), P(None, None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(matrix, tile_terms, tile_weights)

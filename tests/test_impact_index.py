@@ -250,3 +250,21 @@ def test_hbm_budget_guard():
     index.hbm_budget_bytes = ImpactIndex.hbm_budget_bytes
     s, i = index.search([{"t0": 1}], depth=2)
     assert i[0][0] in {f"d{k}" for k in range(4)}
+
+
+def test_taat_shared_backend_matches_matmul():
+    rng = np.random.default_rng(13)
+    vocab = np.array([f"t{i}" for i in range(40)])
+    docs = random_docs(rng, 80, vocab, 8)
+    index = ImpactIndex()
+    index.add_many(docs)
+    index.finalize()
+    queries = [dict(zip(rng.choice(vocab, 5, replace=False).tolist(),
+                        rng.integers(1, 60, 5).tolist())) for _ in range(4)]
+    s_mm, _ = index.search(queries, depth=10, backend="matmul")
+    s_sh, _ = index.search(queries, depth=10, backend="taat-shared")
+    assert s_mm == s_sh
+    mesh = make_mesh()
+    s_shm, _ = index.search(queries, depth=10, mesh=mesh,
+                            backend="taat-shared")
+    assert s_mm == s_shm
