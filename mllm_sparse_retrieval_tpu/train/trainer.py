@@ -196,6 +196,8 @@ class ContrastiveTrainer:
 
         from mllm_sparse_retrieval_tpu.models.api import encode_any
 
+        mesh = self.mesh
+
         def loss_fn(trainable, base_params, batch: TrainBatch):
             params = trainable if full else base_params
             adapters = None if full else trainable
@@ -204,6 +206,13 @@ class ContrastiveTrainer:
             _, i_emb = encode_any(params, arch, batch.image_ids,
                                   batch.image_mask, batch.pixels, reps_loc,
                                   adapters, position_ids=batch.image_pos_ids)
+            if mesh is not None and not cfg.gather_save_gradient:
+                # reference detach-and-reinsert semantics: gradients blocked
+                # through remote shards' negatives (src/trainer.py:45-53)
+                from mllm_sparse_retrieval_tpu.train.contrastive import (
+                    sharded_info_nce_loss)
+                return sharded_info_nce_loss(mesh, t_emb, i_emb, cfg.tau,
+                                             gather_save_gradient=False)
             return info_nce_loss(t_emb, i_emb, cfg.tau)
 
         def train_step(trainable, opt_state, base_params, batch):

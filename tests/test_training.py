@@ -243,3 +243,26 @@ def test_full_finetune_matches_lora_free_gradients(tiny_setup):
     batch = collate(examples)
     losses = [trainer.train_on_batch(batch) for _ in range(12)]
     assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+
+
+def test_trainer_honors_gather_save_gradient_false(tiny_setup):
+    """cfg.gather_save_gradient=False routes the loss through the shard_map
+    stop-gradient variant (reference detach-and-reinsert semantics); the loss
+    VALUE equals the default, gradients differ, training still converges."""
+    params, arch, tok, template, examples = tiny_setup
+    mesh = make_mesh()
+    collate = make_collator(tok, template, arch)
+    batch = collate(examples)
+
+    losses = {}
+    for gsg in (True, False):
+        tcfg = TrainConfig(learning_rate=1e-3, tau=0.1,
+                           gather_save_gradient=gsg,
+                           shard_optimizer_state=False)
+        adapters = lora_lib.init_lora(jax.random.PRNGKey(0), params, arch,
+                                      rank=4, alpha=8)
+        trainer = ContrastiveTrainer(params, arch, adapters, tcfg, mesh=mesh)
+        losses[gsg] = [trainer.train_on_batch(batch) for _ in range(3)]
+    # first-step loss identical (same params, same forward); training moves
+    np.testing.assert_allclose(losses[True][0], losses[False][0], rtol=1e-5)
+    assert losses[False][2] < losses[False][0] + 1e-6
