@@ -119,6 +119,33 @@ def bench_tpu(doc_terms, doc_weights, q_idx, q_w):
     return max(qps.values())
 
 
+def bench_dense_side(rng):
+    """Side metric (stderr only): dense MIPS QPS at COCO scale — 25k docs x
+    4096-d (LLaVA-NeXT hidden size), depth 10, through DenseFlatIndex."""
+    from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
+
+    dim = 4096
+    corpus = rng.normal(size=(N_DOCS, dim)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = rng.normal(size=(BATCH, dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    index = DenseFlatIndex()
+    index.add(corpus, [str(i) for i in range(N_DOCS)])
+
+    def run():
+        return index.batch_search(queries, DEPTH, batch_size=BATCH)
+
+    run()
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    best = min(times)
+    log(f"dense MIPS side metric: {N_DOCS} x {dim}d, best "
+        f"{best * 1e3:.1f} ms/batch -> {BATCH / best:.0f} QPS")
+
+
 def bench_cpu(doc_terms, doc_weights, q_idx, q_w):
     from scipy.sparse import csr_matrix
 
@@ -159,6 +186,10 @@ def main():
     q_idx, q_w = build_queries(rng)
 
     tpu_qps = bench_tpu(doc_terms, doc_weights, q_idx, q_w)
+    try:
+        bench_dense_side(rng)
+    except Exception as e:
+        log(f"dense side metric failed (non-fatal): {e}")
     try:
         cpu_qps = bench_cpu(doc_terms, doc_weights, q_idx, q_w)
     except Exception as e:  # scipy absent or OOM — fall back to a numpy dense baseline
