@@ -143,7 +143,9 @@ def bench_dense_side(rng):
         times.append(time.time() - t0)
     best = min(times)
     log(f"dense MIPS side metric: {N_DOCS} x {dim}d, best "
-        f"{best * 1e3:.1f} ms/batch -> {BATCH / best:.0f} QPS")
+        f"{best * 1e3:.1f} ms/batch -> {BATCH / best:.0f} QPS "
+        f"(relay-transfer bound in this environment: the 33 MB query upload "
+        f"at ~30 MB/s dominates; device compute is ~5 ms)")
 
 
 def bench_cpu(doc_terms, doc_weights, q_idx, q_w):
@@ -185,11 +187,8 @@ def main():
     doc_terms, doc_weights = build_corpus(rng)
     q_idx, q_w = build_queries(rng)
 
-    tpu_qps = bench_tpu(doc_terms, doc_weights, q_idx, q_w)
-    try:
-        bench_dense_side(rng)
-    except Exception as e:
-        log(f"dense side metric failed (non-fatal): {e}")
+    # CPU baseline FIRST, on a quiet host (the TPU leg and the dense side
+    # metric allocate hundreds of MB that perturb CPU cache/memory timing).
     try:
         cpu_qps = bench_cpu(doc_terms, doc_weights, q_idx, q_w)
     except Exception as e:  # scipy absent or OOM — fall back to a numpy dense baseline
@@ -202,6 +201,12 @@ def main():
         scores = qd @ dense.T
         np.argpartition(-scores, DEPTH, axis=1)
         cpu_qps = BATCH / (time.time() - t0)
+
+    tpu_qps = bench_tpu(doc_terms, doc_weights, q_idx, q_w)
+    try:
+        bench_dense_side(rng)
+    except Exception as e:
+        log(f"dense side metric failed (non-fatal): {e}")
 
     print(json.dumps({
         "metric": "sparse_impact_taat_qps_coco25k_depth10",
