@@ -145,3 +145,62 @@ def full_padding_mask(attention_mask):
     """[B, T] padding mask -> [B, 1, T, T] bidirectional attend mask."""
     pad = attention_mask.astype(bool)
     return (pad[:, None, :, None] & pad[:, None, None, :])[:, :, :, :]
+
+
+# ---------------------------------------------------------------------------
+# Fused (flash) attention — long-sequence path
+# ---------------------------------------------------------------------------
+
+FLASH_MIN_SEQ = 1024  # below this the [T, T] logits tensor is cheap anyway
+
+
+def flash_attention_eligible(seq_len: int, head_dim: int) -> bool:
+    """Use the Pallas TPU flash kernel when it pays and its tiling fits:
+    long sequences (anyres image prompts reach ~3k tokens, where naive
+    attention materializes a [B, H, T, T] f32 logits tensor per layer),
+    128-aligned shapes, real TPU backend."""
+    import jax
+
+    return (jax.default_backend() == "tpu"
+            and seq_len >= FLASH_MIN_SEQ
+            and seq_len % 512 == 0
+            and head_dim % 128 == 0)
+
+
+def flash_causal_attention(q, k, v, attention_mask, *,
+                           scale: Optional[float] = None):
+    """Causal attention via the stock Pallas TPU flash kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention): O(T) memory, fused
+    softmax, custom VJP (trains). Padding is excluded through segment ids
+    (pad tokens get segment 0, real tokens 1 — cross-segment pairs are
+    masked), matching ``attention`` + ``causal_padding_mask`` semantics at
+    every non-pad position.
+
+    q: [B, T, Hq, Dh]; k/v: [B, T, Hkv, Dh] (GQA repeated here).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    b, t, hq, dh = q.shape
+    hkv = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(dh)
+    if hq != hkv:
+        rep = hq // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    qh = q.transpose(0, 2, 1, 3)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+    seg = jnp.asarray(attention_mask, jnp.int32)
+    block = min(512, t)
+    bs = BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+    )
+    out = flash_attention(qh, kh, vh,
+                          segment_ids=SegmentIds(q=seg, kv=seg),
+                          causal=True, sm_scale=scale, block_sizes=bs)
+    return out.transpose(0, 2, 1, 3)

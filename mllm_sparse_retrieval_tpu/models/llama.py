@@ -79,7 +79,7 @@ def init_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Dict:
 
 
 def _block(x, p, cfg: LlamaConfig, mask, cos, sin,
-           lora: Optional[Dict] = None):
+           lora: Optional[Dict] = None, flash_mask=None):
     b, t, h = x.shape
     dh = cfg.head_dim
     lget = (lambda name: lora.get(name) if lora else None)
@@ -90,7 +90,11 @@ def _block(x, p, cfg: LlamaConfig, mask, cos, sin,
     v = L.dense(y, p["v"], lget("v")).reshape(b, t, cfg.num_kv_heads, dh)
     q = L.apply_rope(q, cos, sin)
     k = L.apply_rope(k, cos, sin)
-    attn = L.attention(q, k, v, mask).reshape(b, t, cfg.num_heads * dh)
+    if flash_mask is not None:
+        attn = L.flash_causal_attention(q, k, v, flash_mask)
+    else:
+        attn = L.attention(q, k, v, mask)
+    attn = attn.reshape(b, t, cfg.num_heads * dh)
     x = x + L.dense(attn, p["o"], lget("o"))
 
     y = L.rmsnorm(x, p["mlp_norm"], cfg.rms_eps)
@@ -141,13 +145,17 @@ def apply(
     """Run the decoder stack; returns final-norm hidden states [B, T, H]."""
     t = inputs_embeds.shape[1]
     cos, sin = rope_tables(cfg, t, position_ids)
-    mask = L.causal_padding_mask(attention_mask)
+    # long sequences (anyres image prompts) use the fused flash kernel and
+    # never materialize the [B, 1, T, T] mask / [B, H, T, T] logits
+    use_flash = L.flash_attention_eligible(t, cfg.head_dim)
+    flash_mask = attention_mask if use_flash else None
+    mask = None if use_flash else L.causal_padding_mask(attention_mask)
     x = inputs_embeds
     for i, blk in enumerate(params["blocks"]):
         blora = None
         if lora is not None and "blocks" in lora and lora["blocks"][i]:
             blora = lora["blocks"][i]
-        x = _block(x, blk, cfg, mask, cos, sin, blora)
+        x = _block(x, blk, cfg, mask, cos, sin, blora, flash_mask)
     return L.rmsnorm(x, params["final_norm"], cfg.rms_eps)
 
 

@@ -166,6 +166,11 @@ def encode_examples(
             base_img_prompt = template.image_prompt()
             img_fixed_len = len(tokenizer.encode(template.expand_image(
                 base_img_prompt, spec.max_image_tokens)))
+            # long prompts round to the flash-attention tile so the decoder
+            # takes the fused O(T)-memory path (models/layers.py)
+            from mllm_sparse_retrieval_tpu.models.layers import FLASH_MIN_SEQ
+            if img_fixed_len >= FLASH_MIN_SEQ:
+                img_fixed_len = -(-img_fixed_len // 512) * 512
         else:
             if pixel_loader is None:
                 raw_loader = default_pixel_loader(spec.image_size)

@@ -70,6 +70,9 @@ def make_collator(tokenizer, template, arch,
         base_prompt = template.image_prompt()
         img_fixed_len = len(tokenizer.encode(template.expand_image(
             base_prompt, spec.max_image_tokens)))
+        from mllm_sparse_retrieval_tpu.models.layers import FLASH_MIN_SEQ
+        if img_fixed_len >= FLASH_MIN_SEQ:
+            img_fixed_len = -(-img_fixed_len // 512) * 512
     else:
         if pixel_loader is None:
             raw_loader = default_pixel_loader(spec.image_size)

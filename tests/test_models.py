@@ -180,3 +180,13 @@ def test_lora_save_load_roundtrip(tiny, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(adapters),
                     jax.tree_util.tree_leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flash_attention_gating():
+    """Flash path engages only on real TPU backends with aligned shapes —
+    CPU test runs must always take the reference XLA attention."""
+    from mllm_sparse_retrieval_tpu.models.layers import (
+        FLASH_MIN_SEQ, flash_attention_eligible)
+
+    assert not flash_attention_eligible(2048, 128)  # CPU backend in tests
+    assert FLASH_MIN_SEQ >= 512
