@@ -40,6 +40,8 @@ def main(argv=None):
                         help="stop gradients through remote-shard negatives")
     parser.add_argument("--train-full", action="store_true",
                         help="full finetune (no LoRA; reference --lora off)")
+    parser.add_argument("--remat", action="store_true",
+                        help="gradient-checkpoint decoder blocks")
     parser.add_argument("--fsdp", action="store_true",
                         help="ZeRO-3/FSDP-equivalent param sharding over the "
                              "data axis (ds_configs/zero3.json parity)")
@@ -70,6 +72,7 @@ def main(argv=None):
         train_projector_lora=args.train_projector_lora,
         shard_optimizer_state=not args.no_zero1,
         shard_params_data_axis=args.fsdp, train_full=args.train_full,
+        remat=args.remat,
         output_dir=args.output_dir, seed=args.seed,
         checkpoint_every_steps=args.checkpoint_every)
 

@@ -118,6 +118,7 @@ class TrainConfig:
     shard_optimizer_state: bool = True    # ZeRO-1 equivalent over the data axis
     shard_params_data_axis: bool = False  # ZeRO-3/FSDP equivalent (ds_configs/zero3.json)
     train_full: bool = False              # full finetune (no LoRA; reference --lora off)
+    remat: bool = False                   # gradient-checkpoint decoder blocks
     output_dir: str = "./output"
     checkpoint_every_steps: int = 0       # 0 = final-only (reference default)
 

@@ -25,18 +25,21 @@ from mllm_sparse_retrieval_tpu.models.qwen_vl import QwenVLConfig
 
 def encode_any(params, arch, input_ids, attention_mask, vision_input=None,
                reps_loc: RepsLoc = RepsLoc.BEFORE_PAD, lora=None,
-               position_ids=None):
-    """(sparse [B,V], dense [B,H]) for any model family."""
+               position_ids=None, remat: bool = False):
+    """(sparse [B,V], dense [B,H]) for any model family.
+
+    ``remat=True`` gradient-checkpoints the decoder blocks (training-time
+    memory/FLOPs trade; see llama.apply)."""
     if isinstance(arch, QwenVLConfig):
         return qwen_vl.encode(params, arch, input_ids, attention_mask,
                               patches=vision_input,
                               position_ids=position_ids,
-                              reps_loc=reps_loc, lora=lora)
+                              reps_loc=reps_loc, lora=lora, remat=remat)
     if isinstance(arch, InternVLConfig):
         return internvl.encode(params, arch, input_ids, attention_mask,
-                               vision_input, reps_loc, lora)
+                               vision_input, reps_loc, lora, remat=remat)
     return mllm.encode(params, arch, input_ids, attention_mask,
-                       vision_input, reps_loc, lora)
+                       vision_input, reps_loc, lora, remat=remat)
 
 
 @dataclass(frozen=True)

@@ -225,6 +225,7 @@ def encode(
     pixel_values: Optional[jax.Array] = None,
     reps_loc: RepsLoc = RepsLoc.BEFORE_PAD,
     lora: Optional[Dict] = None,
+    remat: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """(sparse_weights [B, V], dense_embs [B, H])."""
     from mllm_sparse_retrieval_tpu.models import reps as R
@@ -248,6 +249,6 @@ def encode(
         embeds = splice_image_embeddings(embeds, feats.astype(embeds.dtype),
                                          is_image)
     hidden = llama.apply(params["text"], embeds, attention_mask, cfg.text,
-                         lget("text"))
+                         lget("text"), remat=remat)
     head = llama.lm_head_weight(params["text"], cfg.text)
     return R.extract_reps(hidden, attention_mask, head, reps_loc)

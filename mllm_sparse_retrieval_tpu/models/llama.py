@@ -141,8 +141,13 @@ def apply(
     cfg: LlamaConfig,
     lora: Optional[Dict] = None,
     position_ids: Optional[jax.Array] = None,  # [B,T] or [3,B,T] (M-RoPE)
+    remat: bool = False,
 ) -> jax.Array:
-    """Run the decoder stack; returns final-norm hidden states [B, T, H]."""
+    """Run the decoder stack; returns final-norm hidden states [B, T, H].
+
+    ``remat=True`` checkpoints each block (recompute activations on the
+    backward pass) — the standard memory/FLOPs trade for full-finetuning
+    large decoders; pair with FSDP param sharding (parallel/fsdp.py)."""
     t = inputs_embeds.shape[1]
     cos, sin = rope_tables(cfg, t, position_ids)
     # long sequences (anyres image prompts) use the fused flash kernel and
@@ -150,12 +155,15 @@ def apply(
     use_flash = L.flash_attention_eligible(t, cfg.head_dim)
     flash_mask = attention_mask if use_flash else None
     mask = None if use_flash else L.causal_padding_mask(attention_mask)
+    block_fn = _block
+    if remat:
+        block_fn = jax.checkpoint(_block, static_argnums=(2,))
     x = inputs_embeds
     for i, blk in enumerate(params["blocks"]):
         blora = None
         if lora is not None and "blocks" in lora and lora["blocks"][i]:
             blora = lora["blocks"][i]
-        x = _block(x, blk, cfg, mask, cos, sin, blora, flash_mask)
+        x = block_fn(x, blk, cfg, mask, cos, sin, blora, flash_mask)
     return L.rmsnorm(x, params["final_norm"], cfg.rms_eps)
 
 

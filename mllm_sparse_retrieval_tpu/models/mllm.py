@@ -140,6 +140,7 @@ def forward_hidden(
                                           # {"pixels": [B, mt, S, S, 3],
                                           #  "feature_index": [B, maxTok]}
     lora: Optional[Dict] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Final-layer hidden states [B, T, H] for text or image+text inputs."""
     lget = (lambda name: lora.get(name) if lora else None)
@@ -157,7 +158,7 @@ def forward_hidden(
         embeds = splice_image_embeddings(embeds, img.astype(embeds.dtype),
                                          is_image)
     return llama.apply(params["text"], embeds, attention_mask, cfg.text,
-                       lget("text"))
+                       lget("text"), remat=remat)
 
 
 def encode(
@@ -168,12 +169,13 @@ def encode(
     pixel_values: Optional[jax.Array] = None,
     reps_loc: RepsLoc = RepsLoc.BEFORE_PAD,
     lora: Optional[Dict] = None,
+    remat: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """(sparse_weights [B, V], dense_embs [B, H]) — the encode_data
     equivalent (/root/reference/src/model.py:42-160) as one jittable fn."""
     from mllm_sparse_retrieval_tpu.models import reps as R
 
     hidden = forward_hidden(params, cfg, input_ids, attention_mask,
-                            pixel_values, lora)
+                            pixel_values, lora, remat=remat)
     head = llama.lm_head_weight(params["text"], cfg.text)
     return R.extract_reps(hidden, attention_mask, head, reps_loc)

@@ -332,6 +332,7 @@ def encode(
     position_ids: Optional[jax.Array] = None,  # [3, B, T] M-RoPE ids
     reps_loc: RepsLoc = RepsLoc.BEFORE_PAD,
     lora: Optional[Dict] = None,
+    remat: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """(sparse_weights [B, V], dense_embs [B, H]) — Qwen2.5-VL encode_data
     equivalent. ``position_ids`` from ``mrope_position_ids`` for image
@@ -348,6 +349,7 @@ def encode(
         embeds = splice_image_embeddings(embeds, feats.astype(embeds.dtype),
                                          is_image)
     hidden = llama.apply(params["text"], embeds, attention_mask, cfg.text,
-                         lget("text"), position_ids=position_ids)
+                         lget("text"), position_ids=position_ids,
+                         remat=remat)
     head = llama.lm_head_weight(params["text"], cfg.text)
     return R.extract_reps(hidden, attention_mask, head, reps_loc)

@@ -205,10 +205,12 @@ class ContrastiveTrainer:
             params = trainable if full else base_params
             adapters = None if full else trainable
             _, t_emb = encode_any(params, arch, batch.text_ids,
-                                  batch.text_mask, None, reps_loc, adapters)
+                                  batch.text_mask, None, reps_loc, adapters,
+                                  remat=cfg.remat)
             _, i_emb = encode_any(params, arch, batch.image_ids,
                                   batch.image_mask, batch.pixels, reps_loc,
-                                  adapters, position_ids=batch.image_pos_ids)
+                                  adapters, position_ids=batch.image_pos_ids,
+                                  remat=cfg.remat)
             if mesh is not None and not cfg.gather_save_gradient:
                 # reference detach-and-reinsert semantics: gradients blocked
                 # through remote shards' negatives (src/trainer.py:45-53)

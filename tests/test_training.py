@@ -266,3 +266,20 @@ def test_trainer_honors_gather_save_gradient_false(tiny_setup):
     # first-step loss identical (same params, same forward); training moves
     np.testing.assert_allclose(losses[True][0], losses[False][0], rtol=1e-5)
     assert losses[False][2] < losses[False][0] + 1e-6
+
+
+def test_remat_training_matches_no_remat(tiny_setup):
+    """Gradient checkpointing changes memory, not math: losses match the
+    non-remat run step for step."""
+    params, arch, tok, template, examples = tiny_setup
+    collate = make_collator(tok, template, arch)
+    batch = collate(examples)
+    runs = {}
+    for remat in (False, True):
+        tcfg = TrainConfig(learning_rate=1e-3, tau=0.1, remat=remat,
+                           shard_optimizer_state=False)
+        adapters = lora_lib.init_lora(jax.random.PRNGKey(0), params, arch,
+                                      rank=4, alpha=8)
+        trainer = ContrastiveTrainer(params, arch, adapters, tcfg)
+        runs[remat] = [trainer.train_on_batch(batch) for _ in range(3)]
+    np.testing.assert_allclose(runs[True], runs[False], rtol=1e-5)
