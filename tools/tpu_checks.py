@@ -1,0 +1,153 @@
+"""On-hardware validation suite (TPU-only paths pytest can't reach).
+
+The test suite runs on a virtual CPU mesh (tests/conftest.py), where the
+Pallas kernels run interpreted and flash attention is gated off. This script
+drives the TPU-native fast paths on the real chip and cross-checks them
+against the portable paths:
+
+    python tools/tpu_checks.py
+
+Checks:
+  1. impact backends bit-parity ON CHIP (taat / taat-shared / matmul),
+     including the int16 storage path;
+  2. flash attention vs masked XLA attention (layer level, vs a
+     HIGHEST-precision reference — both must sit at bf16-pass noise);
+  3. decoder-level flash engagement at anyres-scale sequence lengths;
+  4. graft entry forward on the anyres flagship.
+
+Exits non-zero on any failure; prints one OK line per check.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def check_impact_backends():
+    from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+
+    rng = np.random.default_rng(0)
+    n_docs, vocab, k = 3000, 500, 16
+    doc_terms = np.stack([rng.choice(vocab, k, replace=False)
+                          for _ in range(n_docs)]).astype(np.int32)
+    doc_weights = rng.integers(1, 400, size=(n_docs, k)).astype(np.float32)
+    index = ImpactIndex.from_packed_arrays(doc_terms, doc_weights,
+                                           term_keys=range(vocab))
+    assert index._int16_exact()
+    q = [dict(zip(rng.choice(vocab, 12, replace=False).tolist(),
+                  rng.integers(1, 300, 12).tolist())) for _ in range(24)]
+    results = {b: index.search(q, depth=20, backend=b)
+               for b in ("matmul", "taat", "taat-shared")}
+    ref_scores = results["matmul"][0]
+    for b in ("taat", "taat-shared"):
+        assert results[b][0] == ref_scores, f"{b} scores != matmul on chip"
+    print("OK impact backends bit-identical on chip "
+          f"(taat dtype=i16, {n_docs} docs)")
+
+
+def check_flash_layer():
+    from mllm_sparse_retrieval_tpu.models import layers as L
+
+    B, T, HQ, HKV, DH = 2, 1024, 8, 2, 128
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, T, HQ, DH)).astype(np.float32)) * 0.1
+    k = jnp.asarray(rng.normal(size=(B, T, HKV, DH)).astype(np.float32)) * 0.1
+    v = jnp.asarray(rng.normal(size=(B, T, HKV, DH)).astype(np.float32)) * 0.1
+    mask_h = np.ones((B, T), np.int32)
+    mask_h[1, 700:] = 0
+    am = jnp.asarray(mask_h)
+    assert L.flash_attention_eligible(T, DH)
+
+    def ref_hi(q, k, v, am):
+        mask = L.causal_padding_mask(am)
+        kk = jnp.repeat(k, HQ // HKV, axis=2)
+        vv = jnp.repeat(v, HQ // HKV, axis=2)
+        s = jnp.einsum("bthd,bshd->bhts", q, kk,
+                       precision=lax.Precision.HIGHEST) / np.sqrt(DH)
+        s = jnp.where(mask, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhts,bshd->bthd", p, vv,
+                          precision=lax.Precision.HIGHEST)
+
+    ref = np.asarray(jax.jit(ref_hi)(q, k, v, am))
+    flash = np.asarray(jax.jit(L.flash_causal_attention)(q, k, v, am))
+    xla = np.asarray(jax.jit(
+        lambda q, k, v, am: L.attention(q, k, v, L.causal_padding_mask(am))
+    )(q, k, v, am))
+    for b in range(B):
+        n = int(mask_h[b].sum())
+        d_flash = np.abs(flash[b, :n] - ref[b, :n]).max()
+        d_xla = np.abs(xla[b, :n] - ref[b, :n]).max()
+        # flash must sit at the same bf16-pass noise level as the XLA path
+        assert d_flash <= max(4 * d_xla, 1e-5), (d_flash, d_xla)
+    print(f"OK flash attention at XLA noise level "
+          f"(flash {d_flash:.1e} vs xla {d_xla:.1e} from exact)")
+
+
+def check_decoder_flash():
+    from mllm_sparse_retrieval_tpu.models import layers as L, llama
+    from mllm_sparse_retrieval_tpu.models.llama import LlamaConfig
+
+    cfg = LlamaConfig(vocab_size=512, hidden_size=256, num_layers=2,
+                      num_heads=2, num_kv_heads=1, intermediate_size=512,
+                      rope_theta=10000.0)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    T = 1024
+    x = jnp.asarray(rng.normal(size=(2, T, 256)).astype(np.float32)) * 0.05
+    am_h = np.ones((2, T), np.int32)
+    am_h[1, 900:] = 0
+    am = jnp.asarray(am_h)
+    out_flash = np.asarray(jax.jit(
+        lambda x, am: llama.apply(params, x, am, cfg))(x, am))
+    orig = L.FLASH_MIN_SEQ
+    try:
+        L.FLASH_MIN_SEQ = 10 ** 9  # force the masked path
+        out_ref = np.asarray(jax.jit(
+            lambda x, am: llama.apply(params, x, am, cfg))(x, am))
+    finally:
+        L.FLASH_MIN_SEQ = orig
+    for b in range(2):
+        n = int(am_h[b].sum())
+        rel = (np.abs(out_flash[b, :n] - out_ref[b, :n]).max()
+               / (np.abs(out_ref[b, :n]).max() + 1e-9))
+        assert rel < 0.05, f"decoder flash rel diff {rel}"
+    print(f"OK decoder flash path engaged at T={T} (rel diff {rel:.1e})")
+
+
+def check_graft_entry():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    shapes = [tuple(o.shape) for o in out]
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)
+    print(f"OK graft entry (anyres flagship) forward: {shapes}")
+
+
+def main():
+    assert jax.default_backend() == "tpu", (
+        f"this script validates TPU paths; backend is "
+        f"{jax.default_backend()} (run without JAX_PLATFORMS=cpu)")
+    t0 = time.time()
+    check_impact_backends()
+    check_flash_layer()
+    check_decoder_flash()
+    check_graft_entry()
+    print(f"ALL TPU CHECKS PASSED in {time.time() - t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
