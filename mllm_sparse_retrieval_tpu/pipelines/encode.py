@@ -220,27 +220,75 @@ def encode_examples(
     from mllm_sparse_retrieval_tpu.sparse.term_selection import (
         quantize_weights, text_candidate_ids)
 
-    result = EncodeResult()
-    all_dense: List[np.ndarray] = []
-
-    for start in range(0, len(examples), batch_size):
-        batch = examples[start:start + batch_size]
-        valid = len(batch)
-        batch = _pad_batch_examples(batch, batch_size)
-        batch_terms: List[SelectedTerms] = []
-
+    def _host_prep(batch):
+        """Host-side work for one padded batch: tokenization, candidate
+        building, image decode/tiling. Runs on the prefetch thread, one
+        batch ahead of the device step."""
         if encode_type == "text":
             prompts = [template.fill_text(template.text_prompt(), ex.text)
                        for ex in batch]
             ids, mask = tokenizer.pad_batch(
                 [tokenizer.encode(p) for p in prompts],
                 pad_to_multiple=seq_pad_multiple)
-            ids, mask = _shard(ids, mask)
             if use_device_select:
                 from mllm_sparse_retrieval_tpu.ops.select import pad_candidates
                 cand_rows = [text_candidate_ids(ex.text, encode_word)
                              for ex in batch]
                 cand_ids, cand_mask = pad_candidates(cand_rows)
+                return ids, mask, cand_ids, cand_mask
+            return ids, mask, None, None
+        if spec.variable:
+            vitems = [spec.preprocess_example(pixel_loader(ex))
+                      for ex in batch]
+            rows = [tokenizer.encode(template.expand_image(
+                base_img_prompt, n)) for _, n in vitems]
+            b_ids, b_mask = tokenizer.pad_batch(
+                rows, max_len=img_fixed_len,
+                pad_to_multiple=seq_pad_multiple)
+            pixels = spec.batch_vision([item for item, _ in vitems])
+        else:
+            pixels = np.stack([pixel_loader(ex) for ex in batch])
+            b_ids, b_mask = fixed_ids, fixed_mask
+        return b_ids, b_mask, pixels, None
+
+    def _prefetched():
+        """(batch, valid, host_arrays) with host prep one step ahead of the
+        consumer (overlaps PIL decode/tokenization with device compute)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def worker():
+            try:
+                for start in range(0, len(examples), batch_size):
+                    raw = examples[start:start + batch_size]
+                    batch = _pad_batch_examples(raw, batch_size)
+                    q.put((batch, len(raw), _host_prep(batch)))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+                return
+            q.put(None)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    result = EncodeResult()
+    all_dense: List[np.ndarray] = []
+
+    for batch, valid, host in _prefetched():
+        batch_terms: List[SelectedTerms] = []
+
+        if encode_type == "text":
+            ids, mask, cand_ids, cand_mask = host
+            ids, mask = _shard(ids, mask)
+            if use_device_select:
                 cand_ids, cand_mask = _shard(cand_ids, cand_mask)
                 fv, fi, cv, ci, cnt, dense = _encode_text_ds(
                     params, lora, ids, mask, cand_ids, cand_mask)
@@ -268,18 +316,7 @@ def encode_examples(
                         batch[b].text, encode_word, sparse_logits[b],
                         sparse_cfg, filtered_ids))
         else:
-            if spec.variable:
-                vitems = [spec.preprocess_example(pixel_loader(ex))
-                          for ex in batch]
-                rows = [tokenizer.encode(template.expand_image(
-                    base_img_prompt, n)) for _, n in vitems]
-                b_ids, b_mask = tokenizer.pad_batch(
-                    rows, max_len=img_fixed_len,
-                    pad_to_multiple=seq_pad_multiple)
-                pixels = spec.batch_vision([item for item, _ in vitems])
-            else:
-                pixels = np.stack([pixel_loader(ex) for ex in batch])
-                b_ids, b_mask = fixed_ids, fixed_mask
+            b_ids, b_mask, pixels, _ = host
             b_ids, b_mask, pixels = _shard(b_ids, b_mask, pixels)
             if use_device_select:
                 fv, fi, dense = _encode_image_ds(params, lora, b_ids, b_mask,
