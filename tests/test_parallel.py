@@ -63,3 +63,47 @@ def test_tp_indivisible_dims_replicate():
 def test_multihost_noop_single_process():
     assert initialize_multihost(num_processes=1) is False
     assert is_primary_host()
+
+
+def test_fsdp_composes_with_tensor_parallel():
+    """2-D param sharding: TP places leaves over the model axis, FSDP then
+    adds the data axis on a different dim — leaves carry both axes."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from mllm_sparse_retrieval_tpu.parallel.fsdp import fsdp_shardings
+    from mllm_sparse_retrieval_tpu.parallel.mesh import make_mesh
+    from mllm_sparse_retrieval_tpu.parallel.tp import shard_params_tp
+    from mllm_sparse_retrieval_tpu.models import mllm
+    from mllm_sparse_retrieval_tpu.models.llama import LlamaConfig
+    from mllm_sparse_retrieval_tpu.models.mllm import MLLMConfig
+    from mllm_sparse_retrieval_tpu.models.vit import ViTConfig
+
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    arch = MLLMConfig(
+        vision=ViTConfig(image_size=32, patch_size=16, hidden_size=64,
+                         num_layers=2, num_heads=4, feature_layer=-2),
+        text=LlamaConfig(vocab_size=512, hidden_size=64, num_layers=2,
+                         num_heads=4, num_kv_heads=2, intermediate_size=256,
+                         rope_theta=10000.0),
+        image_token_id=4)
+    params = mllm.init_params(jax.random.PRNGKey(0), arch, jnp.float32)
+    params = shard_params_tp(params, mesh)
+    params = jax.device_put(params, fsdp_shardings(params, mesh, min_size=1024))
+
+    both = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        spec = tuple(leaf.sharding.spec)
+        axes = {a for e in spec if e is not None
+                for a in (e if isinstance(e, tuple) else (e,))}
+        assert not (len(axes) > 0 and len(spec) > leaf.ndim)
+        if {"data", "model"} <= axes:
+            both += 1
+    assert both > 0, "no leaf carries both mesh axes"
+
+    # the sharded tree still runs a forward
+    ids = jnp.ones((4, 8), jnp.int32)
+    mask = jnp.ones((4, 8), jnp.int32)
+    out = mllm.forward_hidden(params, arch, ids, mask, None)
+    assert out.shape == (4, 8, 64)
