@@ -24,7 +24,6 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 from mllm_sparse_retrieval_tpu.data.karpathy import CrossModalCorpus, Example
-from mllm_sparse_retrieval_tpu.pipelines.encode import encode_examples
 from mllm_sparse_retrieval_tpu.search.fusion import fuse_statistic
 from mllm_sparse_retrieval_tpu.search.runs import Run
 from mllm_sparse_retrieval_tpu.sparse.term_selection import text_candidate_ids

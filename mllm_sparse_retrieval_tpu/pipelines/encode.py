@@ -29,12 +29,10 @@ from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from mllm_sparse_retrieval_tpu.configs import PipelineConfig, RepsLoc
+from mllm_sparse_retrieval_tpu.configs import RepsLoc
 from mllm_sparse_retrieval_tpu.data.karpathy import Example
-from mllm_sparse_retrieval_tpu.models import mllm
 from mllm_sparse_retrieval_tpu.models.reps import normalize
 from mllm_sparse_retrieval_tpu.sparse import (
     SelectedTerms,

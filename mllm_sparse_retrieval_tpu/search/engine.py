@@ -8,9 +8,7 @@ assembly with optional self-hit removal, min-max fusion, and recall@k.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Sequence
-
-import numpy as np
+from typing import Callable, Dict, Optional, Sequence
 
 from mllm_sparse_retrieval_tpu.configs import RepsLoc, SearchConfig, SparseConfig
 from mllm_sparse_retrieval_tpu.data.karpathy import Example

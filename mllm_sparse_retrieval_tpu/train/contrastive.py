@@ -18,9 +18,6 @@ gathered copies, reinserting the local differentiable slice.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import os
 from dataclasses import dataclass
-from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mllm_sparse_retrieval_tpu.configs import RepsLoc, TrainConfig
 from mllm_sparse_retrieval_tpu.data.karpathy import Example
 from mllm_sparse_retrieval_tpu.models import lora as lora_lib
-from mllm_sparse_retrieval_tpu.models import mllm
 from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
 from mllm_sparse_retrieval_tpu.pipelines.encode import default_pixel_loader
 from mllm_sparse_retrieval_tpu.train.contrastive import info_nce_loss
