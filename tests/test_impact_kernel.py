@@ -157,3 +157,31 @@ def test_prepare_shared_tiles_dedup_and_sum():
     assert weights[0, row[6], 0] == 1.0 and weights[0, row[6], 1] == 1.0
     assert weights[0, row[8], 1] == 2.0
     assert weights[0, row[8], 0] == 0.0
+
+
+def test_taat_skips_padding_rows_bitexact():
+    """Short queries padded to the fixed width must score identically
+    (padding entries point at the dead zero row with weight 0).
+
+    Perf note: a dead-row-skip variant (pl.when guards around DMA/FMA) was
+    measured SLOWER on v5e (205 vs 179 ms full-width; 262 ms at 24 live
+    terms) — Mosaic conditional regions cost more than the skipped DMAs
+    save — so the kernel fetches row 0 for padding unconditionally."""
+    rng = np.random.default_rng(21)
+    t, n, b = 25, 2048, QUERY_TILE
+    matrix = np.zeros((t + 1, n), np.float32)
+    matrix[1:] = rng.integers(0, 300, size=(t, n)).astype(np.float32)
+    # 5 live terms padded to width 64
+    q_idx = np.zeros((b, 64), np.int32)
+    q_w = np.zeros((b, 64), np.float32)
+    q_idx[:, :5] = rng.integers(0, t, size=(b, 5))
+    q_w[:, :5] = rng.integers(1, 100, size=(b, 5))
+    safe_idx, safe_w = prepare_query_arrays(q_idx, q_w)
+    got = np.asarray(impact_scores_taat(
+        jnp.asarray(matrix), jnp.asarray(safe_idx), jnp.asarray(safe_w),
+        interpret=True))
+    exp = np.zeros((b, n), np.float32)
+    for r in range(b):
+        for j in range(5):
+            exp[r] += q_w[r, j] * matrix[q_idx[r, j] + 1]
+    np.testing.assert_array_equal(got, exp)
