@@ -233,11 +233,18 @@ class ImpactIndex:
         per_device = (t + 1) * n_pad * itemsize
         if mesh is not None:
             per_device //= mesh.shape[DATA_AXIS]
-        if per_device > self.hbm_budget_bytes:
+        # already-cached forms (mixed-backend use keeps both the i16 and f32
+        # matrices resident) count against the same budget
+        cached = sum(d.nbytes for d in self._dev.values())
+        if mesh is not None:
+            cached //= mesh.shape[DATA_AXIS]
+        if per_device + cached > self.hbm_budget_bytes:
             shards = -(-((t + 1) * n_pad * itemsize) // self.hbm_budget_bytes)
             raise MemoryError(
                 f"impact matrix needs {per_device / 1e9:.1f} GB per device "
-                f"(terms={t}, docs_pad={n_pad}, {dtype}) — over the "
+                f"(terms={t}, docs_pad={n_pad}, {dtype}; "
+                f"{cached / 1e9:.1f} GB already cached for other backends — "
+                f"drop_device_cache() frees them) — over the "
                 f"{self.hbm_budget_bytes / 1e9:.1f} GB budget. Column-shard "
                 f"over a mesh with >= {shards} data-axis devices "
                 f"(search(..., mesh=...)), or raise "
@@ -259,6 +266,12 @@ class ImpactIndex:
             dev = jax.device_put(matrix, sh)
         self._dev[dtype] = dev
         return dev
+
+    def drop_device_cache(self) -> None:
+        """Release all HBM-resident scoring matrices (they rebuild lazily on
+        the next search)."""
+        self._dev = None
+        self._mesh = None
 
     # ---- query encoding -----------------------------------------------------------
     def encode_queries(
@@ -555,70 +568,56 @@ def _sharded_merge_topk(scores, base, shard_cols, n_valid, k):
     return vals, jnp.take_along_axis(ag, pos, axis=1)
 
 
-def _sharded_impact_topk(mesh, matrix, q_idx, q_w, n_valid, k):
-    """Doc-column-sharded matmul scoring + ICI merge."""
+_SHARDED_SCORERS = {
+    "matmul": (_scores_from_matrix, (2, 2)),        # q_idx, q_w: [B, Q]
+    "taat": (_taat_scores, (2, 2)),                 # idem
+    "taat-shared": (_taat_shared_scores, (2, 3)),   # tile_terms, tile_weights
+}
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_topk_fn(mesh, shard_cols, n_valid, k, backend):
+    """Build-and-cache the jitted shard_map program per (mesh, shapes,
+    backend) — a fresh closure per call would retrace every search."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    n_shards = mesh.shape[DATA_AXIS]
-    shard_cols = matrix.shape[1] // n_shards
+    scores_fn, query_ndims = _SHARDED_SCORERS[backend]
 
-    def local_fn(m, qi, qw):
+    def local_fn(m, *query_args):
         base = lax.axis_index(DATA_AXIS) * shard_cols
-        return _sharded_merge_topk(_scores_from_matrix(m, qi, qw), base,
+        return _sharded_merge_topk(scores_fn(m, *query_args), base,
                                    shard_cols, n_valid, k)
 
+    query_specs = tuple(P(*(None,) * nd) for nd in query_ndims)
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(None, DATA_AXIS), P(None, None), P(None, None)),
+        in_specs=(P(None, DATA_AXIS),) + query_specs,
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
-    return jax.jit(fn)(matrix, q_idx, q_w)
+    return jax.jit(fn)
+
+
+def _sharded_impact_topk(mesh, matrix, q_idx, q_w, n_valid, k):
+    """Doc-column-sharded matmul scoring + ICI merge."""
+    shard_cols = matrix.shape[1] // mesh.shape[DATA_AXIS]
+    fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "matmul")
+    return fn(matrix, q_idx, q_w)
 
 
 def _sharded_taat_topk(mesh, matrix, q_idx, q_w, n_valid, k):
     """Doc-column-sharded per-query TAAT scoring + ICI merge: each shard
     runs the kernel over its own column block (column counts stay aligned
     because ``_materialize`` pads to ``_DOC_TILE × n_shards``)."""
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    n_shards = mesh.shape[DATA_AXIS]
-    shard_cols = matrix.shape[1] // n_shards
-
-    def local_fn(m, qi, qw):
-        base = lax.axis_index(DATA_AXIS) * shard_cols
-        return _sharded_merge_topk(_taat_scores(m, qi, qw), base,
-                                   shard_cols, n_valid, k)
-
-    fn = shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(P(None, DATA_AXIS), P(None, None), P(None, None)),
-        out_specs=(P(None, None), P(None, None)),
-        check_vma=False,
-    )
-    return jax.jit(fn)(matrix, q_idx, q_w)
+    shard_cols = matrix.shape[1] // mesh.shape[DATA_AXIS]
+    fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "taat")
+    return fn(matrix, q_idx, q_w)
 
 
 def _sharded_taat_shared_topk(mesh, matrix, tile_terms, tile_weights,
                               n_valid, k):
     """Doc-column-sharded shared-row TAAT scoring + ICI merge."""
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    n_shards = mesh.shape[DATA_AXIS]
-    shard_cols = matrix.shape[1] // n_shards
-
-    def local_fn(m, tt, tw):
-        base = lax.axis_index(DATA_AXIS) * shard_cols
-        return _sharded_merge_topk(_taat_shared_scores(m, tt, tw), base,
-                                   shard_cols, n_valid, k)
-
-    fn = shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(P(None, DATA_AXIS), P(None, None), P(None, None, None)),
-        out_specs=(P(None, None), P(None, None)),
-        check_vma=False,
-    )
-    return jax.jit(fn)(matrix, tile_terms, tile_weights)
+    shard_cols = matrix.shape[1] // mesh.shape[DATA_AXIS]
+    fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "taat-shared")
+    return fn(matrix, tile_terms, tile_weights)

@@ -25,21 +25,28 @@ from mllm_sparse_retrieval_tpu.models.qwen_vl import QwenVLConfig
 
 def encode_any(params, arch, input_ids, attention_mask, vision_input=None,
                reps_loc: RepsLoc = RepsLoc.BEFORE_PAD, lora=None,
-               position_ids=None, remat: bool = False):
+               position_ids=None, remat: bool = False,
+               allow_flash: bool = True):
     """(sparse [B,V], dense [B,H]) for any model family.
 
     ``remat=True`` gradient-checkpoints the decoder blocks (training-time
-    memory/FLOPs trade; see llama.apply)."""
+    memory/FLOPs trade). ``allow_flash=False`` forces the masked XLA
+    attention — pass it whenever this runs inside a GSPMD-sharded jit over a
+    mesh (the stock Pallas flash kernel has no SPMD partitioning rule); see
+    llama.apply."""
     if isinstance(arch, QwenVLConfig):
         return qwen_vl.encode(params, arch, input_ids, attention_mask,
                               patches=vision_input,
                               position_ids=position_ids,
-                              reps_loc=reps_loc, lora=lora, remat=remat)
+                              reps_loc=reps_loc, lora=lora, remat=remat,
+                              allow_flash=allow_flash)
     if isinstance(arch, InternVLConfig):
         return internvl.encode(params, arch, input_ids, attention_mask,
-                               vision_input, reps_loc, lora, remat=remat)
+                               vision_input, reps_loc, lora, remat=remat,
+                               allow_flash=allow_flash)
     return mllm.encode(params, arch, input_ids, attention_mask,
-                       vision_input, reps_loc, lora, remat=remat)
+                       vision_input, reps_loc, lora, remat=remat,
+                       allow_flash=allow_flash)
 
 
 @dataclass(frozen=True)

@@ -226,6 +226,7 @@ def encode(
     reps_loc: RepsLoc = RepsLoc.BEFORE_PAD,
     lora: Optional[Dict] = None,
     remat: bool = False,
+    allow_flash: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """(sparse_weights [B, V], dense_embs [B, H])."""
     from mllm_sparse_retrieval_tpu.models import reps as R
@@ -249,6 +250,7 @@ def encode(
         embeds = splice_image_embeddings(embeds, feats.astype(embeds.dtype),
                                          is_image)
     hidden = llama.apply(params["text"], embeds, attention_mask, cfg.text,
-                         lget("text"), remat=remat)
+                         lget("text"), remat=remat,
+                         allow_flash=allow_flash)
     head = llama.lm_head_weight(params["text"], cfg.text)
     return R.extract_reps(hidden, attention_mask, head, reps_loc)

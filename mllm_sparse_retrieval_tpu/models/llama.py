@@ -142,17 +142,21 @@ def apply(
     lora: Optional[Dict] = None,
     position_ids: Optional[jax.Array] = None,  # [B,T] or [3,B,T] (M-RoPE)
     remat: bool = False,
+    allow_flash: bool = True,
 ) -> jax.Array:
     """Run the decoder stack; returns final-norm hidden states [B, T, H].
 
     ``remat=True`` checkpoints each block (recompute activations on the
     backward pass) — the standard memory/FLOPs trade for full-finetuning
-    large decoders; pair with FSDP param sharding (parallel/fsdp.py)."""
+    large decoders; pair with FSDP param sharding (parallel/fsdp.py).
+    ``allow_flash=False`` forces the masked XLA attention — REQUIRED when
+    this forward runs inside a GSPMD-sharded jit over a mesh (the stock
+    Pallas flash kernel carries no SPMD partitioning rule)."""
     t = inputs_embeds.shape[1]
     cos, sin = rope_tables(cfg, t, position_ids)
     # long sequences (anyres image prompts) use the fused flash kernel and
     # never materialize the [B, 1, T, T] mask / [B, H, T, T] logits
-    use_flash = L.flash_attention_eligible(t, cfg.head_dim)
+    use_flash = allow_flash and L.flash_attention_eligible(t, cfg.head_dim)
     flash_mask = attention_mask if use_flash else None
     mask = None if use_flash else L.causal_padding_mask(attention_mask)
     block_fn = _block

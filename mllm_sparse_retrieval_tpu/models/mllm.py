@@ -141,6 +141,7 @@ def forward_hidden(
                                           #  "feature_index": [B, maxTok]}
     lora: Optional[Dict] = None,
     remat: bool = False,
+    allow_flash: bool = True,
 ) -> jax.Array:
     """Final-layer hidden states [B, T, H] for text or image+text inputs."""
     lget = (lambda name: lora.get(name) if lora else None)
@@ -158,7 +159,7 @@ def forward_hidden(
         embeds = splice_image_embeddings(embeds, img.astype(embeds.dtype),
                                          is_image)
     return llama.apply(params["text"], embeds, attention_mask, cfg.text,
-                       lget("text"), remat=remat)
+                       lget("text"), remat=remat, allow_flash=allow_flash)
 
 
 def encode(
@@ -170,12 +171,14 @@ def encode(
     reps_loc: RepsLoc = RepsLoc.BEFORE_PAD,
     lora: Optional[Dict] = None,
     remat: bool = False,
+    allow_flash: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """(sparse_weights [B, V], dense_embs [B, H]) — the encode_data
     equivalent (/root/reference/src/model.py:42-160) as one jittable fn."""
     from mllm_sparse_retrieval_tpu.models import reps as R
 
     hidden = forward_hidden(params, cfg, input_ids, attention_mask,
-                            pixel_values, lora, remat=remat)
+                            pixel_values, lora, remat=remat,
+                            allow_flash=allow_flash)
     head = llama.lm_head_weight(params["text"], cfg.text)
     return R.extract_reps(hidden, attention_mask, head, reps_loc)

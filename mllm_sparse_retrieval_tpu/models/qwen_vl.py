@@ -333,6 +333,7 @@ def encode(
     reps_loc: RepsLoc = RepsLoc.BEFORE_PAD,
     lora: Optional[Dict] = None,
     remat: bool = False,
+    allow_flash: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """(sparse_weights [B, V], dense_embs [B, H]) — Qwen2.5-VL encode_data
     equivalent. ``position_ids`` from ``mrope_position_ids`` for image
@@ -350,6 +351,6 @@ def encode(
                                          is_image)
     hidden = llama.apply(params["text"], embeds, attention_mask, cfg.text,
                          lget("text"), position_ids=position_ids,
-                         remat=remat)
+                         remat=remat, allow_flash=allow_flash)
     head = llama.lm_head_weight(params["text"], cfg.text)
     return R.extract_reps(hidden, attention_mask, head, reps_loc)

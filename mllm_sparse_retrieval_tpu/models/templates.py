@@ -165,13 +165,22 @@ def resolve_template(template: PromptTemplate, tokenizer) -> PromptTemplate:
 
 @dataclass(frozen=True)
 class _ResolvedTemplate(PromptTemplate):
-    """Template whose prompts were rendered by a real HF chat template."""
+    """Template whose prompts were rendered by a real HF chat template.
+
+    The messages fed to apply_chat_template carry the one-word summary
+    instruction (the reference only ever uses that form for chat families);
+    ``one_word=False`` derives the open variant by dropping the
+    " in one word" clause from the rendered string."""
 
     rendered_image: str = ""
     rendered_text: str = ""
 
+    @staticmethod
+    def _variant(rendered: str, one_word: bool) -> str:
+        return rendered if one_word else rendered.replace(" in one word:", ":")
+
     def image_prompt(self, one_word: bool = True) -> str:
-        return self.rendered_image
+        return self._variant(self.rendered_image, one_word)
 
     def text_prompt(self, one_word: bool = True) -> str:
-        return self.rendered_text
+        return self._variant(self.rendered_text, one_word)

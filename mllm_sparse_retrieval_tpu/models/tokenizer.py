@@ -32,6 +32,29 @@ class Tokenizer(Protocol):
     def vocab_size(self) -> int: ...
 
 
+def pad_id_batch(batch: Sequence[Sequence[int]], pad_id: int,
+                 max_len: Optional[int] = None, pad_to_multiple: int = 8):
+    """Right-pad a batch of id lists; returns (ids [B,T], mask [B,T]).
+
+    WARNING: rows longer than ``max_len`` are truncated. Never train with a
+    ``max_len`` shorter than the full prompt unless encode-time inputs are
+    truncated identically — representations are read at the last non-pad
+    token, so a cut prompt trains different reps than it serves.
+    """
+    import numpy as np
+
+    longest = max((len(x) for x in batch), default=1)
+    target = max_len if max_len is not None else longest
+    target = -(-target // pad_to_multiple) * pad_to_multiple
+    ids = np.full((len(batch), target), pad_id, dtype=np.int32)
+    mask = np.zeros((len(batch), target), dtype=np.int32)
+    for i, row in enumerate(batch):
+        row = list(row)[:target]
+        ids[i, : len(row)] = row
+        mask[i, : len(row)] = 1
+    return ids, mask
+
+
 class WordPieceLiteTokenizer:
     """Greedy longest-match subword tokenizer with ``▁`` word boundaries.
 
@@ -135,25 +158,7 @@ class WordPieceLiteTokenizer:
 
     def pad_batch(self, batch: Sequence[Sequence[int]], max_len: Optional[int] = None,
                   pad_to_multiple: int = 8):
-        """Right-pad a batch of id lists; returns (ids [B,T], mask [B,T]).
-
-        WARNING: rows longer than ``max_len`` are truncated. Never train with
-        a ``max_len`` shorter than the full prompt unless encode-time inputs
-        are truncated identically — representations are read at the last
-        non-pad token, so a cut prompt trains different reps than it serves.
-        """
-        import numpy as np
-
-        longest = max((len(x) for x in batch), default=1)
-        target = max_len if max_len is not None else longest
-        target = -(-target // pad_to_multiple) * pad_to_multiple
-        ids = np.full((len(batch), target), self.pad_id, dtype=np.int32)
-        mask = np.zeros((len(batch), target), dtype=np.int32)
-        for i, row in enumerate(batch):
-            row = list(row)[:target]
-            ids[i, : len(row)] = row
-            mask[i, : len(row)] = 1
-        return ids, mask
+        return pad_id_batch(batch, self.pad_id, max_len, pad_to_multiple)
 
 
 class HFTokenizerAdapter:
@@ -181,16 +186,4 @@ class HFTokenizerAdapter:
 
     def pad_batch(self, batch: Sequence[Sequence[int]],
                   max_len: Optional[int] = None, pad_to_multiple: int = 8):
-        """Right-pad a batch of id lists; returns (ids [B,T], mask [B,T])."""
-        import numpy as np
-
-        longest = max((len(x) for x in batch), default=1)
-        target = max_len if max_len is not None else longest
-        target = -(-target // pad_to_multiple) * pad_to_multiple
-        ids = np.full((len(batch), target), self.pad_id, dtype=np.int32)
-        mask = np.zeros((len(batch), target), dtype=np.int32)
-        for i, row in enumerate(batch):
-            row = list(row)[:target]
-            ids[i, : len(row)] = row
-            mask[i, : len(row)] = 1
-        return ids, mask
+        return pad_id_batch(batch, self.pad_id, max_len, pad_to_multiple)

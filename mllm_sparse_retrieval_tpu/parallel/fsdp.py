@@ -66,17 +66,28 @@ def shard_params_fsdp(params, mesh: Mesh,
 
 def assert_fsdp_sharded(params, mesh: Mesh,
                         min_size: int = MIN_SHARD_SIZE) -> int:
-    """Test helper: verify every large leaf actually carries a data-axis
-    sharding; returns the count of sharded leaves."""
+    """Test helper: verify every large leaf that fsdp_shardings WOULD shard
+    actually carries a data-axis sharding; returns the count of sharded
+    leaves. Leaves whose only data-divisible dims are occupied by other mesh
+    axes (TP) are legitimately skipped and not asserted."""
     n = mesh.shape[DATA_AXIS]
     count = 0
     for path, x in jax.tree_util.tree_flatten_with_path(params)[0]:
         size = int(np.prod(x.shape)) if x.ndim else 0
-        divisible = any(s % n == 0 for s in x.shape)
-        if size >= min_size and divisible and n > 1:
-            spec = x.sharding.spec
-            assert DATA_AXIS in tuple(spec), (
-                f"leaf {jax.tree_util.keystr(path)} {x.shape} not "
-                f"data-axis sharded: {spec}")
+        if size < min_size or n <= 1:
+            continue
+        spec = tuple(x.sharding.spec) if isinstance(x.sharding,
+                                                    NamedSharding) else ()
+        spec = spec + (None,) * (x.ndim - len(spec))
+        axes_used = {a for e in spec if e is not None
+                     for a in (e if isinstance(e, tuple) else (e,))}
+        if DATA_AXIS in axes_used:
             count += 1
+            continue
+        # shardable = some dim is data-divisible AND not taken by another axis
+        shardable = any(s % n == 0 and spec[d] is None
+                        for d, s in enumerate(x.shape))
+        assert not shardable, (
+            f"leaf {jax.tree_util.keystr(path)} {x.shape} has a free "
+            f"data-divisible dim but no data-axis sharding: {spec}")
     return count

@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import zlib
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -65,7 +66,10 @@ def default_pixel_loader(image_size: int) -> Callable[[Example], np.ndarray]:
             img = img.resize((image_size, image_size), Image.BICUBIC)
             arr = np.asarray(img, np.float32) / 255.0
         else:
-            rng = np.random.default_rng(abs(hash(ex.img_id)) % (2 ** 31))
+            # crc32, NOT hash(): str hashes are salted per process, which
+            # would give the same img_id different synthetic pixels on the
+            # corpus and query sides of separate runs
+            rng = np.random.default_rng(zlib.crc32(str(ex.img_id).encode()))
             arr = rng.uniform(size=(image_size, image_size, 3)).astype(np.float32)
         return (arr - mean) / std
 
@@ -85,7 +89,7 @@ def default_raw_image_loader(
             from PIL import Image
             img = Image.open(ex.image_path).convert("RGB")
             return np.asarray(img, np.float32) / 255.0
-        rng = np.random.default_rng(abs(hash(ex.img_id)) % (2 ** 31))
+        rng = np.random.default_rng(zlib.crc32(str(ex.img_id).encode()))
         return rng.uniform(size=synthetic_size + (3,)).astype(np.float32)
 
     return load
@@ -187,22 +191,28 @@ def encode_examples(
     k_text_full = sparse_cfg.sparse_length if sparse_cfg.sparse_manual \
         else sparse_cfg.fallback_top_k
 
+    # the Pallas flash kernel has no SPMD partitioning rule — only use it
+    # on the single-chip path (llama.apply allow_flash)
+    allow_flash = mesh is None
+
     @jax.jit
     def _encode_text(p, l, ids, mask):
-        sparse, dense = encode_any(p, arch, ids, mask, None, reps_loc, l)
+        sparse, dense = encode_any(p, arch, ids, mask, None, reps_loc, l,
+                                   allow_flash=allow_flash)
         return sparse, normalize(dense)
 
     @jax.jit
     def _encode_image(p, l, ids, mask, pixels, pos):
         sparse, dense = encode_any(p, arch, ids, mask, pixels, reps_loc, l,
-                                   position_ids=pos)
+                                   position_ids=pos, allow_flash=allow_flash)
         return sparse, normalize(dense)
 
     @jax.jit
     def _encode_text_ds(p, l, ids, mask, cand_ids, cand_mask):
         from mllm_sparse_retrieval_tpu.ops.select import (
             candidate_topk, vocab_topk)
-        sparse, dense = encode_any(p, arch, ids, mask, None, reps_loc, l)
+        sparse, dense = encode_any(p, arch, ids, mask, None, reps_loc, l,
+                                   allow_flash=allow_flash)
         fv, fi = vocab_topk(sparse, k_text_full)
         cv, ci, cnt = candidate_topk(sparse, cand_ids, cand_mask, 128)
         return fv, fi, cv, ci, cnt, normalize(dense)
@@ -211,7 +221,7 @@ def encode_examples(
     def _encode_image_ds(p, l, ids, mask, pixels, pos):
         from mllm_sparse_retrieval_tpu.ops.select import vocab_topk
         sparse, dense = encode_any(p, arch, ids, mask, pixels, reps_loc, l,
-                                   position_ids=pos)
+                                   position_ids=pos, allow_flash=allow_flash)
         fv, fi = vocab_topk(sparse, k_image)
         return fv, fi, normalize(dense)
 
@@ -251,31 +261,54 @@ def encode_examples(
 
     def _prefetched():
         """(batch, valid, host_arrays) with host prep one step ahead of the
-        consumer (overlaps PIL decode/tokenization with device compute)."""
+        consumer (overlaps PIL decode/tokenization with device compute).
+
+        The worker checks a stop event around every bounded put so an
+        aborted consumer (device error mid-loop) can't leave it blocked
+        forever holding multi-GB prepared batches."""
         import queue
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for start in range(0, len(examples), batch_size):
                     raw = examples[start:start + batch_size]
                     batch = _pad_batch_examples(raw, batch_size)
-                    q.put((batch, len(raw), _host_prep(batch)))
+                    if not _put((batch, len(raw), _host_prep(batch))):
+                        return
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                _put(e)
                 return
-            q.put(None)
+            _put(None)
 
         threading.Thread(target=worker, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # release the worker's queued references
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
     result = EncodeResult()
     all_dense: List[np.ndarray] = []

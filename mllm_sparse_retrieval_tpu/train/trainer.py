@@ -199,17 +199,18 @@ class ContrastiveTrainer:
         from mllm_sparse_retrieval_tpu.models.api import encode_any
 
         mesh = self.mesh
+        allow_flash = mesh is None  # Pallas flash has no SPMD rule
 
         def loss_fn(trainable, base_params, batch: TrainBatch):
             params = trainable if full else base_params
             adapters = None if full else trainable
             _, t_emb = encode_any(params, arch, batch.text_ids,
                                   batch.text_mask, None, reps_loc, adapters,
-                                  remat=cfg.remat)
+                                  remat=cfg.remat, allow_flash=allow_flash)
             _, i_emb = encode_any(params, arch, batch.image_ids,
                                   batch.image_mask, batch.pixels, reps_loc,
                                   adapters, position_ids=batch.image_pos_ids,
-                                  remat=cfg.remat)
+                                  remat=cfg.remat, allow_flash=allow_flash)
             if mesh is not None and not cfg.gather_save_gradient:
                 # reference detach-and-reinsert semantics: gradients blocked
                 # through remote shards' negatives (src/trainer.py:45-53)
