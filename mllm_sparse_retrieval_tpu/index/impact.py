@@ -257,6 +257,11 @@ class ImpactIndex:
         matrix[term_rows, self.csr_docs.astype(np.int64)] = self.csr_weights
         if dtype == "i16":
             matrix = matrix.astype(np.int16)
+            if mesh is None:
+                # upload pre-shaped to the TAAT kernel layout [T+1, 16, sub]
+                # (free on host — row-major view; an in-jit reshape would be
+                # a full tiled-layout copy in HBM)
+                matrix = matrix.reshape(t + 1, 16, n_pad // 16)
 
         if mesh is None:
             dev = jnp.asarray(matrix)
@@ -348,6 +353,36 @@ class ImpactIndex:
         dev = self._materialize(mesh, dtype)
         k = min(depth, self._n_valid)
         b = q_idx.shape[0]
+
+        # The [B, N_pad] f32 score tensor (plus ~2x top_k scratch) must fit
+        # beside the matrix; wide corpora chunk the query batch.
+        n_pad = int(np.prod(dev.shape[1:]))  # dev may be kernel-layout 3-D
+        shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        score_budget = self.hbm_budget_bytes - dev.nbytes // shards
+        # measured on v5e: XLA's top_k lowering holds ~5x the score tensor
+        # (sort operands + iota + masked copies); 6x leaves headroom
+        per_query = (n_pad // shards) * 4 * 6
+        max_b = max(8, int(score_budget // max(per_query, 1)) // 8 * 8)
+        if b > max_b:
+            out_s: List[List[float]] = []
+            out_i: List[List[str]] = []
+            for start in range(0, b, max_b):
+                chunk_i = q_idx[start:start + max_b]
+                chunk_w = q_w[start:start + max_b]
+                if chunk_i.shape[0] < max_b:  # keep one compiled shape
+                    pad_n = max_b - chunk_i.shape[0]
+                    chunk_i = np.concatenate(
+                        [chunk_i, np.zeros((pad_n, chunk_i.shape[1]),
+                                           chunk_i.dtype)])
+                    chunk_w = np.concatenate(
+                        [chunk_w, np.zeros((pad_n, chunk_w.shape[1]),
+                                           chunk_w.dtype)])
+                s_c, i_c = self.search_encoded(chunk_i, chunk_w, depth,
+                                               mesh=mesh, backend=backend)
+                take = min(max_b, b - start)
+                out_s.extend(s_c[:take])
+                out_i.extend(i_c[:take])
+            return out_s, out_i
         if use_taat:
             from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
                 QUERY_TILE, prepare_shared_tiles)

@@ -50,6 +50,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 QUERY_TILE = 8   # queries scored per grid step
 N_SLOTS = 16     # outstanding row DMAs (latency-hiding ring depth)
+# Single-block kernels hold [QT + N_SLOTS] row-sized buffers in VMEM; past
+# this many per-row elements (~130k doc columns) that exceeds the 16 MB VMEM
+# and the kernel switches to a column-blocked grid.
+MAX_SUB_SINGLE_BLOCK = 8192
 
 
 def _sublanes(dtype) -> int:
@@ -98,6 +102,48 @@ def _taat_kernel(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
     lax.fori_loop(0, total, body, 0, unroll=False)
 
 
+def _taat_kernel_blocked(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
+                         *, num_terms_per_query: int, sub_block: int):
+    """Column-blocked grid step: like ``_taat_kernel`` but each step scores
+    QUERY_TILE queries against ONE column block of ``sub_block`` lanes, so
+    the VMEM accumulator/ring stay bounded for arbitrarily wide corpora.
+    matrix_ref: [T+1, s, sub_total] in HBM; grid = (col_blocks, B/QT).
+    """
+    q_count = out_ref.shape[0]
+    total = q_count * num_terms_per_query
+    cb = pl.program_id(0)
+
+    def row_dma(slot, step):
+        q = step // num_terms_per_query
+        j = step % num_terms_per_query
+        row = qidx_ref[q, j]
+        return pltpu.make_async_copy(
+            matrix_ref.at[row, :, pl.ds(cb * sub_block, sub_block)],
+            rowbuf.at[slot], sems.at[slot])
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    for s in range(N_SLOTS):
+        @pl.when(s < total)
+        def _():
+            row_dma(s, s).start()
+
+    def body(step, _):
+        slot = step % N_SLOTS
+        row_dma(slot, step).wait()
+        q = step // num_terms_per_query
+        j = step % num_terms_per_query
+        w = qw_ref[q, j]
+        out_ref[q] = out_ref[q] + w * rowbuf[slot].astype(jnp.float32)
+
+        @pl.when(step + N_SLOTS < total)
+        def _():
+            row_dma(slot, step + N_SLOTS).start()
+        return 0
+
+    lax.fori_loop(0, total, body, 0, unroll=False)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def impact_scores_taat(
     matrix: jax.Array,   # [T+1, N] float32 or int16 impact matrix (row 0 = 0)
@@ -109,33 +155,77 @@ def impact_scores_taat(
     """[B, N] f32 impact scores via the term-at-a-time Pallas kernel.
 
     B must be a multiple of QUERY_TILE and N a multiple of the dtype's
-    aligned block (1024 for f32, 2048 for int16).
+    aligned block (1024 for f32, 2048 for int16). Corpora wider than
+    ``MAX_SUB_SINGLE_BLOCK`` per-row elements (~130k int16 doc columns)
+    take a column-blocked grid (bounded VMEM; each term row is DMA'd once
+    per column block).
     """
     b, q = q_idx.shape
-    t_rows, n = matrix.shape
     s = _sublanes(matrix.dtype)
+    if matrix.ndim == 3:
+        # already in kernel layout [T+1, s, sub] (ImpactIndex uploads the
+        # TAAT matrix pre-shaped: an in-jit reshape of the 2-D form is a
+        # PHYSICAL tiled-layout copy on TPU — 8 GB of HBM at 200k docs)
+        t_rows, s_in, sub = matrix.shape
+        assert s_in == s, f"kernel-layout sublanes {s_in} != {s}"
+        n = s * sub
+        matrix3 = matrix
+    else:
+        t_rows, n = matrix.shape
+        assert n % (s * 128) == 0, f"doc columns {n} % {s * 128} != 0"
+        sub = n // s
+        matrix3 = matrix.reshape(t_rows, s, sub)
     assert b % QUERY_TILE == 0, f"batch {b} % {QUERY_TILE} != 0"
-    assert n % (s * 128) == 0, f"doc columns {n} % {s * 128} != 0"
-    sub = n // s
-    matrix3 = matrix.reshape(t_rows, s, sub)
 
-    grid = (b // QUERY_TILE,)
-    kernel = functools.partial(_taat_kernel, num_terms_per_query=q)
+    if sub <= MAX_SUB_SINGLE_BLOCK:
+        grid = (b // QUERY_TILE,)
+        kernel = functools.partial(_taat_kernel, num_terms_per_query=q)
+        scores = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((QUERY_TILE, q), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((QUERY_TILE, q), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((QUERY_TILE, s, sub), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, s, sub), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((N_SLOTS, s, sub), matrix.dtype),
+                pltpu.SemaphoreType.DMA((N_SLOTS,)),
+            ],
+            interpret=interpret,
+        )(q_idx, q_w, matrix3)
+        return scores.reshape(b, n)
+
+    # column-blocked: pick the largest block that divides sub
+    sub_block = MAX_SUB_SINGLE_BLOCK
+    while sub % sub_block != 0:
+        sub_block //= 2
+    assert sub_block >= 128, f"cannot block sub={sub}"
+    n_blocks = sub // sub_block
+    grid = (n_blocks, b // QUERY_TILE)
+    kernel = functools.partial(_taat_kernel_blocked, num_terms_per_query=q,
+                               sub_block=sub_block)
     scores = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((QUERY_TILE, q), lambda i: (i, 0),
+            pl.BlockSpec((QUERY_TILE, q), lambda cb, i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((QUERY_TILE, q), lambda i: (i, 0),
+            pl.BlockSpec((QUERY_TILE, q), lambda cb, i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((QUERY_TILE, s, sub), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((QUERY_TILE, s, sub_block),
+                               lambda cb, i: (i, 0, cb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, sub), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((N_SLOTS, s, sub), matrix.dtype),
+            pltpu.VMEM((N_SLOTS, s, sub_block), matrix.dtype),
             pltpu.SemaphoreType.DMA((N_SLOTS,)),
         ],
         interpret=interpret,
@@ -207,11 +297,17 @@ def impact_scores_taat_shared(
     g, m = tile_terms.shape
     tile_terms = tile_terms.reshape(g, 1, m)
     qt = tile_weights.shape[2]
-    t_rows, n = matrix.shape
     s = _sublanes(matrix.dtype)
-    assert n % (s * 128) == 0, f"doc columns {n} % {s * 128} != 0"
-    sub = n // s
-    matrix3 = matrix.reshape(t_rows, s, sub)
+    if matrix.ndim == 3:  # pre-shaped kernel layout (see impact_scores_taat)
+        t_rows, s_in, sub = matrix.shape
+        assert s_in == s, f"kernel-layout sublanes {s_in} != {s}"
+        n = s * sub
+        matrix3 = matrix
+    else:
+        t_rows, n = matrix.shape
+        assert n % (s * 128) == 0, f"doc columns {n} % {s * 128} != 0"
+        sub = n // s
+        matrix3 = matrix.reshape(t_rows, s, sub)
 
     kernel = functools.partial(_taat_shared_kernel, qt=qt)
     scores = pl.pallas_call(

@@ -185,3 +185,29 @@ def test_taat_skips_padding_rows_bitexact():
         for j in range(5):
             exp[r] += q_w[r, j] * matrix[q_idx[r, j] + 1]
     np.testing.assert_array_equal(got, exp)
+
+
+def test_taat_column_blocked_matches_single_block(monkeypatch):
+    """Corpora wider than the VMEM budget take the column-blocked grid;
+    scores must be bit-identical to the single-block kernel."""
+    import mllm_sparse_retrieval_tpu.ops.impact_kernel as K
+
+    rng = np.random.default_rng(31)
+    t, n, b, q = 30, 4096, QUERY_TILE, 12  # int16: s=16, sub=256
+    matrix = np.zeros((t + 1, n), np.float32)
+    matrix[1:] = rng.integers(0, 300, size=(t, n)).astype(np.float32)
+    q_idx = rng.integers(0, t, size=(b, q)).astype(np.int32)
+    q_w = rng.integers(1, 200, size=(b, q)).astype(np.float32)
+    safe_idx, safe_w = prepare_query_arrays(q_idx, q_w)
+
+    ref = np.asarray(K.impact_scores_taat(
+        jnp.asarray(matrix.astype(np.int16)), jnp.asarray(safe_idx),
+        jnp.asarray(safe_w), interpret=True))
+    # force the blocked path: sub=256 > forced max 64 -> 4 column blocks
+    monkeypatch.setattr(K, "MAX_SUB_SINGLE_BLOCK", 64)
+    K.impact_scores_taat._clear_cache()
+    got = np.asarray(K.impact_scores_taat(
+        jnp.asarray(matrix.astype(np.int16)), jnp.asarray(safe_idx),
+        jnp.asarray(safe_w), interpret=True))
+    K.impact_scores_taat._clear_cache()
+    np.testing.assert_array_equal(got, ref)
