@@ -13,8 +13,12 @@ Candidate ids must be sorted ascending per row (as ``text_candidate_ids``
 returns them) so device tie-breaking (first occurrence wins in ``top_k``)
 matches the host golden implementation's ``(-value, index)`` stable sort.
 
-Expansion terms (``num_expanded_tokens > 0``) need per-sample exclusion sets
-over the filtered-id pool; that config keeps the host path.
+Expansion terms (``num_expanded_tokens > 0``): the device takes an
+over-provisioned top-(exp_k + exclusion_bound) over the filtered-id pool
+(``filtered_topk``); the host drops the per-sample excluded ids (selected
+top-k for images, caption candidates for text) and keeps the first exp_k —
+exact, because removing ≤ bound elements from a ranking leaves the remaining
+order intact.
 """
 
 from __future__ import annotations
@@ -58,6 +62,23 @@ def candidate_topk(
     ids = jnp.take_along_axis(cand_ids, pos, axis=1)
     counts = cand_mask.sum(axis=1).astype(jnp.int32)
     return vals, ids, counts
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def filtered_topk(
+    sparse_logits: jax.Array,   # [B, V] float
+    filtered_mask: jax.Array,   # [V] bool, True = expansion-eligible id
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k over the filtered-id pool only: (values [B,k], ids [B,k]).
+
+    Used for expansion terms: caller over-provisions k by its per-sample
+    exclusion bound and drops excluded ids on host.
+    """
+    k = min(k, sparse_logits.shape[1])
+    masked = jnp.where(filtered_mask[None, :],
+                       sparse_logits.astype(jnp.float32), NEG_INF)
+    return lax.top_k(masked, k)
 
 
 def pad_candidates(rows, pad_multiple: int = 64):

@@ -124,9 +124,9 @@ def encode_examples(
 
     ``device_select=True`` (default) runs the sparse top-k on device and
     transfers only ``[B, k]`` ids+values instead of the full ``[B, V]``
-    logits (ops/select.py) — bit-identical to the host golden path.
-    Expansion configs (``num_expanded_tokens > 0``) fall back to the host
-    path, which needs full-vocab logits.
+    logits (ops/select.py) — bit-identical to the host golden path,
+    including expansion configs (``num_expanded_tokens > 0``, served by an
+    over-provisioned ``filtered_topk`` + host-side exclusion).
     """
     vocab = tokenizer.get_vocab()
     id_to_token = {v: k for k, v in vocab.items()}
@@ -186,10 +186,20 @@ def encode_examples(
                 fixed_pos_ids = mrope_ids_for_batch(arch, fixed_ids,
                                                     fixed_mask)
 
-    use_device_select = device_select and sparse_cfg.num_expanded_tokens == 0
+    use_device_select = device_select
     k_image = sparse_cfg.sparse_length if sparse_cfg.sparse_manual else 128
     k_text_full = sparse_cfg.sparse_length if sparse_cfg.sparse_manual \
         else sparse_cfg.fallback_top_k
+    exp_k = sparse_cfg.num_expanded_tokens
+    filtered_mask_dev = None
+    if use_device_select and exp_k > 0:
+        import jax.numpy as jnp
+        fm = np.zeros(arch.text.vocab_size, bool)
+        fm[filtered_ids] = True
+        filtered_mask_dev = jnp.asarray(fm)
+        if mesh is not None:
+            from mllm_sparse_retrieval_tpu.parallel.mesh import replicated
+            filtered_mask_dev = replicated(mesh, filtered_mask_dev)
 
     # the Pallas flash kernel has no SPMD partitioning rule — only use it
     # on the single-chip path (llama.apply allow_flash)
@@ -208,22 +218,49 @@ def encode_examples(
         return sparse, normalize(dense)
 
     @jax.jit
-    def _encode_text_ds(p, l, ids, mask, cand_ids, cand_mask):
+    def _encode_text_ds(p, l, ids, mask, cand_ids, cand_mask, fmask):
         from mllm_sparse_retrieval_tpu.ops.select import (
-            candidate_topk, vocab_topk)
+            candidate_topk, filtered_topk, vocab_topk)
         sparse, dense = encode_any(p, arch, ids, mask, None, reps_loc, l,
                                    allow_flash=allow_flash)
         fv, fi = vocab_topk(sparse, k_text_full)
         cv, ci, cnt = candidate_topk(sparse, cand_ids, cand_mask, 128)
-        return fv, fi, cv, ci, cnt, normalize(dense)
+        exp = None
+        if fmask is not None:
+            # over-provision by the candidate width (the exclusion bound)
+            exp = filtered_topk(sparse, fmask, exp_k + cand_ids.shape[1])
+        return fv, fi, cv, ci, cnt, exp, normalize(dense)
 
     @jax.jit
-    def _encode_image_ds(p, l, ids, mask, pixels, pos):
-        from mllm_sparse_retrieval_tpu.ops.select import vocab_topk
+    def _encode_image_ds(p, l, ids, mask, pixels, pos, fmask):
+        from mllm_sparse_retrieval_tpu.ops.select import (
+            filtered_topk, vocab_topk)
         sparse, dense = encode_any(p, arch, ids, mask, pixels, reps_loc, l,
                                    position_ids=pos, allow_flash=allow_flash)
         fv, fi = vocab_topk(sparse, k_image)
-        return fv, fi, normalize(dense)
+        exp = None
+        if fmask is not None:
+            exp = filtered_topk(sparse, fmask, exp_k + k_image)
+        return fv, fi, exp, normalize(dense)
+
+    def _expand_terms(t_ids, t_vals, excl_ids, exp_row):
+        """Append exp_k expansion terms: first exp_k ranked filtered ids not
+        in ``excl_ids`` (golden: setdiff1d + topk — same order)."""
+        ev, ei = exp_row
+        excl = set(int(x) for x in excl_ids)
+        neg_inf = np.finfo(np.float32).min
+        add_ids, add_vals = [], []
+        for v, i in zip(ev, ei):
+            if len(add_ids) >= exp_k or v <= neg_inf / 2:
+                break
+            if int(i) in excl:
+                continue
+            add_ids.append(int(i))
+            add_vals.append(float(v))
+        if not add_ids:
+            return t_ids, t_vals
+        return (np.concatenate([t_ids, np.asarray(add_ids, np.int32)]),
+                np.concatenate([t_vals, np.asarray(add_vals, np.float32)]))
 
     from mllm_sparse_retrieval_tpu.sparse.term_selection import (
         quantize_weights, text_candidate_ids)
@@ -318,14 +355,18 @@ def encode_examples(
 
         if encode_type == "text":
             ids, mask, cand_ids, cand_mask = host
+            host_cand_ids, host_cand_mask = cand_ids, cand_mask
             ids, mask = _shard(ids, mask)
             if use_device_select:
                 cand_ids, cand_mask = _shard(cand_ids, cand_mask)
-                fv, fi, cv, ci, cnt, dense = _encode_text_ds(
-                    params, lora, ids, mask, cand_ids, cand_mask)
+                fv, fi, cv, ci, cnt, exp, dense = _encode_text_ds(
+                    params, lora, ids, mask, cand_ids, cand_mask,
+                    filtered_mask_dev)
                 fv, fi = np.asarray(fv), np.asarray(fi)
                 cv, ci = np.asarray(cv), np.asarray(ci)
                 cnt = np.asarray(cnt)
+                if exp is not None:
+                    exp = (np.asarray(exp[0]), np.asarray(exp[1]))
                 for b in range(valid):
                     if cnt[b] == 0:
                         take = sparse_cfg.fallback_top_k
@@ -335,6 +376,11 @@ def encode_examples(
                     else:
                         take = min(int(cnt[b]), 128)
                         t_ids, t_vals = ci[b][:take], cv[b][:take]
+                    if exp is not None:
+                        # golden excludes the caption's candidate ids
+                        excl = host_cand_ids[b][host_cand_mask[b]]
+                        t_ids, t_vals = _expand_terms(
+                            t_ids, t_vals, excl, (exp[0][b], exp[1][b]))
                     batch_terms.append(SelectedTerms(
                         t_ids.astype(np.int32),
                         quantize_weights(t_vals,
@@ -350,13 +396,21 @@ def encode_examples(
             b_ids, b_mask, pixels, _ = host
             b_ids, b_mask, pixels = _shard(b_ids, b_mask, pixels)
             if use_device_select:
-                fv, fi, dense = _encode_image_ds(params, lora, b_ids, b_mask,
-                                                 pixels, fixed_pos_ids)
+                fv, fi, exp, dense = _encode_image_ds(
+                    params, lora, b_ids, b_mask, pixels, fixed_pos_ids,
+                    filtered_mask_dev)
                 fv, fi = np.asarray(fv), np.asarray(fi)
+                if exp is not None:
+                    exp = (np.asarray(exp[0]), np.asarray(exp[1]))
                 for b in range(valid):
+                    t_ids, t_vals = fi[b], fv[b]
+                    if exp is not None:
+                        # image expansion excludes the selected top-k ids
+                        t_ids, t_vals = _expand_terms(
+                            t_ids, t_vals, t_ids, (exp[0][b], exp[1][b]))
                     batch_terms.append(SelectedTerms(
-                        fi[b].astype(np.int32),
-                        quantize_weights(fv[b],
+                        t_ids.astype(np.int32),
+                        quantize_weights(t_vals,
                                          sparse_cfg.quantization_scale)))
             else:
                 sparse_logits, dense = _encode_image(

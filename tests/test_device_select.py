@@ -84,7 +84,10 @@ def test_pipeline_device_select_parity(encode_type, manual):
 
 
 @needs_data
-def test_expansion_config_falls_back_to_host_path():
+def test_expansion_device_path_matches_host_golden():
+    """num_expanded_tokens > 0 runs on device (filtered_topk + host
+    exclusion) and must reproduce the host golden path bit-for-bit, for
+    both modalities."""
     from mllm_sparse_retrieval_tpu.data import CrossModalCorpus
     from mllm_sparse_retrieval_tpu.models import build_model
     from mllm_sparse_retrieval_tpu.pipelines.encode import encode_examples
@@ -95,8 +98,22 @@ def test_expansion_config_falls_back_to_host_path():
         ModelConfig(family=ModelFamily.TINY_DEBUG, dtype="float32"),
         captions=caps)
     scfg = SparseConfig(num_expanded_tokens=4)
-    res = encode_examples(corpus.examples_full()[:4], params, arch, tok,
-                          template, encode_type="text", sparse_cfg=scfg,
-                          batch_size=4, device_select=True)
-    # expansion terms present -> selection produced more than candidates alone
-    assert all(len(v) > 0 for v in res.sparse_vectors)
+    for encode_type, examples in (
+        ("text", corpus.examples_full()[:6]),
+        ("image", corpus.examples_single()[:6]),
+    ):
+        dev = encode_examples(examples, params, arch, tok, template,
+                              encode_type=encode_type, sparse_cfg=scfg,
+                              batch_size=3, device_select=True)
+        host = encode_examples(examples, params, arch, tok, template,
+                               encode_type=encode_type, sparse_cfg=scfg,
+                               batch_size=3, device_select=False)
+        assert dev.sparse_vectors == host.sparse_vectors, encode_type
+        assert dev.query_weights == host.query_weights, encode_type
+        # expansion actually added terms beyond the base selection
+        base = encode_examples(examples, params, arch, tok, template,
+                               encode_type=encode_type,
+                               sparse_cfg=SparseConfig(),
+                               batch_size=3, device_select=True)
+        assert any(len(a) > len(b) for a, b in
+                   zip(dev.sparse_vectors, base.sparse_vectors)), encode_type
