@@ -49,7 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QUERY_TILE = 8   # queries scored per grid step
-N_SLOTS = 16     # outstanding row DMAs (latency-hiding ring depth)
+N_SLOTS = 16     # outstanding row DMAs (latency-hiding ring depth; 32 measured no better — the floor is per-DMA scalar issue cost, not outstanding depth)
 # Single-block kernels hold [QT + N_SLOTS] row-sized buffers in VMEM; past
 # this many per-row elements (~130k doc columns) that exceeds the 16 MB VMEM
 # and the kernel switches to a column-blocked grid.
