@@ -31,6 +31,10 @@ def main(argv=None):
                         help="few-shot train CSV size (scripts/train.sh)")
     parser.add_argument("--learning-rate", type=float, default=5e-5)
     parser.add_argument("--num-epochs", type=int, default=5)
+    parser.add_argument("--lr-schedule", default="linear",
+                        choices=["linear", "constant"],
+                        help="HF Trainer defaults to linear decay; the "
+                             "reference trains with it implicitly")
     parser.add_argument("--tau", type=float, default=0.05)
     parser.add_argument("--lora-rank", type=int, default=8)
     parser.add_argument("--lora-alpha", type=float, default=16)
@@ -64,8 +68,11 @@ def main(argv=None):
         model_config_from_args(args), captions=captions)
     mesh = make_mesh(model_parallel=args.model_parallel) if args.mesh else None
 
+    steps_per_epoch = max(len(corpus.examples_single()) // args.batch_size, 1)
     tcfg = TrainConfig(
         learning_rate=args.learning_rate, num_epochs=args.num_epochs,
+        lr_schedule=args.lr_schedule,
+        total_steps=steps_per_epoch * args.num_epochs,
         tau=args.tau, lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
         gather_save_gradient=not args.no_gather_gradient,
         train_vision_lora=args.train_vision_lora,

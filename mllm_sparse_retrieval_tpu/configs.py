@@ -114,6 +114,11 @@ class TrainConfig:
     train_projector_lora: bool = False
     weight_decay: float = 0.0
     warmup_steps: int = 0
+    # 'linear' reproduces HF Trainer's default lr_scheduler_type (decay to 0
+    # over total_steps — the reference trains with it implicitly,
+    # src/train.py never overrides it); 'constant' holds learning_rate.
+    lr_schedule: str = "constant"
+    total_steps: int = 0                  # required for 'linear' decay
     seed: int = 0
     shard_optimizer_state: bool = True    # ZeRO-1 equivalent over the data axis
     shard_params_data_axis: bool = False  # ZeRO-3/FSDP equivalent (ds_configs/zero3.json)

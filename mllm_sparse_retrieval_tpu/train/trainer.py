@@ -146,10 +146,26 @@ class ContrastiveTrainer:
         self.step = 0
         self.loss_history: List[float] = []
 
-        schedule = cfg.learning_rate
-        if cfg.warmup_steps > 0:
-            schedule = optax.linear_schedule(
-                0.0, cfg.learning_rate, cfg.warmup_steps)
+        if cfg.lr_schedule == "linear":
+            # HF Trainer's default scheduler (the reference never overrides
+            # it): optional linear warmup, then linear decay to 0.
+            if cfg.total_steps <= 0:
+                raise ValueError("lr_schedule='linear' needs total_steps")
+            decay = optax.linear_schedule(
+                cfg.learning_rate, 0.0,
+                max(cfg.total_steps - cfg.warmup_steps, 1))
+            if cfg.warmup_steps > 0:
+                schedule = optax.join_schedules(
+                    [optax.linear_schedule(0.0, cfg.learning_rate,
+                                           cfg.warmup_steps), decay],
+                    [cfg.warmup_steps])
+            else:
+                schedule = decay
+        else:
+            schedule = cfg.learning_rate
+            if cfg.warmup_steps > 0:
+                schedule = optax.linear_schedule(
+                    0.0, cfg.learning_rate, cfg.warmup_steps)
         self.tx = optax.adamw(schedule, weight_decay=cfg.weight_decay) \
             if cfg.weight_decay > 0 else optax.adam(schedule)
 

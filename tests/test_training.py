@@ -283,3 +283,24 @@ def test_remat_training_matches_no_remat(tiny_setup):
         trainer = ContrastiveTrainer(params, arch, adapters, tcfg)
         runs[remat] = [trainer.train_on_batch(batch) for _ in range(3)]
     np.testing.assert_allclose(runs[True], runs[False], rtol=1e-5)
+
+
+def test_linear_lr_schedule_decays_to_zero(tiny_setup):
+    """lr_schedule='linear' (the reference's implicit HF default) decays to
+    ~0 by total_steps; training still improves early."""
+    params, arch, tok, template, examples = tiny_setup
+    tcfg = TrainConfig(learning_rate=3e-3, tau=0.1, lr_schedule="linear",
+                       total_steps=10, shard_optimizer_state=False)
+    adapters = lora_lib.init_lora(jax.random.PRNGKey(0), params, arch,
+                                  rank=4, alpha=8)
+    trainer = ContrastiveTrainer(params, arch, adapters, tcfg)
+    collate = make_collator(tok, template, arch)
+    batch = collate(examples)
+    losses = [trainer.train_on_batch(batch) for _ in range(12)]
+    assert losses[5] < losses[0]
+    # after total_steps the lr is ~0 -> loss stops moving
+    assert abs(losses[-1] - losses[-2]) < 1e-4
+
+    with pytest.raises(ValueError, match="total_steps"):
+        ContrastiveTrainer(params, arch, adapters,
+                           TrainConfig(lr_schedule="linear"))
