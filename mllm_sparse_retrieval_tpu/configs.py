@@ -119,6 +119,9 @@ class TrainConfig:
     # src/train.py never overrides it); 'constant' holds learning_rate.
     lr_schedule: str = "constant"
     total_steps: int = 0                  # required for 'linear' decay
+    # HF Trainer's implicit default (max_grad_norm=1.0) — the reference
+    # trains with global-norm clipping; 0 disables.
+    max_grad_norm: float = 1.0
     seed: int = 0
     shard_optimizer_state: bool = True    # ZeRO-1 equivalent over the data axis
     shard_params_data_axis: bool = False  # ZeRO-3/FSDP equivalent (ds_configs/zero3.json)

@@ -166,8 +166,14 @@ class ContrastiveTrainer:
             if cfg.warmup_steps > 0:
                 schedule = optax.linear_schedule(
                     0.0, cfg.learning_rate, cfg.warmup_steps)
-        self.tx = optax.adamw(schedule, weight_decay=cfg.weight_decay) \
+        opt = optax.adamw(schedule, weight_decay=cfg.weight_decay) \
             if cfg.weight_decay > 0 else optax.adam(schedule)
+        if cfg.max_grad_norm and cfg.max_grad_norm > 0:
+            # HF Trainer clips gradients to global norm 1.0 by default; the
+            # reference never overrides it
+            opt = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                              opt)
+        self.tx = opt
 
         if mesh is not None:
             if cfg.shard_params_data_axis:
