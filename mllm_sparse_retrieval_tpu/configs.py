@@ -109,6 +109,11 @@ class TrainConfig:
     gather_save_gradient: bool = True     # grads flow through gathered negatives
     lora_rank: int = 8
     lora_alpha: int = 16
+    # declared for recipe parity (scripts/train.sh --lora_dropout 0.1) but
+    # NOT applied: the functional LoRA path is deterministic (no PRNG is
+    # threaded through the forward). A conscious deviation — dropout on
+    # rank-8 adapters over a 200-image/5-epoch finetune is a weak
+    # regularizer; revisit if real-weights runs show overfitting.
     lora_dropout: float = 0.1
     train_vision_lora: bool = False
     train_projector_lora: bool = False
