@@ -246,3 +246,38 @@ def test_anyres_1x1_grid_parity():
         params, arch, jnp.asarray(ids.astype(np.int32)),
         jnp.asarray(mask.astype(np.int32)), vision_input))
     np.testing.assert_allclose(hidden[0], hf_hidden[0], rtol=5e-4, atol=5e-5)
+
+
+def test_anyres_layout_math_fuzz_vs_hf():
+    """Fuzz grid choice + unpad arithmetic + token counts against HF's own
+    utilities across random original sizes (no model forward needed)."""
+    import torch as _torch
+    from transformers.models.llava_next.modeling_llava_next import (
+        get_anyres_image_grid_shape, unpad_image)
+
+    pps = TILE // PATCH
+    rng = np.random.default_rng(123)
+    for _ in range(60):
+        h = int(rng.integers(8, 400))
+        w = int(rng.integers(8, 400))
+        nph, npw = A.grid_shape((h, w), PINPOINTS, TILE)
+        hf_nph, hf_npw = get_anyres_image_grid_shape(
+            (h, w), [list(p) for p in PINPOINTS], TILE)
+        assert (nph, npw) == (hf_nph, hf_npw), (h, w)
+
+        # unpad dims vs HF unpad_image on a marker tensor
+        cur_h, cur_w = nph * pps, npw * pps
+        marker = _torch.arange(cur_h * cur_w, dtype=_torch.float32
+                               ).reshape(1, cur_h, cur_w)
+        cropped = unpad_image(marker, (h, w))
+        h2, w2, pad_t, pad_l = A.unpad_dims((h, w), (cur_h, cur_w))
+        assert cropped.shape[1:] == (h2, w2), (h, w)
+        if h2 > 0 and w2 > 0:
+            # crop offsets match: top-left element identity
+            assert float(cropped[0, 0, 0]) == float(marker[0, pad_t, pad_l])
+
+        n_tok = A.num_image_tokens((h, w), PINPOINTS, TILE, pps)
+        assert n_tok == pps * pps + h2 * (w2 + 1)
+        idx, n2 = A.feature_index((h, w), PINPOINTS, TILE, pps, 5, 88)
+        assert n2 == n_tok <= 88
+        assert idx.max() <= 5 * pps * pps
