@@ -68,11 +68,12 @@ def main(argv=None):
         model_config_from_args(args), captions=captions)
     mesh = make_mesh(model_parallel=args.model_parallel) if args.mesh else None
 
-    steps_per_epoch = max(len(corpus.examples_single()) // args.batch_size, 1)
+    total_steps = ContrastiveTrainer.total_train_steps(
+        len(corpus.examples_single()), args.batch_size, args.num_epochs)
     tcfg = TrainConfig(
         learning_rate=args.learning_rate, num_epochs=args.num_epochs,
-        lr_schedule=args.lr_schedule,
-        total_steps=steps_per_epoch * args.num_epochs,
+        lr_schedule=args.lr_schedule if total_steps > 0 else "constant",
+        total_steps=total_steps,
         tau=args.tau, lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
         gather_save_gradient=not args.no_gather_gradient,
         train_vision_lora=args.train_vision_lora,

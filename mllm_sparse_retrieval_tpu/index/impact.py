@@ -258,10 +258,13 @@ class ImpactIndex:
         if dtype == "i16":
             matrix = matrix.astype(np.int16)
             if mesh is None:
-                # upload pre-shaped to the TAAT kernel layout [T+1, 16, sub]
+                # upload pre-shaped to the TAAT kernel layout [T+1, s, sub]
                 # (free on host — row-major view; an in-jit reshape would be
                 # a full tiled-layout copy in HBM)
-                matrix = matrix.reshape(t + 1, 16, n_pad // 16)
+                from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
+                    _sublanes)
+                s_lanes = _sublanes(matrix.dtype)
+                matrix = matrix.reshape(t + 1, s_lanes, n_pad // s_lanes)
 
         if mesh is None:
             dev = jnp.asarray(matrix)
@@ -358,7 +361,8 @@ class ImpactIndex:
         # beside the matrix; wide corpora chunk the query batch.
         n_pad = int(np.prod(dev.shape[1:]))  # dev may be kernel-layout 3-D
         shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
-        score_budget = self.hbm_budget_bytes - dev.nbytes // shards
+        resident = sum(d.nbytes for d in self._dev.values())  # ALL cached forms
+        score_budget = self.hbm_budget_bytes - resident // shards
         # measured on v5e: XLA's top_k lowering holds ~5x the score tensor
         # (sort operands + iota + masked copies); 6x leaves headroom
         per_query = (n_pad // shards) * 4 * 6

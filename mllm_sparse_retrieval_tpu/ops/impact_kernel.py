@@ -144,6 +144,21 @@ def _taat_kernel_blocked(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
     lax.fori_loop(0, total, body, 0, unroll=False)
 
 
+def _as_kernel_layout(matrix):
+    """Normalize a 2-D [T+1, N] or pre-shaped 3-D [T+1, s, sub] matrix to
+    the kernel layout; returns (matrix3, n). An in-jit reshape of a 2-D
+    DEVICE matrix is a physical tiled-layout copy on TPU, so ImpactIndex
+    uploads the TAAT form pre-shaped."""
+    s = _sublanes(matrix.dtype)
+    if matrix.ndim == 3:
+        t_rows, s_in, sub = matrix.shape
+        assert s_in == s, f"kernel-layout sublanes {s_in} != {s}"
+        return matrix, s * sub
+    t_rows, n = matrix.shape
+    assert n % (s * 128) == 0, f"doc columns {n} % {s * 128} != 0"
+    return matrix.reshape(t_rows, s, n // s), n
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def impact_scores_taat(
     matrix: jax.Array,   # [T+1, N] float32 or int16 impact matrix (row 0 = 0)
@@ -162,19 +177,8 @@ def impact_scores_taat(
     """
     b, q = q_idx.shape
     s = _sublanes(matrix.dtype)
-    if matrix.ndim == 3:
-        # already in kernel layout [T+1, s, sub] (ImpactIndex uploads the
-        # TAAT matrix pre-shaped: an in-jit reshape of the 2-D form is a
-        # PHYSICAL tiled-layout copy on TPU — 8 GB of HBM at 200k docs)
-        t_rows, s_in, sub = matrix.shape
-        assert s_in == s, f"kernel-layout sublanes {s_in} != {s}"
-        n = s * sub
-        matrix3 = matrix
-    else:
-        t_rows, n = matrix.shape
-        assert n % (s * 128) == 0, f"doc columns {n} % {s * 128} != 0"
-        sub = n // s
-        matrix3 = matrix.reshape(t_rows, s, sub)
+    matrix3, n = _as_kernel_layout(matrix)
+    sub = n // s
     assert b % QUERY_TILE == 0, f"batch {b} % {QUERY_TILE} != 0"
 
     if sub <= MAX_SUB_SINGLE_BLOCK:
@@ -298,16 +302,8 @@ def impact_scores_taat_shared(
     tile_terms = tile_terms.reshape(g, 1, m)
     qt = tile_weights.shape[2]
     s = _sublanes(matrix.dtype)
-    if matrix.ndim == 3:  # pre-shaped kernel layout (see impact_scores_taat)
-        t_rows, s_in, sub = matrix.shape
-        assert s_in == s, f"kernel-layout sublanes {s_in} != {s}"
-        n = s * sub
-        matrix3 = matrix
-    else:
-        t_rows, n = matrix.shape
-        assert n % (s * 128) == 0, f"doc columns {n} % {s * 128} != 0"
-        sub = n // s
-        matrix3 = matrix.reshape(t_rows, s, sub)
+    matrix3, n = _as_kernel_layout(matrix)
+    sub = n // s
 
     kernel = functools.partial(_taat_shared_kernel, qt=qt)
     scores = pl.pallas_call(

@@ -188,8 +188,10 @@ def encode_examples(
 
     use_device_select = device_select
     k_image = sparse_cfg.sparse_length if sparse_cfg.sparse_manual else 128
-    k_text_full = sparse_cfg.sparse_length if sparse_cfg.sparse_manual \
-        else sparse_cfg.fallback_top_k
+    # full-vocab top-k must cover BOTH consumers: manual-mode selection
+    # (sparse_length) and the no-candidates fallback (fallback_top_k)
+    k_text_full = max(sparse_cfg.sparse_length if sparse_cfg.sparse_manual
+                      else 0, sparse_cfg.fallback_top_k)
     exp_k = sparse_cfg.num_expanded_tokens
     filtered_mask_dev = None
     if use_device_select and exp_k > 0:
@@ -372,7 +374,8 @@ def encode_examples(
                         take = sparse_cfg.fallback_top_k
                         t_ids, t_vals = fi[b][:take], fv[b][:take]
                     elif sparse_cfg.sparse_manual:
-                        t_ids, t_vals = fi[b], fv[b]
+                        take = sparse_cfg.sparse_length
+                        t_ids, t_vals = fi[b][:take], fv[b][:take]
                     else:
                         take = min(int(cnt[b]), 128)
                         t_ids, t_vals = ci[b][:take], cv[b][:take]

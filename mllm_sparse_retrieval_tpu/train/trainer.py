@@ -124,6 +124,16 @@ def zero1_shardings(tree, mesh: Mesh):
 class ContrastiveTrainer:
     """LoRA-only contrastive fine-tuning on a mesh."""
 
+    @staticmethod
+    def total_train_steps(n_examples: int, batch_size: int,
+                          num_epochs: int) -> int:
+        """Step count of ``train()``'s loop (drop-last batching) — the value
+        to put in ``TrainConfig.total_steps`` for the linear lr schedule.
+        Owned here so the schedule can never drift from the loop."""
+        per_epoch = max((n_examples - batch_size) // batch_size + 1, 0) \
+            if n_examples >= batch_size else 0
+        return per_epoch * num_epochs
+
     def __init__(
         self,
         params: Dict,

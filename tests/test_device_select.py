@@ -117,3 +117,34 @@ def test_expansion_device_path_matches_host_golden():
                                batch_size=3, device_select=True)
         assert any(len(a) > len(b) for a, b in
                    zip(dev.sparse_vectors, base.sparse_vectors)), encode_type
+
+
+@needs_data
+def test_manual_mode_stopword_caption_fallback_parity():
+    """sparse_manual with sparse_length < fallback_top_k and an all-stopword
+    caption: the fallback must still emit fallback_top_k full-vocab terms on
+    the device path (review finding: the device batch truncated to
+    sparse_length)."""
+    from mllm_sparse_retrieval_tpu.data import CrossModalCorpus
+    from mllm_sparse_retrieval_tpu.data.karpathy import Example
+    from mllm_sparse_retrieval_tpu.models import build_model
+    from mllm_sparse_retrieval_tpu.pipelines.encode import encode_examples
+
+    corpus = CrossModalCorpus("flickr", "test", DATA_ROOT)
+    caps = [corpus.text_dict[t] for t in corpus.text_id_list[:100]]
+    params, arch, tok, template = build_model(
+        ModelConfig(family=ModelFamily.TINY_DEBUG, dtype="float32"),
+        captions=caps)
+    scfg = SparseConfig(sparse_manual=True, sparse_length=5, fallback_top_k=10)
+    examples = [
+        Example("and the of a", "/none.jpg", "t0", "i0"),  # all stopwords
+        Example(caps[0], "/none.jpg", "t1", "i1"),
+    ]
+    dev = encode_examples(examples, params, arch, tok, template,
+                          encode_type="text", sparse_cfg=scfg,
+                          batch_size=2, device_select=True)
+    host = encode_examples(examples, params, arch, tok, template,
+                           encode_type="text", sparse_cfg=scfg,
+                           batch_size=2, device_select=False)
+    assert dev.sparse_vectors == host.sparse_vectors
+    assert len(dev.sparse_vectors[1]) <= 5  # manual rows keep sparse_length
