@@ -61,21 +61,26 @@ def _sublanes(dtype) -> int:
 
 
 def _taat_kernel(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
-                 *, num_terms_per_query: int):
-    """One grid step: score QUERY_TILE queries against all N doc columns.
+                 *, num_terms_per_query: int, sub_block: int, n_blocks: int):
+    """One grid step: score QUERY_TILE queries against one column block.
 
-    matrix_ref: [T+1, s, N/s] in HBM; out_ref: [QT, s, N/s] f32 in VMEM;
-    rowbuf: [N_SLOTS, s, N/s] ring in VMEM (matrix dtype).
+    matrix_ref: [T+1, s, sub_total] in HBM; out_ref: [QT, s, sub_block] f32
+    in VMEM; rowbuf: [N_SLOTS, s, sub_block] ring (matrix dtype); grid =
+    (n_blocks, B/QT). ``n_blocks == 1`` (corpora within the VMEM budget)
+    specializes to static full-row DMAs; wider corpora slice each posting
+    row per column block so VMEM stays bounded.
     """
     q_count = out_ref.shape[0]
     total = q_count * num_terms_per_query
+    cb = None if n_blocks == 1 else pl.program_id(0)
 
     def row_dma(slot, step):
         q = step // num_terms_per_query
         j = step % num_terms_per_query
         row = qidx_ref[q, j]
-        return pltpu.make_async_copy(
-            matrix_ref.at[row], rowbuf.at[slot], sems.at[slot])
+        src = matrix_ref.at[row] if cb is None else \
+            matrix_ref.at[row, :, pl.ds(cb * sub_block, sub_block)]
+        return pltpu.make_async_copy(src, rowbuf.at[slot], sems.at[slot])
 
     out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -94,48 +99,6 @@ def _taat_kernel(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
         out_ref[q] = out_ref[q] + w * rowbuf[slot].astype(jnp.float32)
         # refill this slot for the step N_SLOTS ahead (issued after the read
         # above in program order — no WAR on the ring entry)
-        @pl.when(step + N_SLOTS < total)
-        def _():
-            row_dma(slot, step + N_SLOTS).start()
-        return 0
-
-    lax.fori_loop(0, total, body, 0, unroll=False)
-
-
-def _taat_kernel_blocked(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
-                         *, num_terms_per_query: int, sub_block: int):
-    """Column-blocked grid step: like ``_taat_kernel`` but each step scores
-    QUERY_TILE queries against ONE column block of ``sub_block`` lanes, so
-    the VMEM accumulator/ring stay bounded for arbitrarily wide corpora.
-    matrix_ref: [T+1, s, sub_total] in HBM; grid = (col_blocks, B/QT).
-    """
-    q_count = out_ref.shape[0]
-    total = q_count * num_terms_per_query
-    cb = pl.program_id(0)
-
-    def row_dma(slot, step):
-        q = step // num_terms_per_query
-        j = step % num_terms_per_query
-        row = qidx_ref[q, j]
-        return pltpu.make_async_copy(
-            matrix_ref.at[row, :, pl.ds(cb * sub_block, sub_block)],
-            rowbuf.at[slot], sems.at[slot])
-
-    out_ref[:] = jnp.zeros_like(out_ref)
-
-    for s in range(N_SLOTS):
-        @pl.when(s < total)
-        def _():
-            row_dma(s, s).start()
-
-    def body(step, _):
-        slot = step % N_SLOTS
-        row_dma(slot, step).wait()
-        q = step // num_terms_per_query
-        j = step % num_terms_per_query
-        w = qw_ref[q, j]
-        out_ref[q] = out_ref[q] + w * rowbuf[slot].astype(jnp.float32)
-
         @pl.when(step + N_SLOTS < total)
         def _():
             row_dma(slot, step + N_SLOTS).start()
@@ -181,39 +144,17 @@ def impact_scores_taat(
     sub = n // s
     assert b % QUERY_TILE == 0, f"batch {b} % {QUERY_TILE} != 0"
 
-    if sub <= MAX_SUB_SINGLE_BLOCK:
-        grid = (b // QUERY_TILE,)
-        kernel = functools.partial(_taat_kernel, num_terms_per_query=q)
-        scores = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((QUERY_TILE, q), lambda i: (i, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((QUERY_TILE, q), lambda i: (i, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec((QUERY_TILE, s, sub), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, s, sub), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((N_SLOTS, s, sub), matrix.dtype),
-                pltpu.SemaphoreType.DMA((N_SLOTS,)),
-            ],
-            interpret=interpret,
-        )(q_idx, q_w, matrix3)
-        return scores.reshape(b, n)
-
-    # column-blocked: pick the largest block that divides sub
-    sub_block = MAX_SUB_SINGLE_BLOCK
+    # column-blocked when one block would exceed the VMEM budget: pick the
+    # largest block dividing sub (n_blocks == 1 specializes to static
+    # full-row DMAs inside the kernel)
+    sub_block = min(sub, MAX_SUB_SINGLE_BLOCK)
     while sub % sub_block != 0:
         sub_block //= 2
     assert sub_block >= 128, f"cannot block sub={sub}"
     n_blocks = sub // sub_block
     grid = (n_blocks, b // QUERY_TILE)
-    kernel = functools.partial(_taat_kernel_blocked, num_terms_per_query=q,
-                               sub_block=sub_block)
+    kernel = functools.partial(_taat_kernel, num_terms_per_query=q,
+                               sub_block=sub_block, n_blocks=n_blocks)
     scores = pl.pallas_call(
         kernel,
         grid=grid,
