@@ -89,7 +89,7 @@ def bench_tpu(doc_terms, doc_weights, q_idx, q_w):
     build_s = time.time() - t0
     t0 = time.time()
     dtype = "i16" if index._int16_exact() else "f32"
-    dev = index._materialize(None, dtype)  # TAAT storage form
+    dev = index._materialize(None, dtype, kernel_layout=True)  # TAAT form
     log(f"index build: {build_s:.2f}s CSR + {time.time() - t0:.2f}s "
         f"HBM placement ({dev.shape} {dev.dtype}, "
         f"{dev.nbytes / 1e9:.2f} GB)")

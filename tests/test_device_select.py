@@ -79,8 +79,16 @@ def test_pipeline_device_select_parity(encode_type, manual):
                            batch_size=4, device_select=False)
     assert dev.ids == host.ids
     assert dev.sparse_vectors == host.sparse_vectors
-    assert dev.query_weights == host.query_weights
     np.testing.assert_allclose(dev.dense, host.dense, rtol=1e-6)
+    # query-form artifacts (is_query=True builds query_weights instead)
+    devq = encode_examples(examples[:4], params, arch, tok, template,
+                           encode_type=encode_type, sparse_cfg=scfg,
+                           batch_size=4, device_select=True, is_query=True)
+    hostq = encode_examples(examples[:4], params, arch, tok, template,
+                            encode_type=encode_type, sparse_cfg=scfg,
+                            batch_size=4, device_select=False, is_query=True)
+    assert devq.query_weights == hostq.query_weights
+    assert devq.sparse_vectors == [] and devq.query_weights
 
 
 @needs_data
@@ -109,7 +117,6 @@ def test_expansion_device_path_matches_host_golden():
                                encode_type=encode_type, sparse_cfg=scfg,
                                batch_size=3, device_select=False)
         assert dev.sparse_vectors == host.sparse_vectors, encode_type
-        assert dev.query_weights == host.query_weights, encode_type
         # expansion actually added terms beyond the base selection
         base = encode_examples(examples, params, arch, tok, template,
                                encode_type=encode_type,

@@ -247,9 +247,46 @@ def test_hbm_budget_guard():
     index.hbm_budget_bytes = 1024  # force the guard
     with pytest.raises(MemoryError, match="Column-shard"):
         index.search([{"t0": 1}], depth=2)
-    index.hbm_budget_bytes = ImpactIndex.hbm_budget_bytes
+    index.hbm_budget_bytes = ImpactIndex.DEFAULT_HBM_BUDGET_BYTES
     s, i = index.search([{"t0": 1}], depth=2)
     assert i[0][0] in {f"d{k}" for k in range(4)}
+
+
+def test_f32_taat_uploads_kernel_layout():
+    """Non-int16-exact weights on the single-chip TAAT path get the same
+    pre-shaped [T+1, s, sub] upload as i16 (ADVICE r2) — no in-jit relayout."""
+    index = ImpactIndex()
+    index.add("a", {"x": 40000, "y": 3})  # > int16 -> f32 storage
+    index.add("b", {"y": 7})
+    index.finalize()
+    s, i = index.search([{"x": 1, "y": 2}], depth=3, backend="taat")
+    assert s[0] == [40006.0, 14.0] and i[0] == ["a", "b"]
+    dev = index._dev["f32/kernel"]
+    assert dev.ndim == 3 and dev.shape[1] == 8  # f32 sublanes
+    # the matmul path still gets (and caches) the flat 2-D form
+    index.search([{"y": 2}], depth=3, backend="matmul")
+    assert index._dev["f32"].ndim == 2
+
+
+def test_taat_shared_falls_back_when_too_wide(monkeypatch):
+    """backend='taat-shared' on a corpus wider than the shared kernel's VMEM
+    budget silently uses the column-blocked 'taat' kernel (ADVICE r2)."""
+    import mllm_sparse_retrieval_tpu.ops.impact_kernel as K
+
+    rng = np.random.default_rng(17)
+    vocab = np.array([f"t{i}" for i in range(30)])
+    # > 2048 docs -> n_pad 4096 -> i16 sub = 256 > the forced budget of 128
+    docs = random_docs(rng, 2100, vocab, 6)
+    index = ImpactIndex()
+    index.add_many(docs)
+    index.finalize()
+    queries = [dict(zip(rng.choice(vocab, 4, replace=False).tolist(),
+                        rng.integers(1, 50, 4).tolist())) for _ in range(3)]
+    s_mm, i_mm = index.search(queries, depth=10, backend="matmul")
+    monkeypatch.setattr(K, "MAX_SUB_SINGLE_BLOCK", 128)  # force "too wide"
+    index.drop_device_cache()
+    s_sh, i_sh = index.search(queries, depth=10, backend="taat-shared")
+    assert (s_sh, i_sh) == (s_mm, i_mm)
 
 
 def test_taat_shared_backend_matches_matmul():
