@@ -38,6 +38,12 @@ def main(argv=None):
     parser.add_argument("--tau", type=float, default=0.05)
     parser.add_argument("--lora-rank", type=int, default=8)
     parser.add_argument("--lora-alpha", type=float, default=16)
+    parser.add_argument("--lora-dropout", type=float, default=0.1,
+                        help="dropout on decoder LoRA paths "
+                             "(scripts/train.sh --lora_dropout)")
+    parser.add_argument("--load-kbit", type=int, default=0, choices=[0, 4, 8],
+                        help="store base weights int4/int8, dequantized per "
+                             "use (QLoRA; reference --load_kbit)")
     parser.add_argument("--train-vision-lora", action="store_true")
     parser.add_argument("--train-projector-lora", action="store_true")
     parser.add_argument("--no-gather-gradient", action="store_true",
@@ -66,6 +72,21 @@ def main(argv=None):
     captions = list(corpus.text_dict.values())
     params, arch, tok, template = build_model(
         model_config_from_args(args), captions=captions)
+    if args.load_kbit:
+        if args.train_full:
+            parser.error("--load-kbit pairs with LoRA (QLoRA); "
+                         "--train-full needs trainable fp weights")
+        if args.merge:
+            parser.error("--merge cannot fold adapters into a quantized "
+                         "base; serve adapters separately (--lora-path)")
+        from mllm_sparse_retrieval_tpu.models.quantization import (
+            quantize_params, quantized_bytes)
+        fp_bytes = quantized_bytes(params)
+        params = quantize_params(params, bits=args.load_kbit)
+        logger.info("kbit load: %d-bit base, %.1f MB -> %.1f MB (%.2fx)",
+                    args.load_kbit, fp_bytes / 1e6,
+                    quantized_bytes(params) / 1e6,
+                    fp_bytes / max(quantized_bytes(params), 1))
     mesh = make_mesh(model_parallel=args.model_parallel) if args.mesh else None
 
     total_steps = ContrastiveTrainer.total_train_steps(
@@ -75,6 +96,7 @@ def main(argv=None):
         lr_schedule=args.lr_schedule if total_steps > 0 else "constant",
         total_steps=total_steps,
         tau=args.tau, lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
+        lora_dropout=args.lora_dropout, load_kbit=args.load_kbit,
         gather_save_gradient=not args.no_gather_gradient,
         train_vision_lora=args.train_vision_lora,
         train_projector_lora=args.train_projector_lora,

@@ -109,12 +109,16 @@ class TrainConfig:
     gather_save_gradient: bool = True     # grads flow through gathered negatives
     lora_rank: int = 8
     lora_alpha: int = 16
-    # declared for recipe parity (scripts/train.sh --lora_dropout 0.1) but
-    # NOT applied: the functional LoRA path is deterministic (no PRNG is
-    # threaded through the forward). A conscious deviation — dropout on
-    # rank-8 adapters over a 200-image/5-epoch finetune is a weak
-    # regularizer; revisit if real-weights runs show overfitting.
+    # train-time dropout on the DECODER LoRA paths (scripts/train.sh
+    # --lora_dropout 0.1; PEFT placement: dropout on the adapter input).
+    # The per-step PRNG is derived from (seed, step), so checkpoint resume
+    # replays exactly. Deviation: vision/projector adapters (off in the
+    # reference recipe) train without dropout.
     lora_dropout: float = 0.1
+    # k-bit base-weight loading (reference --load_kbit {4,8} + bitsandbytes,
+    # src/train.py:91-115): base weights stored int4/int8 and dequantized
+    # per use in layers.dense; pairs with LoRA (QLoRA). 0 = full precision.
+    load_kbit: int = 0
     train_vision_lora: bool = False
     train_projector_lora: bool = False
     weight_decay: float = 0.0

@@ -26,27 +26,33 @@ from mllm_sparse_retrieval_tpu.models.qwen_vl import QwenVLConfig
 def encode_any(params, arch, input_ids, attention_mask, vision_input=None,
                reps_loc: RepsLoc = RepsLoc.BEFORE_PAD, lora=None,
                position_ids=None, remat: bool = False,
-               allow_flash: bool = True):
+               allow_flash: bool = True, lora_rng=None,
+               lora_dropout: float = 0.0):
     """(sparse [B,V], dense [B,H]) for any model family.
 
     ``remat=True`` gradient-checkpoints the decoder blocks (training-time
     memory/FLOPs trade). ``allow_flash=False`` forces the masked XLA
     attention — pass it whenever this runs inside a GSPMD-sharded jit over a
     mesh (the stock Pallas flash kernel has no SPMD partitioning rule); see
-    llama.apply."""
+    llama.apply. ``lora_rng``/``lora_dropout`` enable train-time dropout on
+    the decoder LoRA paths (reference ``--lora_dropout``); inference callers
+    pass neither and stay deterministic."""
     if isinstance(arch, QwenVLConfig):
         return qwen_vl.encode(params, arch, input_ids, attention_mask,
                               patches=vision_input,
                               position_ids=position_ids,
                               reps_loc=reps_loc, lora=lora, remat=remat,
-                              allow_flash=allow_flash)
+                              allow_flash=allow_flash, lora_rng=lora_rng,
+                              lora_dropout=lora_dropout)
     if isinstance(arch, InternVLConfig):
         return internvl.encode(params, arch, input_ids, attention_mask,
                                vision_input, reps_loc, lora, remat=remat,
-                               allow_flash=allow_flash)
+                               allow_flash=allow_flash, lora_rng=lora_rng,
+                               lora_dropout=lora_dropout)
     return mllm.encode(params, arch, input_ids, attention_mask,
                        vision_input, reps_loc, lora, remat=remat,
-                       allow_flash=allow_flash)
+                       allow_flash=allow_flash, lora_rng=lora_rng,
+                       lora_dropout=lora_dropout)
 
 
 @dataclass(frozen=True)
@@ -74,10 +80,40 @@ class ImageInputSpec:
     preprocess_example: Optional[Callable] = None
     batch_vision: Optional[Callable] = None
     max_image_tokens: int = 0
+    # variable M-RoPE families (Qwen native resolution): (input_ids,
+    # attention_mask, vision_batch) -> [3, B, T] position ids from each
+    # example's true grid
+    mrope_from_batch: Optional[Callable] = None
 
 
 def image_input_spec(arch) -> ImageInputSpec:
     if isinstance(arch, QwenVLConfig):
+        if arch.native_resolution:
+            # HF-processor-default behavior (/root/reference/src/model.py:119):
+            # per-image smart-resized grids; layouts are host tables batched
+            # as jit args (models/qwen_vl.py native-resolution section)
+            def prep_native(image: np.ndarray):
+                return qwen_vl.preprocess_native(image, arch)
+
+            def mrope_fb(ids, mask, vision_batch):
+                grids = np.asarray(vision_batch["grid_hw"])
+                thw = np.concatenate(
+                    [np.ones((grids.shape[0], 1), np.int64), grids], axis=1)
+                return qwen_vl.mrope_position_ids(
+                    np.asarray(ids), np.asarray(mask), arch.image_token_id,
+                    thw, arch.vision.spatial_merge_size)
+
+            return ImageInputSpec(
+                num_image_tokens=0,
+                image_size=arch.resize_factor,
+                needs_mrope=True,
+                variable=True,
+                preprocess_example=prep_native,
+                batch_vision=qwen_vl.batch_native,
+                max_image_tokens=arch.max_merge_units,
+                mrope_from_batch=mrope_fb,
+            )
+
         size_h = arch.grid_h * arch.vision.patch_size
         assert arch.grid_h == arch.grid_w, "square grids only in pipelines"
 

@@ -227,6 +227,8 @@ def encode(
     lora: Optional[Dict] = None,
     remat: bool = False,
     allow_flash: bool = True,
+    lora_rng=None,
+    lora_dropout: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """(sparse_weights [B, V], dense_embs [B, H])."""
     from mllm_sparse_retrieval_tpu.models import reps as R
@@ -251,6 +253,7 @@ def encode(
                                          is_image)
     hidden = llama.apply(params["text"], embeds, attention_mask, cfg.text,
                          lget("text"), remat=remat,
-                         allow_flash=allow_flash)
+                         allow_flash=allow_flash, lora_rng=lora_rng,
+                         lora_dropout=lora_dropout)
     head = llama.lm_head_weight(params["text"], cfg.text)
     return R.extract_reps(hidden, attention_mask, head, reps_loc)

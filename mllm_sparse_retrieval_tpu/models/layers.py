@@ -23,17 +23,39 @@ def dense_init(key, in_dim: int, out_dim: int, scale: Optional[float] = None,
     return {"w": jax.random.normal(key, (in_dim, out_dim), dtype) * scale}
 
 
-def dense(x, p: Dict, lora: Optional[Dict] = None):
+def dense(x, p: Dict, lora: Optional[Dict] = None,
+          lora_rng=None, lora_dropout: float = 0.0):
     """``x @ w (+ bias) (+ LoRA low-rank path)``.
 
     The LoRA path is computed factored — ``(x @ a) @ b * scale`` — never as a
     materialized delta-W, so adapters train at rank-r cost. ``merge_lora``
     folds it into ``w`` for inference parity with the reference's
     ``merge_and_unload`` (/root/reference/src/model.py:179-182).
+
+    ``p["w"]`` may be a ``QuantizedWeight`` (int8/int4 storage): it is
+    dequantized PER USE into the compute dtype — only one layer's weight is
+    ever resident full-precision, which is the QLoRA memory model
+    (/root/reference/src/train.py:91-115). XLA fuses the dequant into the
+    producer chain; the int bytes are what lives in HBM.
+
+    ``lora_rng`` + ``lora_dropout > 0`` apply train-time dropout to the
+    LoRA-path INPUT (PEFT's ``lora_dropout`` placement — the dense path is
+    untouched); inference passes no rng and stays deterministic.
     """
-    y = x @ p["w"]
+    from mllm_sparse_retrieval_tpu.models.quantization import (
+        QuantizedWeight, dequantize_weight)
+
+    w = p["w"]
+    if isinstance(w, QuantizedWeight):
+        w = dequantize_weight(w, x.dtype)
+    y = x @ w
     if lora is not None:
-        y = y + ((x @ lora["a"]) @ lora["b"]) * lora["scale"]
+        xl = x
+        if lora_rng is not None and lora_dropout > 0.0:
+            keep = jax.random.bernoulli(lora_rng, 1.0 - lora_dropout, x.shape)
+            xl = jnp.where(keep, x / (1.0 - lora_dropout),
+                           jnp.zeros((), x.dtype)).astype(x.dtype)
+        y = y + ((xl @ lora["a"]) @ lora["b"]) * lora["scale"]
     if "b" in p:
         y = y + p["b"]
     return y
@@ -51,6 +73,13 @@ def lora_init(key, in_dim: int, out_dim: int, rank: int, alpha: float,
 
 
 def merge_lora_into_dense(p: Dict, lora: Dict) -> Dict:
+    from mllm_sparse_retrieval_tpu.models.quantization import QuantizedWeight
+
+    if isinstance(p["w"], QuantizedWeight):
+        raise TypeError(
+            "cannot merge LoRA into a quantized base weight — keep the "
+            "adapters separate (serve with lora=...) or dequantize_params "
+            "first for an export-time merge")
     merged = dict(p)
     merged["w"] = p["w"] + (lora["a"] @ lora["b"]) * lora["scale"]
     return merged

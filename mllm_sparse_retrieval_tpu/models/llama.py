@@ -79,15 +79,26 @@ def init_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Dict:
 
 
 def _block(x, p, cfg: LlamaConfig, mask, cos, sin,
-           lora: Optional[Dict] = None, flash_mask=None):
+           lora: Optional[Dict] = None, flash_mask=None, lora_rng=None,
+           *, lora_dropout: float = 0.0):
     b, t, h = x.shape
     dh = cfg.head_dim
     lget = (lambda name: lora.get(name) if lora else None)
+    # one dropout subkey per LoRA call site (static salt; distinct masks)
+    site = [0]
+
+    def ld(y, pname, name):
+        rng = None
+        if lora_rng is not None and lora_dropout > 0.0:
+            rng = jax.random.fold_in(lora_rng, site[0])
+        site[0] += 1
+        return L.dense(y, p[pname], lget(name), lora_rng=rng,
+                       lora_dropout=lora_dropout)
 
     y = L.rmsnorm(x, p["attn_norm"], cfg.rms_eps)
-    q = L.dense(y, p["q"], lget("q")).reshape(b, t, cfg.num_heads, dh)
-    k = L.dense(y, p["k"], lget("k")).reshape(b, t, cfg.num_kv_heads, dh)
-    v = L.dense(y, p["v"], lget("v")).reshape(b, t, cfg.num_kv_heads, dh)
+    q = ld(y, "q", "q").reshape(b, t, cfg.num_heads, dh)
+    k = ld(y, "k", "k").reshape(b, t, cfg.num_kv_heads, dh)
+    v = ld(y, "v", "v").reshape(b, t, cfg.num_kv_heads, dh)
     q = L.apply_rope(q, cos, sin)
     k = L.apply_rope(k, cos, sin)
     if flash_mask is not None:
@@ -95,12 +106,11 @@ def _block(x, p, cfg: LlamaConfig, mask, cos, sin,
     else:
         attn = L.attention(q, k, v, mask)
     attn = attn.reshape(b, t, cfg.num_heads * dh)
-    x = x + L.dense(attn, p["o"], lget("o"))
+    x = x + ld(attn, "o", "o")
 
     y = L.rmsnorm(x, p["mlp_norm"], cfg.rms_eps)
-    gated = jax.nn.silu(L.dense(y, p["gate"], lget("gate"))) * \
-        L.dense(y, p["up"], lget("up"))
-    x = x + L.dense(gated, p["down"], lget("down"))
+    gated = jax.nn.silu(ld(y, "gate", "gate")) * ld(y, "up", "up")
+    x = x + ld(gated, "down", "down")
     return x
 
 
@@ -143,6 +153,8 @@ def apply(
     position_ids: Optional[jax.Array] = None,  # [B,T] or [3,B,T] (M-RoPE)
     remat: bool = False,
     allow_flash: bool = True,
+    lora_rng: Optional[jax.Array] = None,
+    lora_dropout: float = 0.0,
 ) -> jax.Array:
     """Run the decoder stack; returns final-norm hidden states [B, T, H].
 
@@ -151,7 +163,10 @@ def apply(
     large decoders; pair with FSDP param sharding (parallel/fsdp.py).
     ``allow_flash=False`` forces the masked XLA attention — REQUIRED when
     this forward runs inside a GSPMD-sharded jit over a mesh (the stock
-    Pallas flash kernel carries no SPMD partitioning rule)."""
+    Pallas flash kernel carries no SPMD partitioning rule).
+    ``lora_rng`` + ``lora_dropout`` enable train-time dropout on the LoRA
+    paths (the reference recipe's ``--lora_dropout 0.1``,
+    scripts/train.sh:20); per-block subkeys are folded in here."""
     t = inputs_embeds.shape[1]
     cos, sin = rope_tables(cfg, t, position_ids)
     # long sequences (anyres image prompts) use the fused flash kernel and
@@ -159,15 +174,21 @@ def apply(
     use_flash = allow_flash and L.flash_attention_eligible(t, cfg.head_dim)
     flash_mask = attention_mask if use_flash else None
     mask = None if use_flash else L.causal_padding_mask(attention_mask)
+    dropout_on = lora_rng is not None and lora_dropout > 0.0 \
+        and lora is not None
     block_fn = _block
+    if dropout_on:
+        import functools
+        block_fn = functools.partial(_block, lora_dropout=lora_dropout)
     if remat:
-        block_fn = jax.checkpoint(_block, static_argnums=(2,))
+        block_fn = jax.checkpoint(block_fn, static_argnums=(2,))
     x = inputs_embeds
     for i, blk in enumerate(params["blocks"]):
         blora = None
         if lora is not None and "blocks" in lora and lora["blocks"][i]:
             blora = lora["blocks"][i]
-        x = block_fn(x, blk, cfg, mask, cos, sin, blora, flash_mask)
+        brng = jax.random.fold_in(lora_rng, i) if dropout_on else None
+        x = block_fn(x, blk, cfg, mask, cos, sin, blora, flash_mask, brng)
     return L.rmsnorm(x, params["final_norm"], cfg.rms_eps)
 
 

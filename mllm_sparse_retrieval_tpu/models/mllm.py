@@ -142,8 +142,14 @@ def forward_hidden(
     lora: Optional[Dict] = None,
     remat: bool = False,
     allow_flash: bool = True,
+    lora_rng=None,
+    lora_dropout: float = 0.0,
 ) -> jax.Array:
-    """Final-layer hidden states [B, T, H] for text or image+text inputs."""
+    """Final-layer hidden states [B, T, H] for text or image+text inputs.
+
+    ``lora_rng``/``lora_dropout`` apply to the DECODER adapters (the text
+    targets the reference recipe trains); vision/projector adapters, when
+    enabled, train without dropout — a documented deviation (configs.py)."""
     lget = (lambda name: lora.get(name) if lora else None)
     embeds = llama.embed_tokens(params["text"], input_ids)
     if pixel_values is not None:
@@ -159,7 +165,8 @@ def forward_hidden(
         embeds = splice_image_embeddings(embeds, img.astype(embeds.dtype),
                                          is_image)
     return llama.apply(params["text"], embeds, attention_mask, cfg.text,
-                       lget("text"), remat=remat, allow_flash=allow_flash)
+                       lget("text"), remat=remat, allow_flash=allow_flash,
+                       lora_rng=lora_rng, lora_dropout=lora_dropout)
 
 
 def encode(
@@ -172,6 +179,8 @@ def encode(
     lora: Optional[Dict] = None,
     remat: bool = False,
     allow_flash: bool = True,
+    lora_rng=None,
+    lora_dropout: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """(sparse_weights [B, V], dense_embs [B, H]) — the encode_data
     equivalent (/root/reference/src/model.py:42-160) as one jittable fn."""
@@ -179,6 +188,7 @@ def encode(
 
     hidden = forward_hidden(params, cfg, input_ids, attention_mask,
                             pixel_values, lora, remat=remat,
-                            allow_flash=allow_flash)
+                            allow_flash=allow_flash, lora_rng=lora_rng,
+                            lora_dropout=lora_dropout)
     head = llama.lm_head_weight(params["text"], cfg.text)
     return R.extract_reps(hidden, attention_mask, head, reps_loc)

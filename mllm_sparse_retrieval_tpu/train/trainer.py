@@ -94,7 +94,8 @@ def make_collator(tokenizer, template, arch,
                 img_rows, max_len=img_fixed_len,
                 pad_to_multiple=seq_pad_multiple)
             pixels = spec.batch_vision([item for item, _ in vitems])
-            pos = None
+            pos = spec.mrope_from_batch(i_ids, i_mask, pixels) \
+                if spec.mrope_from_batch else None
         else:
             img_rows = [tokenizer.encode(img_prompt)] * len(batch)
             i_ids, i_mask = tokenizer.pad_batch(
@@ -155,6 +156,18 @@ class ContrastiveTrainer:
         self.full_finetune = cfg.train_full or adapters is None
         self.step = 0
         self.loss_history: List[float] = []
+
+        if self.full_finetune:
+            from mllm_sparse_retrieval_tpu.models.quantization import (
+                QuantizedWeight)
+            if any(isinstance(x, QuantizedWeight)
+                   for x in jax.tree_util.tree_leaves(
+                       params, is_leaf=lambda x: isinstance(x, QuantizedWeight))):
+                raise ValueError(
+                    "full finetune over a k-bit quantized tree is not "
+                    "supported (int weights are not trainable) — kbit "
+                    "loading pairs with LoRA adapters (QLoRA), matching "
+                    "the reference's prepare_model_for_kbit_training")
 
         if cfg.lr_schedule == "linear":
             # HF Trainer's default scheduler (the reference never overrides
@@ -232,17 +245,27 @@ class ContrastiveTrainer:
 
         mesh = self.mesh
         allow_flash = mesh is None  # Pallas flash has no SPMD rule
+        # LoRA dropout (reference scripts/train.sh --lora_dropout 0.1):
+        # train-time only, adapters only; the rng is derived from
+        # (cfg.seed, step) in train_on_batch so resumed runs replay exactly.
+        dropout = cfg.lora_dropout if not full else 0.0
 
-        def loss_fn(trainable, base_params, batch: TrainBatch):
+        def loss_fn(trainable, base_params, batch: TrainBatch, rng):
             params = trainable if full else base_params
             adapters = None if full else trainable
+            t_rng = i_rng = None
+            if dropout > 0.0:
+                t_rng = jax.random.fold_in(rng, 0)
+                i_rng = jax.random.fold_in(rng, 1)
             _, t_emb = encode_any(params, arch, batch.text_ids,
                                   batch.text_mask, None, reps_loc, adapters,
-                                  remat=cfg.remat, allow_flash=allow_flash)
+                                  remat=cfg.remat, allow_flash=allow_flash,
+                                  lora_rng=t_rng, lora_dropout=dropout)
             _, i_emb = encode_any(params, arch, batch.image_ids,
                                   batch.image_mask, batch.pixels, reps_loc,
                                   adapters, position_ids=batch.image_pos_ids,
-                                  remat=cfg.remat, allow_flash=allow_flash)
+                                  remat=cfg.remat, allow_flash=allow_flash,
+                                  lora_rng=i_rng, lora_dropout=dropout)
             if mesh is not None and not cfg.gather_save_gradient:
                 # reference detach-and-reinsert semantics: gradients blocked
                 # through remote shards' negatives (src/trainer.py:45-53)
@@ -252,9 +275,9 @@ class ContrastiveTrainer:
                                              gather_save_gradient=False)
             return info_nce_loss(t_emb, i_emb, cfg.tau)
 
-        def train_step(trainable, opt_state, base_params, batch):
+        def train_step(trainable, opt_state, base_params, batch, rng):
             loss, grads = jax.value_and_grad(loss_fn)(trainable, base_params,
-                                                      batch)
+                                                      batch, rng)
             updates, opt_state = self.tx.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state, loss
@@ -281,7 +304,8 @@ class ContrastiveTrainer:
         # batch axes: [B, ...] arrays shard on axis 0, M-RoPE ids on axis 1)
         return jax.jit(
             train_step,
-            in_shardings=(trainable_shardings, opt_shardings, None, None),
+            in_shardings=(trainable_shardings, opt_shardings, None, None,
+                          None),
             out_shardings=(trainable_shardings, opt_shardings, replicated),
         )
 
@@ -296,8 +320,10 @@ class ContrastiveTrainer:
                    batch.image_mask, batch.pixels)),
                 image_pos_ids=None if pos is None else jax.device_put(
                     pos, NamedSharding(self.mesh, P(None, DATA_AXIS, None))))
+        # deterministic per-step dropout rng: resume replays identically
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), self.step)
         trainable, self.opt_state, loss = self._train_step(
-            self._trainable(), self.opt_state, self.params, batch)
+            self._trainable(), self.opt_state, self.params, batch, rng)
         if self.full_finetune:
             self.params = trainable
         else:

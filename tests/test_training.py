@@ -289,8 +289,11 @@ def test_linear_lr_schedule_decays_to_zero(tiny_setup):
     """lr_schedule='linear' (the reference's implicit HF default) decays to
     ~0 by total_steps; training still improves early."""
     params, arch, tok, template, examples = tiny_setup
+    # lora_dropout=0: the post-decay "loss stops moving" check needs a
+    # deterministic forward (dropout masks differ per step by design)
     tcfg = TrainConfig(learning_rate=3e-3, tau=0.1, lr_schedule="linear",
-                       total_steps=10, shard_optimizer_state=False)
+                       total_steps=10, shard_optimizer_state=False,
+                       lora_dropout=0.0)
     adapters = lora_lib.init_lora(jax.random.PRNGKey(0), params, arch,
                                   rank=4, alpha=8)
     trainer = ContrastiveTrainer(params, arch, adapters, tcfg)
