@@ -72,14 +72,47 @@ class QwenVLConfig:
     text: LlamaConfig = field(default_factory=LlamaConfig)
     image_token_id: int = 151655
     vision_start_token_id: int = 151652
-    grid_h: int = 16            # static patch grid per image (e.g. 224/14)
+    grid_h: int = 16            # static patch grid (fixed-resolution mode)
     grid_w: int = 16
+    # Native dynamic resolution (the HF processor's default behavior,
+    # /root/reference/src/model.py:119): aspect-preserving smart-resize to a
+    # per-image grid within [min_pixels, max_pixels], factor-28 rounding.
+    # When False, pipelines pin the square grid above (tiny/debug mode).
+    native_resolution: bool = False
+    min_pixels: int = 4 * 28 * 28          # HF Qwen2VLImageProcessor default
+    # pipeline pixel budget: bounds the ONE compiled vision shape. 768 merge
+    # units ≈ 1.5 MP keeps typical photos (COCO/Flickr ≤ 640x480) at native
+    # resolution untouched; HF's 12.8 MP default would compile a 65k-patch
+    # program. Raise for high-res corpora.
+    max_pixels: int = 768 * 28 * 28
 
     @property
     def num_image_tokens(self) -> int:
-        """Merged tokens the LLM sees per image."""
+        """Merged tokens the LLM sees per image (fixed-grid mode)."""
         m = self.vision.spatial_merge_size
         return (self.grid_h // m) * (self.grid_w // m)
+
+    @property
+    def resize_factor(self) -> int:
+        return self.vision.patch_size * self.vision.spatial_merge_size
+
+    @property
+    def max_merge_units(self) -> int:
+        """Max merged tokens an image can produce under ``max_pixels``
+        (one merge unit covers ``resize_factor²`` pixels)."""
+        return self.max_pixels // (self.resize_factor ** 2)
+
+    @property
+    def padded_window_units(self) -> int:
+        """Static merge-unit budget INCLUDING window padding: uniform
+        windows need each grid side rounded up to the window size, which
+        inflates extreme aspect ratios; preprocessing shrinks any image
+        whose padded grid would exceed this (see ``preprocess_native``)."""
+        win = self.vision.window_size // self.vision.patch_size // \
+            self.vision.spatial_merge_size
+        u = self.max_merge_units
+        budget = int(u * 1.5)
+        return -(-budget // (win * win)) * (win * win)
 
 
 # ---------------------------------------------------------------------------
@@ -174,18 +207,26 @@ def mrope_position_ids(
     input_ids: np.ndarray,       # [B, T]
     attention_mask: np.ndarray,  # [B, T] (right padding)
     image_token_id: int,
-    grid_thw: Tuple[int, int, int],
+    grid_thw,                    # (t, h, w) shared, or [B, 3] per example
     spatial_merge_size: int,
 ) -> np.ndarray:
     """[3, B, T] M-RoPE position ids — the image+text case of HF's
     ``get_rope_index`` (modeling_qwen2_5_vl.py). Text spans advance all three
     components together; an image block gets (t, h, w) grid indices offset by
-    the running position; the next text token resumes at max+1."""
+    the running position; the next text token resumes at max+1.
+
+    ``grid_thw`` may be one shared grid or a per-example [B, 3] array
+    (native dynamic resolution)."""
     b, seq = input_ids.shape
-    t_grid, h_grid, w_grid = grid_thw
-    lh, lw = h_grid // spatial_merge_size, w_grid // spatial_merge_size
+    grids = np.asarray(grid_thw, np.int64)
+    if grids.ndim == 1:
+        grids = np.broadcast_to(grids, (b, 3))
     out = np.ones((3, b, seq), np.int64)
     for i in range(b):
+        t_grid, h_grid, w_grid = (int(grids[i, 0]), int(grids[i, 1]),
+                                  int(grids[i, 2]))
+        lh = h_grid // spatial_merge_size
+        lw = w_grid // spatial_merge_size
         ids = input_ids[i][attention_mask[i] == 1]
         pos_chunks: List[np.ndarray] = []
         st = 0
@@ -312,6 +353,258 @@ def vision_apply(
 
 
 # ---------------------------------------------------------------------------
+# Native dynamic resolution (variable per-image grids)
+#
+# The HF implementation packs variable-size images into one ragged sequence
+# and masks windows through cu_seqlens varlen attention — a GPU pattern that
+# maps badly to XLA (dynamic shapes, gather-heavy). The TPU-first design
+# here keeps every shape static at the FAMILY level:
+#
+#   * each image smart-resizes to its own (grid_h, grid_w) on host
+#     (aspect-preserving, factor-28, [min_pixels, max_pixels] — the HF
+#     processor's rules, image_processing_qwen2_vl.py::smart_resize);
+#   * the window grid is padded UP so every window holds exactly
+#     win_units² merge units — windowed attention becomes a batched dense
+#     attention over [B·n_windows, window_patches] with a tiny per-window
+#     validity mask, never an [S, S] mask (28 of 32 blocks);
+#   * all per-image layout tables (patch gather order, rotary, validity,
+#     inverse unit order) are host-built numpy, padded to the family budget,
+#     and passed as jit ARGUMENTS — one compiled program serves the corpus.
+# ---------------------------------------------------------------------------
+
+def smart_resize(height: int, width: int, factor: int = 28,
+                 min_pixels: int = 4 * 28 * 28,
+                 max_pixels: int = 768 * 28 * 28) -> Tuple[int, int]:
+    """Aspect-preserving resize target with factor-aligned sides and a total
+    pixel budget — bit-parity with the HF processor's ``smart_resize``
+    (transformers image_processing_qwen2_vl.py; fuzz-tested against it)."""
+    import math
+
+    if max(height, width) / min(height, width) > 200:
+        raise ValueError("aspect ratio above 200")
+    h_bar = round(height / factor) * factor
+    w_bar = round(width / factor) * factor
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = max(factor, math.floor(height / beta / factor) * factor)
+        w_bar = max(factor, math.floor(width / beta / factor) * factor)
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return h_bar, w_bar
+
+
+@functools.lru_cache(maxsize=256)
+def _uniform_window_layout(grid_h: int, grid_w: int, spatial_merge_size: int,
+                           window_size: int, patch_size: int, head_dim: int,
+                           rope_theta: float, units_pad: int):
+    """Per-grid static tables for the uniform-window variable path.
+
+    Unlike ``vision_layout`` (which drops window-padding units), padding
+    units are KEPT so every window has exactly ``win_units²`` merge units;
+    invalid slots carry ``valid=False`` and gather from a dead zero patch.
+
+    Returns numpy arrays, all padded to ``units_pad`` units (= family
+    budget): patch_src [Sp] (index into the image's own patch sequence;
+    dead = S), valid [Sp] bool, cos/sin [Sp, hd/2] (window order),
+    unit_src [Up] (window-order unit index for original unit u; dead = Up-1).
+    """
+    m = spatial_merge_size
+    lh, lw = grid_h // m, grid_w // m
+    win = window_size // m // patch_size
+    pad_h, pad_w = (-lh) % win, (-lw) % win
+    lhp, lwp = lh + pad_h, lw + pad_w
+
+    index = np.full((lhp, lwp), -1, np.int64)
+    index[:lh, :lw] = np.arange(lh * lw).reshape(lh, lw)
+    nwh, nww = lhp // win, lwp // win
+    units = index.reshape(nwh, win, nww, win).transpose(0, 2, 1, 3)
+    unit_perm = units.reshape(-1)                  # [lhp*lwp], -1 = pad unit
+
+    u_real = lhp * lwp
+    assert u_real <= units_pad, (
+        f"padded window grid {lhp}x{lwp} = {u_real} units exceeds the "
+        f"family budget {units_pad}; preprocess_native shrinks such images")
+    unit_perm_p = np.full(units_pad, -1, np.int64)
+    unit_perm_p[:u_real] = unit_perm
+
+    mm = m * m
+    sp = units_pad * mm
+    # patch gather source, in window order: original patch index (merge-unit-
+    # major, the ``patchify`` order), or the dead index S for pad slots
+    s_real = grid_h * grid_w
+    patch_src = np.full(sp, s_real, np.int64)
+    live = unit_perm_p >= 0
+    live_units = unit_perm_p[live]
+    src = (live_units[:, None] * mm + np.arange(mm)[None]).reshape(-1)
+    patch_rows = (np.nonzero(live)[0][:, None] * mm +
+                  np.arange(mm)[None]).reshape(-1)
+    patch_src[patch_rows] = src
+    valid = patch_src < s_real
+
+    # rotary tables over the PADDED window-order sequence (pad slots zero)
+    hpos = np.arange(grid_h)[:, None].repeat(grid_w, 1)
+    wpos = np.arange(grid_w)[None, :].repeat(grid_h, 0)
+
+    def to_unit_major(pos):
+        x = pos.reshape(lh, m, lw, m).transpose(0, 2, 1, 3)
+        return x.reshape(-1)
+
+    hpos, wpos = to_unit_major(hpos), to_unit_major(wpos)
+    inv = 1.0 / (rope_theta ** (np.arange(0, head_dim // 2, 2, np.float32)
+                                / (head_dim // 2)))
+    freqs = np.concatenate(
+        [hpos[:, None] * inv[None], wpos[:, None] * inv[None]], axis=1)
+    freqs_p = np.zeros((sp, freqs.shape[1]), np.float32)
+    freqs_p[valid] = freqs[patch_src[valid]]
+
+    # original unit u lives at window-order slot unit_src[u]
+    unit_src = np.full(units_pad, units_pad - 1, np.int64)
+    slot_of = np.nonzero(live)[0]
+    unit_src[live_units] = slot_of
+
+    return {
+        "patch_src": patch_src.astype(np.int32),
+        "valid": valid,
+        "cos": np.cos(freqs_p).astype(np.float32),
+        "sin": np.sin(freqs_p).astype(np.float32),
+        "unit_src": unit_src.astype(np.int32),
+    }
+
+
+def preprocess_native(image01: np.ndarray, cfg: "QwenVLConfig"
+                      ) -> Tuple[Dict, int]:
+    """Raw [H, W, 3] float image in [0,1] → (vision item, n merged tokens).
+
+    Smart-resize (PIL bicubic, like the HF processor), CLIP-normalize,
+    patchify at the TRUE grid, then pad patches and layout tables to the
+    family budget. If the window-padded grid would blow the budget (extreme
+    aspect ratios), the pixel budget is halved until it fits — deterministic
+    and still aspect-preserving."""
+    from PIL import Image
+
+    v = cfg.vision
+    factor = cfg.resize_factor
+    mm = v.spatial_merge_size ** 2
+    units_pad = cfg.padded_window_units
+    win = v.window_size // v.patch_size // v.spatial_merge_size
+
+    h, w = image01.shape[:2]
+    max_px = cfg.max_pixels
+    while True:
+        hb, wb = smart_resize(h, w, factor, cfg.min_pixels, max_px)
+        lhp = -(-(hb // factor) // win) * win
+        lwp = -(-(wb // factor) // win) * win
+        if lhp * lwp <= units_pad:
+            break
+        max_px //= 2
+
+    img = Image.fromarray(
+        np.clip(np.round(image01 * 255.0), 0, 255).astype(np.uint8))
+    arr = np.asarray(img.resize((wb, hb), Image.BICUBIC), np.float32) / 255.0
+    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+    arr = (arr - mean) / std
+
+    patches = patchify(arr, v)                       # [S, pd]
+    gh, gw = hb // v.patch_size, wb // v.patch_size
+    return native_item_from_patches(patches, gh, gw, cfg)
+
+
+def native_item_from_patches(patches: np.ndarray, gh: int, gw: int,
+                             cfg: "QwenVLConfig") -> Tuple[Dict, int]:
+    """(vision item, n merged tokens) from already-patchified [S, pd] data
+    at grid (gh, gw) — the layout/padding half of ``preprocess_native``."""
+    v = cfg.vision
+    mm = v.spatial_merge_size ** 2
+    units_pad = cfg.padded_window_units
+    sp = units_pad * mm
+    # + dead zero patch at index S (layout gathers route pads there)
+    padded = np.zeros((sp + 1, patches.shape[1]), np.float32)
+    padded[:patches.shape[0]] = patches
+    lay = _uniform_window_layout(gh, gw, v.spatial_merge_size, v.window_size,
+                                 v.patch_size, v.head_dim, v.rope_theta,
+                                 units_pad)
+    n_units = (gh // v.spatial_merge_size) * (gw // v.spatial_merge_size)
+    item = {"patches": padded, "grid_hw": np.array([gh, gw], np.int32),
+            **{k: lay[k] for k in
+               ("patch_src", "valid", "cos", "sin", "unit_src")}}
+    return item, n_units
+
+
+def batch_native(items) -> Dict[str, np.ndarray]:
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+def vision_apply_native(params: Dict, vision_batch: Dict,
+                        cfg: QwenViTConfig) -> jax.Array:
+    """[B, Up, out_hidden] merged features for per-example grids, each
+    example's valid tokens leading in ORIGINAL unit order.
+
+    Windowed blocks run as batched dense attention over uniform
+    [B·n_windows, window_patches] tiles (no [S, S] mask); the few
+    full-attention blocks use a validity mask over the padded sequence.
+    """
+    patches = vision_batch["patches"]          # [B, Sp+1, pd]
+    patch_src = vision_batch["patch_src"]      # [B, Sp]
+    valid = vision_batch["valid"]              # [B, Sp] bool
+    cos = vision_batch["cos"]                  # [B, Sp, hd/2]
+    sin = vision_batch["sin"]
+    unit_src = vision_batch["unit_src"]        # [B, Up]
+
+    b, sp = patch_src.shape
+    mm = cfg.merge_unit
+    wp = (cfg.window_size // cfg.patch_size) ** 2   # patches per window
+    nw = sp // wp
+    nh, dh, h = cfg.num_heads, cfg.head_dim, cfg.hidden_size
+
+    x = L.dense(patches.astype(params["patch_embed"]["w"].dtype),
+                params["patch_embed"])               # [B, Sp+1, H]
+    x = jnp.take_along_axis(x, patch_src[:, :, None].astype(jnp.int32),
+                            axis=1)                  # window order [B, Sp, H]
+
+    eye = jnp.eye(wp, dtype=bool)
+    vwin = valid.reshape(b * nw, wp)
+    win_mask = (vwin[:, None, :, None] & vwin[:, None, None, :]) | \
+        eye[None, None]                               # [B*nW, 1, wp, wp]
+    full_mask = (valid[:, None, :, None] & valid[:, None, None, :]) | \
+        jnp.eye(sp, dtype=bool)[None, None]           # [B, 1, Sp, Sp]
+
+    def block(x, p, i):
+        y = L.rmsnorm(x, p["norm1"], eps=1e-6)
+        qkv = L.dense(y, p["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = L.apply_rope(q.reshape(b, sp, nh, dh), cos, sin)
+        k = L.apply_rope(k.reshape(b, sp, nh, dh), cos, sin)
+        v = v.reshape(b, sp, nh, dh)
+        if i in cfg.fullatt_block_indexes:
+            attn = L.attention(q, k, v, full_mask).reshape(b, sp, h)
+        else:
+            attn = L.attention(
+                q.reshape(b * nw, wp, nh, dh),
+                k.reshape(b * nw, wp, nh, dh),
+                v.reshape(b * nw, wp, nh, dh), win_mask).reshape(b, sp, h)
+        x = x + L.dense(attn, p["proj"])
+        y = L.rmsnorm(x, p["norm2"], eps=1e-6)
+        gated = jax.nn.silu(L.dense(y, p["gate"])) * L.dense(y, p["up"])
+        return x + L.dense(gated, p["down"])
+
+    for i, blk in enumerate(params["blocks"]):
+        x = block(x, blk, i)
+
+    up = sp // mm
+    y = L.rmsnorm(x, params["merger"]["ln_q"], eps=1e-6)
+    y = y.reshape(b, up, mm * x.shape[-1])
+    y = L.dense(y, params["merger"]["fc1"])
+    y = jax.nn.gelu(y, approximate=False)
+    y = L.dense(y, params["merger"]["fc2"])           # [B, Up, out]
+    # original unit order, valid tokens first
+    return jnp.take_along_axis(y, unit_src[:, :, None].astype(jnp.int32),
+                               axis=1)
+
+
+# ---------------------------------------------------------------------------
 # Full model
 # ---------------------------------------------------------------------------
 
@@ -328,12 +621,15 @@ def encode(
     cfg: QwenVLConfig,
     input_ids: jax.Array,        # [B, T]
     attention_mask: jax.Array,   # [B, T]
-    patches: Optional[jax.Array] = None,   # [B, S, patch_dim]
+    patches: Optional[jax.Array] = None,   # [B, S, patch_dim] fixed grid, or
+                                           # the batch_native dict (variable)
     position_ids: Optional[jax.Array] = None,  # [3, B, T] M-RoPE ids
     reps_loc: RepsLoc = RepsLoc.BEFORE_PAD,
     lora: Optional[Dict] = None,
     remat: bool = False,
     allow_flash: bool = True,
+    lora_rng=None,
+    lora_dropout: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """(sparse_weights [B, V], dense_embs [B, H]) — Qwen2.5-VL encode_data
     equivalent. ``position_ids`` from ``mrope_position_ids`` for image
@@ -344,13 +640,17 @@ def encode(
     lget = (lambda name: lora.get(name) if lora else None)
     embeds = llama.embed_tokens(params["text"], input_ids)
     if patches is not None:
-        feats = vision_apply(params["vision"], patches, cfg.vision,
-                             cfg.grid_h, cfg.grid_w)
+        if isinstance(patches, dict):
+            feats = vision_apply_native(params["vision"], patches, cfg.vision)
+        else:
+            feats = vision_apply(params["vision"], patches, cfg.vision,
+                                 cfg.grid_h, cfg.grid_w)
         is_image = input_ids == cfg.image_token_id
         embeds = splice_image_embeddings(embeds, feats.astype(embeds.dtype),
                                          is_image)
     hidden = llama.apply(params["text"], embeds, attention_mask, cfg.text,
                          lget("text"), position_ids=position_ids,
-                         remat=remat, allow_flash=allow_flash)
+                         remat=remat, allow_flash=allow_flash,
+                         lora_rng=lora_rng, lora_dropout=lora_dropout)
     head = llama.lm_head_weight(params["text"], cfg.text)
     return R.extract_reps(hidden, attention_mask, head, reps_loc)

@@ -97,6 +97,49 @@ def _qwen2_5_vl_3b_arch():
                          mrope_section=(16, 24, 24)),
         image_token_id=151655, vision_start_token_id=151652,
         grid_h=32, grid_w=32,
+        native_resolution=True,   # HF-processor default: per-image grids
+    )
+
+
+def _qwen2_5_vl_7b_arch():
+    """Qwen2.5-VL-7B dims (same tower; 3584-wide 28-layer backbone, untied
+    head). The registry default stays 3B; checkpoints select their size via
+    the ``arch.json`` manifest (models/convert.py) — this entry documents
+    the 7B dim set and feeds the arch-derivation tests.
+    Ref: /root/reference/src/model.py:53 dispatches both sizes."""
+    from mllm_sparse_retrieval_tpu.models.qwen_vl import QwenVLConfig
+
+    base = _qwen2_5_vl_3b_arch()
+    return QwenVLConfig(
+        vision=base.vision,
+        text=LlamaConfig(vocab_size=152064, hidden_size=3584, num_layers=28,
+                         num_heads=28, num_kv_heads=4,
+                         intermediate_size=18944, max_seq_len=128000,
+                         rope_theta=1000000.0,
+                         qkv_bias=True, tie_lm_head=False, rms_eps=1e-6,
+                         mrope_section=(16, 24, 24)),
+        image_token_id=base.image_token_id,
+        vision_start_token_id=base.vision_start_token_id,
+        grid_h=base.grid_h, grid_w=base.grid_w,
+        native_resolution=True,
+    )
+
+
+def _internvl2_5_4b_arch():
+    """InternVL2.5-4B dims: same InternViT-300M tower as the 8B, Qwen2.5-3B
+    backbone (36 layers × 2048). Selected via checkpoint manifest; see
+    ``_qwen2_5_vl_7b_arch`` note."""
+    from mllm_sparse_retrieval_tpu.models.internvl import (
+        InternViTConfig, InternVLConfig)
+
+    base = _internvl2_5_arch()
+    return InternVLConfig(
+        vision=base.vision,
+        text=LlamaConfig(vocab_size=151674, hidden_size=2048, num_layers=36,
+                         num_heads=16, num_kv_heads=2,
+                         intermediate_size=11008, rope_theta=1000000.0,
+                         qkv_bias=True, rms_eps=1e-6),
+        image_token_id=base.image_token_id,
     )
 
 
@@ -250,6 +293,10 @@ def build_model(
             f"(from {spec.hf_repo}); set ModelConfig.checkpoint_path. "
             "Use models/convert.py to convert an HF checkpoint directory.")
     from mllm_sparse_retrieval_tpu.models import convert
-    params, tok = convert.load_converted(model_cfg.checkpoint_path, spec, dtype)
+    params, tok, ckpt_arch = convert.load_converted(
+        model_cfg.checkpoint_path, spec, dtype)
     template = templates.resolve_template(spec.template, tok)
-    return params, spec.arch, tok, template
+    # the checkpoint's arch.json manifest (written by convert_hf_dir from
+    # the HF config.json) overrides the registry's default dims — a 7B Qwen
+    # or 4B InternVL directory loads with its true architecture
+    return params, ckpt_arch or spec.arch, tok, template

@@ -299,10 +299,13 @@ def encode_examples(
                 rows, max_len=img_fixed_len,
                 pad_to_multiple=seq_pad_multiple)
             pixels = spec.batch_vision([item for item, _ in vitems])
+            pos = spec.mrope_from_batch(b_ids, b_mask, pixels) \
+                if spec.mrope_from_batch else None
         else:
             pixels = np.stack([pixel_loader(ex) for ex in batch])
             b_ids, b_mask = fixed_ids, fixed_mask
-        return b_ids, b_mask, pixels, None
+            pos = fixed_pos_ids
+        return b_ids, b_mask, pixels, pos
 
     def _prefetched():
         """(batch, valid, host_arrays) with host prep one step ahead of the
@@ -402,11 +405,11 @@ def encode_examples(
                         batch[b].text, encode_word, sparse_logits[b],
                         sparse_cfg, filtered_ids))
         else:
-            b_ids, b_mask, pixels, _ = host
+            b_ids, b_mask, pixels, pos = host
             b_ids, b_mask, pixels = _shard(b_ids, b_mask, pixels)
             if use_device_select:
                 fv, fi, exp, dense = _encode_image_ds(
-                    params, lora, b_ids, b_mask, pixels, fixed_pos_ids,
+                    params, lora, b_ids, b_mask, pixels, pos,
                     filtered_mask_dev)
                 fv, fi = np.asarray(fv), np.asarray(fi)
                 if exp is not None:
@@ -423,7 +426,7 @@ def encode_examples(
                                          sparse_cfg.quantization_scale)))
             else:
                 sparse_logits, dense = _encode_image(
-                    params, lora, b_ids, b_mask, pixels, fixed_pos_ids)
+                    params, lora, b_ids, b_mask, pixels, pos)
                 sparse_logits = np.asarray(sparse_logits, np.float32)
                 for b in range(valid):
                     batch_terms.append(select_image_terms(
