@@ -146,10 +146,32 @@ def bench_dense_side(rng):
         run()
         times.append(time.time() - t0)
     best = min(times)
-    log(f"dense MIPS side metric: {N_DOCS} x {dim}d, best "
+    log(f"dense MIPS side metric (e2e): {N_DOCS} x {dim}d, best "
         f"{best * 1e3:.1f} ms/batch -> {BATCH / best:.0f} QPS "
         f"(relay-transfer bound in this environment: the 33 MB query upload "
-        f"at ~30 MB/s dominates; device compute is ~5 ms)")
+        f"at ~30 MB/s dominates)")
+
+    # Device-compute throughput: queries pre-staged in HBM, timed with
+    # block_until_ready — the FAISS-replacement number with the relay's
+    # host->device transfer cost excluded (VERDICT r2 #7).
+    import jax
+    import jax.numpy as jnp
+    from mllm_sparse_retrieval_tpu.ops.mips import mips_topk
+
+    index._materialize(None)
+    q_dev = jax.device_put(jnp.asarray(queries))
+    fn = jax.jit(lambda q, c: mips_topk(q, c, DEPTH))
+    fn(q_dev, index._corpus_dev)[0].block_until_ready()
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        s, _ = fn(q_dev, index._corpus_dev)
+        s.block_until_ready()
+        times.append(time.time() - t0)
+    best = min(times)
+    log(f"dense MIPS side metric (device compute): best "
+        f"{best * 1e3:.2f} ms/batch -> {BATCH / best:.0f} QPS "
+        f"({2 * N_DOCS * BATCH * dim / best / 1e12:.1f} TFLOP/s effective)")
 
 
 def bench_cpu(doc_terms, doc_weights, q_idx, q_w):

@@ -218,34 +218,38 @@ class ImpactIndex:
 
         ``dtype='f32'`` feeds the MXU matmul path; ``'i16'`` is the compact
         storage for the TAAT kernel (only valid when ``_int16_exact()``).
-        ``kernel_layout=True`` (single-chip TAAT consumers) uploads the
-        matrix pre-shaped to the kernel's ``[T'+1, s, N_pad/s]`` form — free
-        on host (a row-major view) whereas an in-jit reshape of a device
-        matrix is a full tiled-relayout copy in HBM — and pads doc columns
-        so the kernel's column blocks stay DMA-wide at any corpus size
-        (ops/impact_kernel.padded_doc_columns). Each form is built on demand
-        and cached per mesh.
+        ``kernel_layout=True`` (TAAT consumers) uploads the matrix pre-shaped
+        to the kernel's ``[T'+1, s, N_pad/s]`` form — free on host (a
+        row-major view) whereas an in-jit reshape of a device matrix is a
+        full tiled-relayout copy in HBM — and pads doc columns so the
+        kernel's column blocks stay DMA-wide at any corpus size
+        (ops/impact_kernel.padded_doc_columns). With a mesh the TAAT form is
+        ``[D, T'+1, s, shard_cols/s]`` — shard d's leading-axis slice IS its
+        contiguous doc-column block pre-shaped, so the in-shard_map kernel
+        gets its native layout with no per-search relayout copy and doc ids
+        stay ``shard_index * shard_cols + local`` (VERDICT r2 weak #6). Each
+        form is built on demand and cached per mesh.
         """
         self._ensure_finalized()
         if self._mesh is not mesh or self._dev is None:
             self._dev = {}
             self._mesh = mesh
-        kernel_layout = kernel_layout and mesh is None
         key = dtype + ("/kernel" if kernel_layout else "")
         if key in self._dev:
             return self._dev[key]
         n = self.doc_terms.shape[0]
         t = len(self.term_to_idx)
         self._n_valid = n
+        n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         if kernel_layout:
             from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
                 padded_doc_columns)
             np_dtype = np.int16 if dtype == "i16" else np.float32
-            n_pad = padded_doc_columns(n, np_dtype, tile=_DOC_TILE)
+            shard_cols = padded_doc_columns(
+                -(-max(n, 1) // n_shards), np_dtype, tile=_DOC_TILE)
+            n_pad = shard_cols * n_shards
         else:
-            n_pad = _round_up(max(n, 1), _DOC_TILE)
-        if mesh is not None:
-            n_pad = _round_up(max(n, 1), _DOC_TILE * mesh.shape[DATA_AXIS])
+            n_pad = _round_up(max(n, 1), _DOC_TILE * n_shards)
 
         itemsize = 2 if dtype == "i16" else 4
         per_device = (t + 1) * n_pad * itemsize
@@ -278,14 +282,23 @@ class ImpactIndex:
         if kernel_layout:
             from mllm_sparse_retrieval_tpu.ops.impact_kernel import _sublanes
             s_lanes = _sublanes(matrix.dtype)
-            matrix = matrix.reshape(t + 1, s_lanes, n_pad // s_lanes)
+            if mesh is None:
+                matrix = matrix.reshape(t + 1, s_lanes, n_pad // s_lanes)
+            else:
+                # [T+1, D*shard] -> [D, T+1, s, shard/s]: shard-major so each
+                # device's slice is its contiguous doc block, pre-shaped
+                matrix = np.ascontiguousarray(
+                    matrix.reshape(t + 1, n_shards, shard_cols)
+                    .transpose(1, 0, 2)
+                ).reshape(n_shards, t + 1, s_lanes, shard_cols // s_lanes)
 
         if mesh is None:
             dev = jnp.asarray(matrix)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            sh = NamedSharding(mesh, P(None, DATA_AXIS))
-            dev = jax.device_put(matrix, sh)
+            spec = P(DATA_AXIS, None, None, None) if kernel_layout \
+                else P(None, DATA_AXIS)
+            dev = jax.device_put(matrix, NamedSharding(mesh, spec))
         self._dev[key] = dev
         return dev
 
@@ -369,13 +382,17 @@ class ImpactIndex:
         use_taat = backend in ("taat", "taat-shared")
         dtype = "i16" if use_taat and self._int16_exact() else "f32"
         dev = self._materialize(mesh, dtype, kernel_layout=use_taat)
+        # dev: 2-D [T+1, N] (matmul), 3-D [T+1, s, sub] (single-chip TAAT),
+        # or 4-D [D, T+1, s, shard/s] (mesh TAAT)
+        n_pad = dev.shape[0] * dev.shape[2] * dev.shape[3] if dev.ndim == 4 \
+            else int(np.prod(dev.shape[1:]))
         if backend == "taat-shared":
             # the shared kernel holds full posting rows in VMEM (no
             # column-blocked grid) — fall back to the per-query walk for
             # corpora past its width budget (ADVICE r2)
             from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
                 MAX_SUB_SINGLE_BLOCK, _sublanes)
-            cols = int(np.prod(dev.shape[1:]))
+            cols = n_pad
             if mesh is not None:
                 cols //= mesh.shape[DATA_AXIS]
             if cols // _sublanes(dev.dtype) > MAX_SUB_SINGLE_BLOCK:
@@ -385,7 +402,6 @@ class ImpactIndex:
 
         # The [B, N_pad] f32 score tensor (plus ~2x top_k scratch) must fit
         # beside the matrix; wide corpora chunk the query batch.
-        n_pad = int(np.prod(dev.shape[1:]))  # dev may be kernel-layout 3-D
         shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         resident = sum(d.nbytes for d in self._dev.values())  # ALL cached forms
         score_budget = self.hbm_budget_bytes - resident // shards
@@ -643,21 +659,31 @@ _SHARDED_SCORERS = {
 @functools.lru_cache(maxsize=64)
 def _sharded_topk_fn(mesh, shard_cols, n_valid, k, backend):
     """Build-and-cache the jitted shard_map program per (mesh, shapes,
-    backend) — a fresh closure per call would retrace every search."""
+    backend) — a fresh closure per call would retrace every search.
+
+    The matmul backend shards the 2-D matrix column-wise; the TAAT backends
+    take the 4-D ``[D, T+1, s, shard/s]`` pre-shaped layout sharded on the
+    leading axis, so each shard hands the kernel its native 3-D form with no
+    in-trace relayout (the local ``m[0]`` drops a unit leading dim — a
+    layout-preserving reshape, not a copy)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     scores_fn, query_ndims = _SHARDED_SCORERS[backend]
+    kernel_layout = backend != "matmul"
 
     def local_fn(m, *query_args):
         base = lax.axis_index(DATA_AXIS) * shard_cols
-        return _sharded_merge_topk(scores_fn(m, *query_args), base,
+        local = m[0] if kernel_layout else m
+        return _sharded_merge_topk(scores_fn(local, *query_args), base,
                                    shard_cols, n_valid, k)
 
     query_specs = tuple(P(*(None,) * nd) for nd in query_ndims)
+    matrix_spec = P(DATA_AXIS, None, None, None) if kernel_layout \
+        else P(None, DATA_AXIS)
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(None, DATA_AXIS),) + query_specs,
+        in_specs=(matrix_spec,) + query_specs,
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
@@ -672,17 +698,18 @@ def _sharded_impact_topk(mesh, matrix, q_idx, q_w, n_valid, k):
 
 
 def _sharded_taat_topk(mesh, matrix, q_idx, q_w, n_valid, k):
-    """Doc-column-sharded per-query TAAT scoring + ICI merge: each shard
-    runs the kernel over its own column block (column counts stay aligned
-    because ``_materialize`` pads to ``_DOC_TILE × n_shards``)."""
-    shard_cols = matrix.shape[1] // mesh.shape[DATA_AXIS]
+    """Doc-column-sharded per-query TAAT scoring + ICI merge. ``matrix`` is
+    the 4-D mesh kernel layout; shard d's doc block is contiguous, so global
+    doc ids are ``d * shard_cols + local column``."""
+    shard_cols = matrix.shape[2] * matrix.shape[3]
     fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "taat")
     return fn(matrix, q_idx, q_w)
 
 
 def _sharded_taat_shared_topk(mesh, matrix, tile_terms, tile_weights,
                               n_valid, k):
-    """Doc-column-sharded shared-row TAAT scoring + ICI merge."""
-    shard_cols = matrix.shape[1] // mesh.shape[DATA_AXIS]
+    """Doc-column-sharded shared-row TAAT scoring + ICI merge (4-D mesh
+    kernel layout, as ``_sharded_taat_topk``)."""
+    shard_cols = matrix.shape[2] * matrix.shape[3]
     fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "taat-shared")
     return fn(matrix, tile_terms, tile_weights)

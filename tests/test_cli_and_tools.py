@@ -187,3 +187,39 @@ def test_term_weight_statistics_and_plots(tmp_path):
     paths = plot_term_weight_stats(stats, str(tmp_path))
     assert len(paths) == 3
     assert all(os.path.exists(p) for p in paths)
+
+
+# ---- real-weights recall runbook (dry-run, VERDICT r2 #5) ------------------
+
+@needs_data
+def test_reproduce_recall_dry_run(tmp_path):
+    """tools/reproduce_recall.py must run end-to-end with the tiny family so
+    the runbook cannot rot; with a weights mount the same command fills
+    BASELINE.md's Measured rows."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "reproduce_recall", "/root/repo/tools/reproduce_recall.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out_md = tmp_path / "rows.md"
+    results = mod.main([
+        "--family", "tiny_debug", "--dtype", "float32",
+        "--limit-captions", "20", "--batch-size", "4",
+        "--depth", "10", "--out", str(out_md)])
+
+    # both directions, three configs each, markdown table written
+    assert set(results) == {"t2i", "i2t"}
+    for direction in results:
+        assert set(results[direction]) == {"dense", "sparse", "hybrid a=0.5"}
+        for rec, qps in results[direction].values():
+            assert rec.num_queries > 0 and qps > 0
+            assert all(0.0 <= v <= 1.0 for v in rec.recalls.values())
+    table = out_md.read_text()
+    assert table.count("\n") == 2 + 6  # header + divider + 3 configs x 2 dirs
+    assert "| dense |" in table and "| sparse |" in table
+    # captions queried against the caption-corpus-free image index can't
+    # self-hit, but the t2i dense run must still rank depth-many images
+    r1 = results["t2i"]["dense"][0]
+    assert r1.num_queries == 20
