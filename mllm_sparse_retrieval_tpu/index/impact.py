@@ -148,6 +148,46 @@ class ImpactIndex:
         self.doc_terms = doc_terms
         self.doc_weights = doc_weights
         self._build_csr()
+        self._reorder_terms_by_df()
+
+    def _reorder_terms_by_df(self) -> None:
+        """Relabel term ids hot-first (document frequency descending; the
+        previous id breaks ties, so the C++ and Python builders — both
+        first-seen before this pass — agree exactly).
+
+        Pure internal relabeling: scores and returned doc ids are unchanged.
+        The payoff is the TAAT kernel's hot-term cache
+        (ops/impact_kernel.MAX_HOT_ROWS): it keeps the LEADING rows of the
+        impact matrix resident in VMEM, and under natural Zipf text
+        statistics the highest-DF terms are also the most-queried, so
+        hot-first ids let the cache absorb the largest share of per-step
+        row DMAs.
+        """
+        t = len(self.term_to_idx)
+        if t == 0:
+            return
+        df = np.diff(self.csr_offsets)
+        order = np.argsort(-df, kind="stable")          # new id -> old id
+        if np.array_equal(order, np.arange(t)):
+            return
+        perm = np.empty(t, np.int64)
+        perm[order] = np.arange(t)                      # old id -> new id
+        keys = list(self.term_to_idx.keys())            # insertion = id order
+        self.term_to_idx = {keys[int(o)]: r for r, o in enumerate(order)}
+        # packed layout: padding entries (weight 0) may change term value —
+        # every consumer filters on weight > 0
+        self.doc_terms = perm[self.doc_terms].astype(np.int32)
+        # CSR: permute per-term segments without a re-sort
+        lens = df[order]
+        new_offsets = np.zeros(t + 1, dtype=np.int64)
+        np.cumsum(lens, out=new_offsets[1:])
+        within = np.arange(len(self.csr_docs), dtype=np.int64) - \
+            np.repeat(new_offsets[:-1], lens)
+        gather = np.repeat(self.csr_offsets[order], lens) + within
+        self.csr_docs = self.csr_docs[gather]
+        self.csr_weights = self.csr_weights[gather]
+        self.csr_offsets = new_offsets
+        self._dev = None
 
     def _build_csr(self) -> None:
         """CSR postings from the packed layout, impact-ordered per term."""
@@ -543,6 +583,7 @@ class ImpactIndex:
         index.csr_docs = packed["csr_docs"]
         index.csr_weights = packed["csr_weights"]
         index._doc_vectors = [None] * len(index.doc_ids)  # type: ignore
+        index._reorder_terms_by_df()  # same hot-first pass as finalize()
         return index
 
 

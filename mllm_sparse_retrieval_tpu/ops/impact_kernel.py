@@ -54,6 +54,16 @@ N_SLOTS = 16     # outstanding row DMAs (latency-hiding ring depth; 32 measured 
 # this many per-row elements (~130k doc columns) that exceeds the 16 MB VMEM
 # and the kernel switches to a column-blocked grid.
 MAX_SUB_SINGLE_BLOCK = 8192
+# Hot-term cache: posting rows 1..n_hot stay resident in VMEM (one bulk DMA
+# per column block; scratch persists across the sequential TPU grid) and
+# their per-step row DMAs are skipped entirely. Term ids ordered hot-first
+# (frequency-descending — natural Zipf corpora / ImpactIndex.finalize) make
+# the cached rows absorb a large fraction of query terms: the per-step DMA
+# issue+wait scalar cost is this kernel's measured floor, so every absorbed
+# step saves it.
+MAX_HOT_ROWS = 128
+HOT_VMEM_BUDGET = 6_500_000  # bytes for the resident hot block
+MIN_HOT_ROWS = 8             # below this the branch overhead isn't worth it
 
 
 def _sublanes(dtype) -> int:
@@ -101,7 +111,8 @@ def padded_doc_columns(n_docs: int, dtype, tile: int = 2048,
 
 
 def _taat_kernel(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
-                 *, num_terms_per_query: int, sub_block: int, n_blocks: int):
+                 *hot_scratch, num_terms_per_query: int, sub_block: int,
+                 n_blocks: int, n_hot: int):
     """One grid step: score QUERY_TILE queries against one column block.
 
     matrix_ref: [T+1, s, sub_total] in HBM; out_ref: [QT, s, sub_block] f32
@@ -109,39 +120,80 @@ def _taat_kernel(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
     (n_blocks, B/QT). ``n_blocks == 1`` (corpora within the VMEM budget)
     specializes to static full-row DMAs; wider corpora slice each posting
     row per column block so VMEM stays bounded.
+
+    ``n_hot > 0`` adds the hot-term cache: rows 1..n_hot are bulk-DMA'd into
+    a persistent VMEM scratch once per column block (program_id(1) == 0 —
+    the TPU grid is sequential, query tiles iterate innermost) and steps
+    whose term row falls in that range FMA straight from VMEM, skipping
+    both the issue and the wait of their row DMA.
     """
     q_count = out_ref.shape[0]
     total = q_count * num_terms_per_query
     cb = None if n_blocks == 1 else pl.program_id(0)
 
-    def row_dma(slot, step):
+    if n_hot:
+        hotbuf, hot_sem = hot_scratch
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            src = matrix_ref.at[pl.ds(1, n_hot)] if cb is None else \
+                matrix_ref.at[pl.ds(1, n_hot), :,
+                              pl.ds(cb * sub_block, sub_block)]
+            cp = pltpu.make_async_copy(src, hotbuf, hot_sem)
+            cp.start()
+            cp.wait()
+
+    def term_at(step):
         q = step // num_terms_per_query
         j = step % num_terms_per_query
-        row = qidx_ref[q, j]
+        return q, j, qidx_ref[q, j]
+
+    def is_cold(row):
+        # row 0 (query padding) keeps the legacy cold path: its DMA fetches
+        # the dead zero row, contributing nothing — branch layout unchanged
+        return jnp.logical_or(row == 0, row > n_hot) if n_hot else True
+
+    def row_dma(slot, row):
         src = matrix_ref.at[row] if cb is None else \
             matrix_ref.at[row, :, pl.ds(cb * sub_block, sub_block)]
         return pltpu.make_async_copy(src, rowbuf.at[slot], sems.at[slot])
 
     out_ref[:] = jnp.zeros_like(out_ref)
 
-    # prologue: fill the ring
+    # prologue: fill the ring (cold steps only — hot steps never own a DMA)
     for s in range(N_SLOTS):
-        @pl.when(s < total)
-        def _():
-            row_dma(s, s).start()
+        if s < total:
+            _, _, row = term_at(s)
+            @pl.when(is_cold(row))
+            def _():
+                row_dma(s, row).start()
 
     def body(step, _):
         slot = step % N_SLOTS
-        row_dma(slot, step).wait()
-        q = step // num_terms_per_query
-        j = step % num_terms_per_query
+        q, j, row = term_at(step)
         w = qw_ref[q, j]
-        out_ref[q] = out_ref[q] + w * rowbuf[slot].astype(jnp.float32)
-        # refill this slot for the step N_SLOTS ahead (issued after the read
-        # above in program order — no WAR on the ring entry)
-        @pl.when(step + N_SLOTS < total)
+        cold = is_cold(row)
+
+        @pl.when(cold)
         def _():
-            row_dma(slot, step + N_SLOTS).start()
+            row_dma(slot, row).wait()
+            out_ref[q] = out_ref[q] + w * rowbuf[slot].astype(jnp.float32)
+        if n_hot:
+            @pl.when(jnp.logical_not(cold))
+            def _():
+                out_ref[q] = out_ref[q] + w * hotbuf[row - 1].astype(
+                    jnp.float32)
+        # refill this slot for the step N_SLOTS ahead (issued after the read
+        # above in program order — no WAR on the ring entry; slot ownership
+        # is consistent because issue and wait share the same coldness
+        # predicate read from SMEM)
+        nxt = step + N_SLOTS
+
+        @pl.when(nxt < total)
+        def _():
+            _, _, nrow = term_at(nxt)
+            @pl.when(is_cold(nrow))
+            def _():
+                row_dma(slot, nrow).start()
         return 0
 
     lax.fori_loop(0, total, body, 0, unroll=False)
@@ -190,8 +242,26 @@ def impact_scores_taat(
     sub_block, n_blocks = plan_column_blocks(sub, max_sub_block)
     assert sub_block >= 128 or interpret, f"cannot block sub={sub}"
     grid = (n_blocks, b // QUERY_TILE)
+
+    # hot-term cache sizing: as many leading rows as the VMEM budget allows
+    row_bytes = s * sub_block * jnp.dtype(matrix.dtype).itemsize
+    n_hot = min(MAX_HOT_ROWS, HOT_VMEM_BUDGET // row_bytes,
+                matrix3.shape[0] - 1)
+    if n_hot < MIN_HOT_ROWS:
+        n_hot = 0
+
     kernel = functools.partial(_taat_kernel, num_terms_per_query=q,
-                               sub_block=sub_block, n_blocks=n_blocks)
+                               sub_block=sub_block, n_blocks=n_blocks,
+                               n_hot=n_hot)
+    scratch_shapes = [
+        pltpu.VMEM((N_SLOTS, s, sub_block), matrix.dtype),
+        pltpu.SemaphoreType.DMA((N_SLOTS,)),
+    ]
+    if n_hot:
+        scratch_shapes += [
+            pltpu.VMEM((n_hot, s, sub_block), matrix.dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
     scores = pl.pallas_call(
         kernel,
         grid=grid,
@@ -206,10 +276,7 @@ def impact_scores_taat(
                                lambda cb, i: (i, 0, cb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, sub), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((N_SLOTS, s, sub_block), matrix.dtype),
-            pltpu.SemaphoreType.DMA((N_SLOTS,)),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(q_idx, q_w, matrix3)
     return scores.reshape(b, n)

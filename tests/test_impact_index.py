@@ -348,3 +348,34 @@ def test_taat_shared_backend_matches_matmul():
     s_shm, _ = index.search(queries, depth=10, mesh=mesh,
                             backend="taat-shared")
     assert s_mm == s_shm
+
+
+def test_term_ids_ordered_by_document_frequency():
+    """finalize() relabels term ids hot-first (df descending, stable) so the
+    TAAT kernel's VMEM hot cache absorbs the most-queried rows; scores and
+    ranked ids are unchanged by the relabeling."""
+    index = ImpactIndex()
+    index.add("a", {"rare": 3, "common": 1})
+    index.add("b", {"common": 2, "mid": 4})
+    index.add("c", {"common": 5, "mid": 1})
+    index.add("d", {"common": 7})
+    index.finalize()
+    assert index.term_to_idx["common"] == 0      # df 4
+    assert index.term_to_idx["mid"] == 1         # df 2
+    assert index.term_to_idx["rare"] == 2        # df 1
+    df = np.diff(index.csr_offsets)
+    assert all(df[i] >= df[i + 1] for i in range(len(df) - 1))
+    # CSR stays impact-ordered within each term
+    lo, hi = index.csr_offsets[0], index.csr_offsets[1]
+    assert list(index.csr_weights[lo:hi]) == sorted(
+        index.csr_weights[lo:hi], reverse=True)
+    scores, ids = index.search([{"common": 2, "rare": 1}], depth=4)
+    assert ids[0][0] == "d" and scores[0][0] == 14.0
+    # save/load round-trips the relabeled ids
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        index.save(d)
+        again = ImpactIndex.load(d)
+        assert again.term_to_idx == index.term_to_idx
+        s2, i2 = again.search([{"common": 2, "rare": 1}], depth=4)
+        assert (s2, i2) == (scores, ids)

@@ -261,3 +261,53 @@ def test_taat_column_blocked_matches_single_block():
         jnp.asarray(matrix.astype(np.int16)), jnp.asarray(safe_idx),
         jnp.asarray(safe_w), interpret=True, max_sub_block=128))
     np.testing.assert_array_equal(got2, ref)
+
+
+def test_hot_term_cache_active_and_bitexact():
+    """Shapes small enough that the hot-term VMEM cache engages (n_hot >=
+    MIN_HOT_ROWS): steps hitting rows 1..n_hot take the cached-FMA path,
+    cold rows the DMA ring, padding row 0 the legacy dead-row DMA — all
+    bit-identical to the oracle, on both grid shapes."""
+    import mllm_sparse_retrieval_tpu.ops.impact_kernel as K
+
+    rng = np.random.default_rng(11)
+    t, n, b, q = 400, 2048, 2 * QUERY_TILE, 16  # int16: sub=128, n_hot=128
+    row_bytes = 16 * 128 * 2
+    n_hot = min(K.MAX_HOT_ROWS, K.HOT_VMEM_BUDGET // row_bytes, t)
+    assert n_hot >= K.MIN_HOT_ROWS  # the cache really engages here
+
+    matrix = np.zeros((t + 1, n), np.float32)
+    matrix[1:] = rng.integers(0, 500, size=(t, n)).astype(np.float32)
+    q_idx = rng.integers(0, t, size=(b, q)).astype(np.int32)
+    q_idx[:, ::3] = rng.integers(0, n_hot // 2, size=(b, (q + 2) // 3))
+    q_w = rng.integers(0, 90, size=(b, q)).astype(np.float32)  # some padding
+    safe_idx, safe_w = prepare_query_arrays(q_idx, q_w)
+    ref = _ref_scores(matrix, safe_idx, safe_w)
+
+    got = np.asarray(impact_scores_taat(
+        jnp.asarray(matrix.astype(np.int16)), jnp.asarray(safe_idx),
+        jnp.asarray(safe_w), interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    # column-blocked grid: the hot block is re-fetched per column block
+    got2 = np.asarray(impact_scores_taat(
+        jnp.asarray(matrix.astype(np.int16)), jnp.asarray(safe_idx),
+        jnp.asarray(safe_w), interpret=True, max_sub_block=64))
+    np.testing.assert_array_equal(got2, ref)
+
+
+def test_hot_only_and_cold_only_batches():
+    """All-hot and all-cold query batches exercise the degenerate branch
+    mixes (every DMA skipped / every step through the ring)."""
+    rng = np.random.default_rng(13)
+    t, n, b, q = 300, 2048, QUERY_TILE, 8
+    matrix = np.zeros((t + 1, n), np.float32)
+    matrix[1:] = rng.integers(0, 300, size=(t, n)).astype(np.float32)
+    for lo, hi in ((0, 8), (t - 8, t)):  # ids 0..7 hot; tail ids cold
+        q_idx = rng.integers(lo, hi, size=(b, q)).astype(np.int32)
+        q_w = rng.integers(1, 50, size=(b, q)).astype(np.float32)
+        safe_idx, safe_w = prepare_query_arrays(q_idx, q_w)
+        got = np.asarray(impact_scores_taat(
+            jnp.asarray(matrix.astype(np.int16)), jnp.asarray(safe_idx),
+            jnp.asarray(safe_w), interpret=True))
+        np.testing.assert_array_equal(got, _ref_scores(matrix, safe_idx,
+                                                       safe_w))
