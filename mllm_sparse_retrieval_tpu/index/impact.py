@@ -417,6 +417,76 @@ class ImpactIndex:
         are this index's compact ids (column of ``doc_terms``), padding
         entries have weight 0.
         """
+        plan = self._search_plan(mesh, backend, depth)
+        out_s: List[List[float]] = []
+        out_i: List[List[str]] = []
+        for chunk_i, chunk_w, take in self._chunk_queries(plan, q_idx, q_w):
+            s_dev, i_dev = self._dispatch_encoded(plan, chunk_i, chunk_w)
+            s_c, i_c = self._resolve_encoded(s_dev, i_dev, take)
+            out_s.extend(s_c)
+            out_i.extend(i_c)
+        return out_s, out_i
+
+    def search_encoded_stream(
+        self,
+        batches,            # iterable of (q_idx, q_w) array pairs
+        depth: int,
+        mesh=None,
+        backend: str = "auto",
+        lookahead: int = 2,
+    ):
+        """Pipelined batch search: yields one ``(scores, ids)`` pair per
+        input batch (same semantics as ``search_encoded``), keeping up to
+        ``lookahead`` device programs in flight ahead of the consumer.
+
+        JAX dispatch is asynchronous, so while the device scores batch r the
+        host is already encoding/uploading batch r+1 — on hosts with thin
+        transfer links (or real serving loops where the host prepares the
+        next batch) this overlaps the query transfer with device compute,
+        which is the throughput-optimal serving pattern. Batches wider than
+        the HBM chunk budget are sub-chunked through the same pipeline.
+        """
+        import collections
+
+        plan = self._search_plan(mesh, backend, depth)
+        pending = collections.deque()  # (scores_dev, idx_dev, take, last)
+
+        def submit():
+            for bi, (q_idx, q_w) in enumerate(batches):
+                chunks = list(self._chunk_queries(plan, q_idx, q_w))
+                for ci, (chunk_i, chunk_w, take) in enumerate(chunks):
+                    yield (chunk_i, chunk_w, take, ci == len(chunks) - 1)
+
+        out_s: List[List[float]] = []
+        out_i: List[List[str]] = []
+
+        def resolve_front():
+            nonlocal out_s, out_i
+            s_dev, i_dev, take, last = pending.popleft()
+            s_c, i_c = self._resolve_encoded(s_dev, i_dev, take)
+            out_s.extend(s_c)
+            out_i.extend(i_c)
+            if last:
+                done_s, done_i = out_s, out_i
+                out_s, out_i = [], []
+                return done_s, done_i
+            return None
+
+        for chunk_i, chunk_w, take, last in submit():
+            while len(pending) >= max(lookahead, 1):
+                done = resolve_front()
+                if done is not None:
+                    yield done
+            s_dev, i_dev = self._dispatch_encoded(plan, chunk_i, chunk_w)
+            pending.append((s_dev, i_dev, take, last))
+        while pending:
+            done = resolve_front()
+            if done is not None:
+                yield done
+
+    # ---- search internals (plan / dispatch / resolve) ------------------------
+    def _search_plan(self, mesh, backend: str, depth: int) -> dict:
+        """Resolve backend + device matrix + chunk budget once per search."""
         if backend == "auto":
             backend = "taat" if jax.default_backend() == "tpu" else "matmul"
         use_taat = backend in ("taat", "taat-shared")
@@ -437,8 +507,6 @@ class ImpactIndex:
                 cols //= mesh.shape[DATA_AXIS]
             if cols // _sublanes(dev.dtype) > MAX_SUB_SINGLE_BLOCK:
                 backend = "taat"
-        k = min(depth, self._n_valid)
-        b = q_idx.shape[0]
 
         # The [B, N_pad] f32 score tensor (plus ~2x top_k scratch) must fit
         # beside the matrix; wide corpora chunk the query batch.
@@ -449,29 +517,50 @@ class ImpactIndex:
         # (sort operands + iota + masked copies); 6x leaves headroom
         per_query = (n_pad // shards) * 4 * 6
         max_b = max(8, int(score_budget // max(per_query, 1)) // 8 * 8)
-        if b > max_b:
-            out_s: List[List[float]] = []
-            out_i: List[List[str]] = []
-            for start in range(0, b, max_b):
-                chunk_i = q_idx[start:start + max_b]
-                chunk_w = q_w[start:start + max_b]
-                if chunk_i.shape[0] < max_b:  # keep one compiled shape
-                    pad_n = max_b - chunk_i.shape[0]
-                    chunk_i = np.concatenate(
-                        [chunk_i, np.zeros((pad_n, chunk_i.shape[1]),
-                                           chunk_i.dtype)])
-                    chunk_w = np.concatenate(
-                        [chunk_w, np.zeros((pad_n, chunk_w.shape[1]),
-                                           chunk_w.dtype)])
-                s_c, i_c = self.search_encoded(chunk_i, chunk_w, depth,
-                                               mesh=mesh, backend=backend)
-                take = min(max_b, b - start)
-                out_s.extend(s_c[:take])
-                out_i.extend(i_c[:take])
-            return out_s, out_i
-        if use_taat:
+        return dict(backend=backend, dev=dev, mesh=mesh, max_b=max_b,
+                    k=min(depth, self._n_valid))
+
+    def _chunk_queries(self, plan, q_idx, q_w):
+        """Split a batch into dispatchable chunks: (chunk_i, chunk_w, take)
+        with a single compiled shape (the tail chunk is zero-padded)."""
+        b = q_idx.shape[0]
+        max_b = plan["max_b"]
+        if b <= max_b:
+            yield q_idx, q_w, b
+            return
+        for start in range(0, b, max_b):
+            chunk_i = q_idx[start:start + max_b]
+            chunk_w = q_w[start:start + max_b]
+            if chunk_i.shape[0] < max_b:  # keep one compiled shape
+                pad_n = max_b - chunk_i.shape[0]
+                chunk_i = np.concatenate(
+                    [chunk_i, np.zeros((pad_n, chunk_i.shape[1]),
+                                       chunk_i.dtype)])
+                chunk_w = np.concatenate(
+                    [chunk_w, np.zeros((pad_n, chunk_w.shape[1]),
+                                       chunk_w.dtype)])
+            yield chunk_i, chunk_w, min(max_b, b - start)
+
+    def _compact_queries(self, q_idx, q_w):
+        """int16 (idx, weight) upload form when exactly representable —
+        halves the host->device query bytes, the dominant per-batch cost on
+        thin host links; the jitted scorer upcasts on device. ``None`` when
+        the batch doesn't fit int16 (stays on the int32/f32 path)."""
+        if len(self.term_to_idx) >= 32767 or q_idx.size == 0:
+            return None
+        if np.abs(q_w).max() >= 32767 or not np.all(q_w == np.rint(q_w)):
+            return None
+        return q_idx.astype(np.int16), q_w.astype(np.int16)
+
+    def _dispatch_encoded(self, plan, q_idx, q_w):
+        """Enqueue the device program for one chunk (b <= max_b); returns
+        device arrays WITHOUT a host sync (the pipelining point)."""
+        backend, dev, mesh, k = (plan["backend"], plan["dev"], plan["mesh"],
+                                 plan["k"])
+        if backend in ("taat", "taat-shared"):
             from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
                 QUERY_TILE, prepare_shared_tiles)
+            b = q_idx.shape[0]
             pad = (-b) % QUERY_TILE
             if pad:
                 q_idx = np.concatenate(
@@ -484,23 +573,29 @@ class ImpactIndex:
                 # outweighs the DMA savings) — kept for high-dup workloads
                 tile_terms, tile_weights = prepare_shared_tiles(q_idx, q_w)
                 if mesh is None:
-                    scores, idx = _taat_shared_topk(
-                        dev, tile_terms, tile_weights, self._n_valid, k)
-                else:
-                    scores, idx = _sharded_taat_shared_topk(
-                        mesh, dev, tile_terms, tile_weights, self._n_valid, k)
-            elif mesh is None:
-                scores, idx = _taat_topk(dev, q_idx, q_w, self._n_valid, k)
-            else:
-                scores, idx = _sharded_taat_topk(mesh, dev, q_idx, q_w,
-                                                 self._n_valid, k)
-        elif mesh is None:
-            scores, idx = _impact_topk(dev, q_idx, q_w, self._n_valid, k)
-        else:
-            scores, idx = _sharded_impact_topk(mesh, dev, q_idx, q_w,
-                                               self._n_valid, k)
-        scores = np.asarray(scores)[:b]
-        idx = np.asarray(idx)[:b]
+                    return _taat_shared_topk(dev, tile_terms, tile_weights,
+                                             self._n_valid, k)
+                return _sharded_taat_shared_topk(
+                    mesh, dev, tile_terms, tile_weights, self._n_valid, k)
+            if mesh is None:
+                compact = self._compact_queries(q_idx, q_w)
+                if compact is not None:
+                    q_idx, q_w = compact
+                return _taat_topk(dev, q_idx, q_w, self._n_valid, k)
+            return _sharded_taat_topk(mesh, dev, q_idx, q_w,
+                                      self._n_valid, k)
+        if mesh is None:
+            compact = self._compact_queries(q_idx, q_w)
+            if compact is not None:
+                q_idx, q_w = compact
+            return _impact_topk(dev, q_idx, q_w, self._n_valid, k)
+        return _sharded_impact_topk(mesh, dev, q_idx, q_w, self._n_valid, k)
+
+    def _resolve_encoded(self, scores_dev, idx_dev, b
+                         ) -> Tuple[List[List[float]], List[List[str]]]:
+        """Host sync + ragged conversion (zero-score docs dropped)."""
+        scores = np.asarray(scores_dev)[:b]
+        idx = np.asarray(idx_dev)[:b]
         out_scores: List[List[float]] = []
         out_ids: List[List[str]] = []
         for row in range(b):
@@ -663,11 +758,17 @@ def _masked_topk(scores, n_valid, k):
 
 @functools.partial(jax.jit, static_argnames=("n_valid", "k"))
 def _impact_topk(matrix, q_idx, q_w, n_valid, k):
+    # accepts the compact int16 upload form (see _compact_queries); the
+    # upcast is a trivial device op, the transfer saving is the point
+    q_idx = q_idx.astype(jnp.int32)
+    q_w = q_w.astype(jnp.float32)
     return _masked_topk(_scores_from_matrix(matrix, q_idx, q_w), n_valid, k)
 
 
 @functools.partial(jax.jit, static_argnames=("n_valid", "k"))
 def _taat_topk(matrix, q_idx, q_w, n_valid, k):
+    q_idx = q_idx.astype(jnp.int32)  # compact int16 upload form supported
+    q_w = q_w.astype(jnp.float32)
     return _masked_topk(_taat_scores(matrix, q_idx, q_w), n_valid, k)
 
 

