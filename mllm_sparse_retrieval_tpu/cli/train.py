@@ -42,8 +42,14 @@ def main(argv=None):
                         help="dropout on decoder LoRA paths "
                              "(scripts/train.sh --lora_dropout)")
     parser.add_argument("--load-kbit", type=int, default=0, choices=[0, 4, 8],
-                        help="store base weights int4/int8, dequantized per "
+                        help="store base weights quantized, dequantized per "
                              "use (QLoRA; reference --load_kbit)")
+    parser.add_argument("--quant-format", default="nf4",
+                        choices=["nf4", "linear"],
+                        help="4-bit storage format: nf4 (blockwise "
+                             "NormalFloat + double-quant scales, the "
+                             "reference's bnb_4bit_quant_type) or linear "
+                             "per-channel int4; 8-bit is always linear")
     parser.add_argument("--train-vision-lora", action="store_true")
     parser.add_argument("--train-projector-lora", action="store_true")
     parser.add_argument("--no-gather-gradient", action="store_true",
@@ -82,9 +88,10 @@ def main(argv=None):
         from mllm_sparse_retrieval_tpu.models.quantization import (
             quantize_params, quantized_bytes)
         fp_bytes = quantized_bytes(params)
-        params = quantize_params(params, bits=args.load_kbit)
-        logger.info("kbit load: %d-bit base, %.1f MB -> %.1f MB (%.2fx)",
-                    args.load_kbit, fp_bytes / 1e6,
+        mode = args.quant_format if args.load_kbit == 4 else "linear"
+        params = quantize_params(params, bits=args.load_kbit, mode=mode)
+        logger.info("kbit load: %d-bit (%s) base, %.1f MB -> %.1f MB (%.2fx)",
+                    args.load_kbit, mode, fp_bytes / 1e6,
                     quantized_bytes(params) / 1e6,
                     fp_bytes / max(quantized_bytes(params), 1))
     mesh = make_mesh(model_parallel=args.model_parallel) if args.mesh else None

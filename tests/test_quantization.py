@@ -94,6 +94,75 @@ def test_merge_into_quantized_base_refuses():
         L.merge_lora_into_dense({"w": entry}, lora)
 
 
+def test_nf4_roundtrip_and_exact_zero():
+    """nf4 blockwise round trip: bounded error, zeros exact (0.0 is a code
+    value), odd/non-block-multiple row counts pad correctly."""
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(100, 24)).astype(np.float32)  # not a 64-multiple
+    w[13, :] = 0.0
+    entry = quantize_weight(jnp.asarray(w), bits=4, mode="nf4")
+    assert entry.mode == "nf4" and entry.q.shape == (64, 24)  # packed 128/2
+    back = np.asarray(dequantize_weight(entry))
+    assert back.shape == w.shape
+    np.testing.assert_array_equal(back[13], np.zeros(24))
+    # per-block error bound: absmax * half the widest code gap (~0.139),
+    # plus the double-quant absmax error (second-level scale / 2)
+    from mllm_sparse_retrieval_tpu.models.quantization import NF4_CODE
+    half_gap = max(b - a for a, b in zip(NF4_CODE, NF4_CODE[1:])) / 2
+    absmax = (np.asarray(entry.scale_q, np.float32) * np.asarray(entry.scale)
+              + np.asarray(entry.scale_off))
+    pad_w = np.concatenate([w, np.zeros((28, 24), np.float32)])
+    err = np.abs(back - w)
+    for b in range(2):
+        blk_err = err[b * 64:(b + 1) * 64] if b * 64 < 100 else None
+        if blk_err is None:
+            continue
+        bound = absmax[b] * half_gap + np.abs(np.asarray(entry.scale))[0] / 2
+        assert np.all(blk_err <= bound[None, : ] + 1e-6), (b, blk_err.max())
+    assert pad_w.shape[0] % 64 == 0  # layout sanity
+
+
+def test_nf4_beats_linear_int4_on_gaussian_weights():
+    """The NormalFloat codebook is built for gaussian weights — its RMS
+    error must beat per-channel linear int4 (the reason bnb uses it)."""
+    rng = np.random.default_rng(4)
+    w = rng.normal(size=(256, 64)).astype(np.float32)
+    nf4 = np.asarray(dequantize_weight(
+        quantize_weight(jnp.asarray(w), bits=4, mode="nf4")))
+    lin = np.asarray(dequantize_weight(quantize_weight(jnp.asarray(w), bits=4)))
+    rms = lambda x: float(np.sqrt(np.mean(x ** 2)))
+    assert rms(nf4 - w) < rms(lin - w)
+
+
+def test_nf4_is_jit_transparent_and_dense_consumes_it():
+    from mllm_sparse_retrieval_tpu.models import layers as L
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(128, 32)).astype(np.float32)
+    entry = quantize_weight(jnp.asarray(w), bits=4, mode="nf4")
+    leaves = jax.tree_util.tree_leaves(entry)
+    assert len(leaves) == 4  # q, scale, scale_q, scale_off
+    moved = jax.device_put(entry)
+    assert isinstance(moved, QuantizedWeight) and moved.mode == "nf4"
+
+    x = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+    got = L.dense(x, {"w": entry})
+    exp = x @ dequantize_weight(entry)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+    @jax.jit
+    def f(e, xv):
+        return L.dense(xv, {"w": e})
+
+    np.testing.assert_allclose(np.asarray(f(entry, x)), np.asarray(exp),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_nf4_rejects_8bit():
+    with pytest.raises(ValueError, match="4-bit"):
+        quantize_weight(jnp.ones((64, 8)), bits=8, mode="nf4")
+
+
 def _tiny(bits=0):
     from mllm_sparse_retrieval_tpu.configs import ModelConfig, ModelFamily
     from mllm_sparse_retrieval_tpu.models import build_model
@@ -141,10 +210,11 @@ def test_quantize_params_tree_memory_and_forward():
     assert cos4 > 0.95
 
 
-def test_qlora_training_learns_on_quantized_base():
-    """QLoRA end to end: int4 frozen base + fp LoRA adapters through the
-    real trainer — loss decreases, base stays quantized, memory stays small
-    (VERDICT r2 next #1)."""
+@pytest.mark.parametrize("mode", ["linear", "nf4"])
+def test_qlora_training_learns_on_quantized_base(mode):
+    """QLoRA end to end: 4-bit frozen base (linear AND nf4, the reference's
+    bnb format) + fp LoRA adapters through the real trainer — loss
+    decreases, base stays quantized, memory stays small (VERDICT r2 #1)."""
     from mllm_sparse_retrieval_tpu.configs import TrainConfig
     from mllm_sparse_retrieval_tpu.data.karpathy import Example
     from mllm_sparse_retrieval_tpu.models import lora as lora_lib
@@ -153,7 +223,7 @@ def test_qlora_training_learns_on_quantized_base():
 
     params, arch, tok, template = _tiny()
     fp_bytes = quantized_bytes(params)
-    qparams = quantize_params(params, bits=4)
+    qparams = quantize_params(params, bits=4, mode=mode)
     captions = ["a red car parked on the street",
                 "two dogs running through tall grass",
                 "a man surfing a large ocean wave",
