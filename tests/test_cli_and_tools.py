@@ -223,3 +223,24 @@ def test_reproduce_recall_dry_run(tmp_path):
     # self-hit, but the t2i dense run must still rank depth-many images
     r1 = results["t2i"]["dense"][0]
     assert r1.num_queries == 20
+
+
+@needs_data
+def test_train_retrieve_e2e_dry_run():
+    """tools/train_retrieve_e2e.py (the on-chip train->retrieve system
+    check) must run end-to-end at toy scale so it cannot rot; the full
+    recipe (--few-shot 200 --epochs 24) is exercised on real hardware each
+    round (+0.68 seen-caption r@1 lift on the v5e). One epoch can't learn,
+    so the lift gate is disabled here — learning itself is covered by
+    test_training.py's overfit test."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "train_retrieve_e2e", "/root/repo/tools/train_retrieve_e2e.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rc = mod.main(["--few-shot", "100", "--limit-images", "24",
+                   "--epochs", "1", "--batch-size", "8", "--depth", "5",
+                   "--min-lift", "-1.0"])
+    assert rc == 0
