@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mllm_sparse_retrieval_tpu.ops.mips import mips_topk, sharded_mips_topk
+from mllm_sparse_retrieval_tpu.ops.mips import (mips_topk_packed,
+                                                sharded_mips_topk)
+from mllm_sparse_retrieval_tpu.ops.packing import unpack_topk
 from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -80,31 +82,58 @@ class DenseFlatIndex:
                 jnp.asarray(corpus, dtype=self.dtype), sharding)
 
     # ---- search --------------------------------------------------------------
+    def _dispatch_chunk(self, chunk_f32: np.ndarray, depth: int, mesh):
+        """Enqueue one chunk's program; no host sync (the pipelining point).
+        Single-chip results come back as ONE packed array — one fetch, one
+        link round trip (see ops/packing.py)."""
+        q = jnp.asarray(chunk_f32, dtype=self.dtype)
+        if mesh is None:
+            return mips_topk_packed(q, self._corpus_dev,
+                                    min(depth, self._n_valid))
+        return sharded_mips_topk(mesh, q, self._corpus_dev,
+                                 self._n_valid, depth)
+
+    @staticmethod
+    def _resolve_chunk(out) -> Tuple[np.ndarray, np.ndarray]:
+        if isinstance(out, tuple):          # mesh path: (scores, idx)
+            return np.asarray(out[0]), np.asarray(out[1])
+        return unpack_topk(np.asarray(out))
+
     def search(
         self, q_reps: np.ndarray, depth: int, mesh=None
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-``depth`` MIPS. Returns (scores [B,k], indices [B,k])."""
         self._materialize(mesh)
-        q = jnp.asarray(np.asarray(q_reps, dtype=np.float32), dtype=self.dtype)
-        if mesh is None:
-            scores, idx = mips_topk(q, self._corpus_dev, min(depth, self._n_valid))
-        else:
-            scores, idx = sharded_mips_topk(
-                mesh, q, self._corpus_dev, self._n_valid, depth)
-        return np.asarray(scores), np.asarray(idx)
+        q = np.asarray(q_reps, dtype=np.float32)
+        return self._resolve_chunk(self._dispatch_chunk(q, depth, mesh))
 
     def batch_search(
-        self, q_reps: np.ndarray, depth: int, batch_size: int = 128, mesh=None
+        self, q_reps: np.ndarray, depth: int, batch_size: int = 128,
+        mesh=None, lookahead: int = 3,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Chunked search with a fixed device batch (stable compiled shapes).
 
         Mirrors ``FaissFlatSearcher.batch_search`` usage
         (/root/reference/src/search.py:55-59). The final partial batch is
         padded to ``batch_size`` so only one program is ever compiled.
+        Up to ``lookahead`` chunks stay in flight ahead of the consumer, so
+        chunk r+1's query upload overlaps chunk r's compute — the same
+        serving pipeline as ``ImpactIndex.search_encoded_stream``.
         """
+        import collections
+
+        self._materialize(mesh)
         q_reps = np.asarray(q_reps, dtype=np.float32)
         n = q_reps.shape[0]
         all_scores, all_idx = [], []
+        pending = collections.deque()       # (out_dev, valid)
+
+        def resolve_front():
+            out, valid = pending.popleft()
+            scores, idx = self._resolve_chunk(out)
+            all_scores.append(scores[:valid])
+            all_idx.append(idx[:valid])
+
         for start in range(0, n, batch_size):
             chunk = q_reps[start:start + batch_size]
             valid = chunk.shape[0]
@@ -112,9 +141,11 @@ class DenseFlatIndex:
                 chunk = np.concatenate(
                     [chunk, np.zeros((batch_size - valid, chunk.shape[1]),
                                      chunk.dtype)])
-            scores, idx = self.search(chunk, depth, mesh=mesh)
-            all_scores.append(scores[:valid])
-            all_idx.append(idx[:valid])
+            while len(pending) >= max(lookahead, 1):
+                resolve_front()
+            pending.append((self._dispatch_chunk(chunk, depth, mesh), valid))
+        while pending:
+            resolve_front()
         return np.concatenate(all_scores), np.concatenate(all_idx)
 
     def search_ids(
@@ -123,7 +154,10 @@ class DenseFlatIndex:
         """Search and map row indices to lookup ids (reference search_queries,
         /root/reference/src/search.py:55-63)."""
         scores, idx = self.batch_search(q_reps, depth, batch_size, mesh=mesh)
-        ids = [[self.lookup[int(x)] for x in row] for row in idx]
+        lookup_arr = getattr(self, "_lookup_arr", None)
+        if lookup_arr is None or len(lookup_arr) != len(self.lookup):
+            lookup_arr = self._lookup_arr = np.asarray(self.lookup)
+        ids = lookup_arr[idx].tolist()
         return scores, ids
 
     # ---- persistence -----------------------------------------------------------

@@ -20,6 +20,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from mllm_sparse_retrieval_tpu.ops.packing import pack_topk
 from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -38,6 +39,18 @@ def mips_topk(
         queries, corpus.T, preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST)
     return lax.top_k(scores, min(k, corpus.shape[0]))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def mips_topk_packed(queries: jax.Array, corpus: jax.Array, k: int
+                     ) -> jax.Array:
+    """``mips_topk`` with both outputs fused into one [B, 2k] f32 array
+    (``ops.packing.unpack_topk`` inverts) — one host fetch per chunk, the
+    serving-path form used by ``DenseFlatIndex``."""
+    scores = jnp.dot(
+        queries, corpus.T, preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST)
+    return pack_topk(*lax.top_k(scores, min(k, corpus.shape[0])))
 
 
 def _local_then_global_topk(queries, corpus_shard, n_valid, k, k_local):
