@@ -64,6 +64,10 @@ def main(argv=None):
     parser.add_argument("--no-zero1", action="store_true",
                         help="replicate optimizer state instead of sharding")
     parser.add_argument("--output-dir", default="./output")
+    parser.add_argument("--log-every", type=int, default=10,
+                        help="log (and host-sync) every N steps; unlogged "
+                             "steps dispatch asynchronously, which hides "
+                             "the per-step link round trip on remote chips")
     parser.add_argument("--checkpoint-every", type=int, default=0)
     parser.add_argument("--merge", action="store_true",
                         help="also save merged encoder params")
@@ -132,7 +136,7 @@ def main(argv=None):
 
     timer.phase("train")
     trainer.train(examples, collate, batch_size=args.batch_size,
-                  num_epochs=args.num_epochs,
+                  num_epochs=args.num_epochs, log_every=args.log_every,
                   logger=lambda m: logger.info(m),
                   checkpoint_dir=os.path.join(args.output_dir, "ckpts")
                   if args.checkpoint_every else None,

@@ -309,7 +309,13 @@ class ContrastiveTrainer:
             out_shardings=(trainable_shardings, opt_shardings, replicated),
         )
 
-    def train_on_batch(self, batch: TrainBatch) -> float:
+    def train_on_batch(self, batch: TrainBatch, blocking: bool = True
+                       ) -> float:
+        """One optimizer step. ``blocking=False`` returns the loss as a
+        device scalar WITHOUT a host sync — on remote accelerators each
+        sync costs a full link round trip per step, so the epoch loop only
+        blocks on steps it actually logs (JAX dispatch keeps several steps
+        in flight; ``loss_history`` is coerced to floats at epoch end)."""
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
         if self.mesh is not None:
             data = NamedSharding(self.mesh, P(DATA_AXIS))
@@ -329,7 +335,8 @@ class ContrastiveTrainer:
         else:
             self.adapters = trainable
         self.step += 1
-        loss = float(loss)
+        if blocking:
+            loss = float(loss)
         self.loss_history.append(loss)
         return loss
 
@@ -353,12 +360,24 @@ class ContrastiveTrainer:
             rng.shuffle(order)
             for start in range(0, len(examples) - batch_size + 1, batch_size):
                 batch_ex = [examples[i] for i in order[start:start + batch_size]]
-                loss = self.train_on_batch(collate(batch_ex, text_max_len))
+                # only sync the host on steps that log or checkpoint —
+                # un-logged steps stay fully async (see train_on_batch)
+                want_sync = bool(
+                    (logger and (self.step + 1) % log_every == 0) or
+                    (checkpoint_dir and self.cfg.checkpoint_every_steps and
+                     (self.step + 1) % self.cfg.checkpoint_every_steps == 0))
+                loss = self.train_on_batch(collate(batch_ex, text_max_len),
+                                           blocking=want_sync)
+                if not want_sync and self.step % 32 == 0:
+                    # bound the async queue: each in-flight step pins a
+                    # fresh (trainable, opt_state) allocation until retired
+                    jax.block_until_ready(loss)
                 if logger and self.step % log_every == 0:
                     logger(f"epoch {epoch} step {self.step} loss {loss:.4f}")
                 if checkpoint_dir and self.cfg.checkpoint_every_steps and \
                         self.step % self.cfg.checkpoint_every_steps == 0:
                     self.save_checkpoint(checkpoint_dir)
+        self.loss_history = [float(x) for x in self.loss_history]
         if checkpoint_dir:
             self.save_checkpoint(checkpoint_dir)
         return self.loss_history

@@ -126,6 +126,35 @@ def test_training_reduces_loss_and_learns_retrieval(tiny_setup):
     assert out.dense_recall[1] >= 0.75  # random baseline is 1/8
 
 
+def test_async_stepping_matches_blocking(tiny_setup):
+    """The epoch loop only host-syncs on logged steps (train_on_batch
+    blocking=False elsewhere) — the returned loss history must be floats
+    and bit-identical to fully-blocking stepping."""
+    params, arch, tok, template, examples = tiny_setup
+    collate = make_collator(tok, template, arch)
+    histories = []
+    for log_every in (1, 5):    # 1 = every step blocking; 5 = mostly async
+        tcfg = TrainConfig(learning_rate=1e-3, tau=0.1, lora_dropout=0.0,
+                           shard_optimizer_state=False)
+        adapters = lora_lib.init_lora(jax.random.PRNGKey(0), params, arch,
+                                      rank=4, alpha=8)
+        trainer = ContrastiveTrainer(params, arch, adapters, tcfg)
+        hist = trainer.train(examples, collate, batch_size=8, num_epochs=4,
+                             log_every=log_every, logger=lambda m: None)
+        assert all(isinstance(x, float) for x in hist)
+        histories.append(hist)
+    assert histories[0] == histories[1]
+    # logger=None is the fully-async path
+    tcfg = TrainConfig(learning_rate=1e-3, tau=0.1, lora_dropout=0.0,
+                       shard_optimizer_state=False)
+    adapters = lora_lib.init_lora(jax.random.PRNGKey(0), params, arch,
+                                  rank=4, alpha=8)
+    trainer = ContrastiveTrainer(params, arch, adapters, tcfg)
+    hist = trainer.train(examples, collate, batch_size=8, num_epochs=4,
+                         logger=None)
+    assert hist == histories[0]
+
+
 def test_training_on_mesh_with_zero1(tiny_setup):
     params, arch, tok, template, examples = tiny_setup
     mesh = make_mesh()
