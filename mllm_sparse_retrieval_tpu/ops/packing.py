@@ -40,3 +40,36 @@ def unpack_topk(packed: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     k = packed.shape[1] // 2
     scores = np.ascontiguousarray(packed[:, :k]).view(np.float32)
     return scores, packed[:, k:]
+
+
+def pack_blocks(blocks) -> jnp.ndarray:
+    """Concat mixed-dtype [B, w] blocks into one [B, sum(w)] i32 array
+    (traced context). ``blocks`` is a sequence of (array, is_float) pairs;
+    float blocks are bitcast (int32 packing for the same denormal-flush
+    reason as ``pack_topk``). A [B] vector may be passed and is widened to
+    [B, 1]. Used by the encode pipeline to resolve a batch's entire
+    device output in ONE fetch."""
+    parts = []
+    for a, is_float in blocks:
+        if a.ndim == 1:
+            a = a[:, None]
+        if is_float:
+            parts.append(lax.bitcast_convert_type(
+                a.astype(jnp.float32), jnp.int32))
+        else:
+            parts.append(a.astype(jnp.int32))
+    return jnp.concatenate(parts, axis=1)
+
+
+def unpack_blocks(packed: np.ndarray, spec):
+    """Host-side inverse of ``pack_blocks``: ``spec`` is a sequence of
+    (width, is_float) pairs matching the packed layout."""
+    out, off = [], 0
+    for w, is_float in spec:
+        blk = packed[:, off:off + w]
+        off += w
+        out.append(np.ascontiguousarray(blk).view(np.float32)
+                   if is_float else blk)
+    if off != packed.shape[1]:
+        raise ValueError(f"spec covers {off} of {packed.shape[1]} columns")
+    return out

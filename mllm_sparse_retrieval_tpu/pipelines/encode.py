@@ -151,7 +151,12 @@ def encode_examples(
 
     def _shard(*arrays):
         if mesh is None:
-            return arrays
+            # explicit async device_put: calling a jit with numpy args
+            # transfers synchronously through thin-link relays, which would
+            # serialize this batch's upload with the previous batch's
+            # compute (the same fix as ImpactIndex._dispatch_encoded)
+            return tuple(jax.tree_util.tree_map(jax.device_put, x)
+                         for x in arrays)
         from mllm_sparse_retrieval_tpu.parallel.mesh import shard_batch
         # each arg may be an array or a pytree of arrays (anyres vision dict)
         return tuple(jax.tree_util.tree_map(lambda a: shard_batch(mesh, a), x)
@@ -213,17 +218,28 @@ def encode_examples(
     # on the single-chip path (llama.apply allow_flash)
     allow_flash = mesh is None
 
+    # Every jit returns its batch's whole output as ONE packed int32 array
+    # (ops/packing.py): each device array the host fetches pays a full link
+    # round trip, and the unpacked form was 6-8 fetches per batch. Specs
+    # below mirror the pack layout for the host-side unpack.
+    from mllm_sparse_retrieval_tpu.ops.packing import pack_blocks
+
+    hidden = arch.text.hidden_size
+
     @jax.jit
     def _encode_text(p, l, ids, mask):
         sparse, dense = encode_any(p, arch, ids, mask, None, reps_loc, l,
                                    allow_flash=allow_flash)
-        return sparse, normalize(dense)
+        return pack_blocks([(sparse, True), (normalize(dense), True)])
 
     @jax.jit
     def _encode_image(p, l, ids, mask, pixels, pos):
         sparse, dense = encode_any(p, arch, ids, mask, pixels, reps_loc, l,
                                    position_ids=pos, allow_flash=allow_flash)
-        return sparse, normalize(dense)
+        return pack_blocks([(sparse, True), (normalize(dense), True)])
+
+    def _plain_spec():
+        return [(arch.text.vocab_size, True), (hidden, True)]
 
     @jax.jit
     def _encode_text_ds(p, l, ids, mask, cand_ids, cand_mask, fmask):
@@ -233,11 +249,24 @@ def encode_examples(
                                    allow_flash=allow_flash)
         fv, fi = vocab_topk(sparse, k_text_full)
         cv, ci, cnt = candidate_topk(sparse, cand_ids, cand_mask, 128)
-        exp = None
+        blocks = [(fv, True), (fi, False), (cv, True), (ci, False),
+                  (cnt, False)]
         if fmask is not None:
             # over-provision by the candidate width (the exclusion bound)
-            exp = filtered_topk(sparse, fmask, exp_k + cand_ids.shape[1])
-        return fv, fi, cv, ci, cnt, exp, normalize(dense)
+            ev, ei = filtered_topk(sparse, fmask, exp_k + cand_ids.shape[1])
+            blocks += [(ev, True), (ei, False)]
+        return pack_blocks(blocks + [(normalize(dense), True)])
+
+    def _text_ds_spec(cand_w):
+        # widths mirror the k clamps inside ops/select (k = min(k, width))
+        vocab = arch.text.vocab_size
+        kt = min(k_text_full, vocab)
+        cw = min(128, cand_w)
+        spec = [(kt, True), (kt, False), (cw, True), (cw, False), (1, False)]
+        if filtered_mask_dev is not None:
+            ew = min(exp_k + cand_w, vocab)
+            spec += [(ew, True), (ew, False)]
+        return spec + [(hidden, True)]
 
     @jax.jit
     def _encode_image_ds(p, l, ids, mask, pixels, pos, fmask):
@@ -246,10 +275,20 @@ def encode_examples(
         sparse, dense = encode_any(p, arch, ids, mask, pixels, reps_loc, l,
                                    position_ids=pos, allow_flash=allow_flash)
         fv, fi = vocab_topk(sparse, k_image)
-        exp = None
+        blocks = [(fv, True), (fi, False)]
         if fmask is not None:
-            exp = filtered_topk(sparse, fmask, exp_k + k_image)
-        return fv, fi, exp, normalize(dense)
+            ev, ei = filtered_topk(sparse, fmask, exp_k + k_image)
+            blocks += [(ev, True), (ei, False)]
+        return pack_blocks(blocks + [(normalize(dense), True)])
+
+    def _image_ds_spec():
+        vocab = arch.text.vocab_size
+        ki = min(k_image, vocab)
+        spec = [(ki, True), (ki, False)]
+        if filtered_mask_dev is not None:
+            ew = min(exp_k + k_image, vocab)
+            spec += [(ew, True), (ew, False)]
+        return spec + [(hidden, True)]
 
     def _expand_terms(t_ids, t_vals, excl_ids, exp_row):
         """Append exp_k expansion terms: first exp_k ranked filtered ids not
@@ -358,26 +397,46 @@ def encode_examples(
                 except queue.Empty:
                     break
 
+    from mllm_sparse_retrieval_tpu.ops.packing import unpack_blocks
+
     result = EncodeResult()
     all_dense: List[np.ndarray] = []
 
-    for batch, valid, host in _prefetched():
+    def _dispatch(batch, valid, host):
+        """Enqueue one batch's device program; returns (packed_dev, spec)
+        plus whatever the resolver needs. No host sync here — up to
+        ``lookahead`` batches stay in flight so batch r+1's upload/compute
+        overlaps batch r's result fetch and host-side term selection."""
+        if encode_type == "text":
+            ids, mask, cand_ids, cand_mask = host
+            dids, dmask = _shard(ids, mask)
+            if use_device_select:
+                dcand_ids, dcand_mask = _shard(cand_ids, cand_mask)
+                packed = _encode_text_ds(params, lora, dids, dmask,
+                                         dcand_ids, dcand_mask,
+                                         filtered_mask_dev)
+                return packed, _text_ds_spec(cand_ids.shape[1])
+            return _encode_text(params, lora, dids, dmask), _plain_spec()
+        b_ids, b_mask, pixels, pos = host
+        b_ids, b_mask, pixels = _shard(b_ids, b_mask, pixels)
+        if use_device_select:
+            packed = _encode_image_ds(params, lora, b_ids, b_mask, pixels,
+                                      pos, filtered_mask_dev)
+            return packed, _image_ds_spec()
+        return (_encode_image(params, lora, b_ids, b_mask, pixels, pos),
+                _plain_spec())
+
+    def _resolve(batch, valid, host, packed_dev, pk_spec):
+        parts = unpack_blocks(np.asarray(packed_dev), pk_spec)
+        dense = parts[-1]
         batch_terms: List[SelectedTerms] = []
 
         if encode_type == "text":
-            ids, mask, cand_ids, cand_mask = host
-            host_cand_ids, host_cand_mask = cand_ids, cand_mask
-            ids, mask = _shard(ids, mask)
+            host_cand_ids, host_cand_mask = host[2], host[3]
             if use_device_select:
-                cand_ids, cand_mask = _shard(cand_ids, cand_mask)
-                fv, fi, cv, ci, cnt, exp, dense = _encode_text_ds(
-                    params, lora, ids, mask, cand_ids, cand_mask,
-                    filtered_mask_dev)
-                fv, fi = np.asarray(fv), np.asarray(fi)
-                cv, ci = np.asarray(cv), np.asarray(ci)
-                cnt = np.asarray(cnt)
-                if exp is not None:
-                    exp = (np.asarray(exp[0]), np.asarray(exp[1]))
+                fv, fi, cv, ci, cnt = parts[0], parts[1], parts[2], \
+                    parts[3], parts[4][:, 0]
+                exp = (parts[5], parts[6]) if len(parts) == 8 else None
                 for b in range(valid):
                     if cnt[b] == 0:
                         take = sparse_cfg.fallback_top_k
@@ -398,22 +457,15 @@ def encode_examples(
                         quantize_weights(t_vals,
                                          sparse_cfg.quantization_scale)))
             else:
-                sparse_logits, dense = _encode_text(params, lora, ids, mask)
-                sparse_logits = np.asarray(sparse_logits, np.float32)
+                sparse_logits = parts[0]
                 for b in range(valid):
                     batch_terms.append(select_text_terms(
                         batch[b].text, encode_word, sparse_logits[b],
                         sparse_cfg, filtered_ids))
         else:
-            b_ids, b_mask, pixels, pos = host
-            b_ids, b_mask, pixels = _shard(b_ids, b_mask, pixels)
             if use_device_select:
-                fv, fi, exp, dense = _encode_image_ds(
-                    params, lora, b_ids, b_mask, pixels, pos,
-                    filtered_mask_dev)
-                fv, fi = np.asarray(fv), np.asarray(fi)
-                if exp is not None:
-                    exp = (np.asarray(exp[0]), np.asarray(exp[1]))
+                fv, fi = parts[0], parts[1]
+                exp = (parts[2], parts[3]) if len(parts) == 5 else None
                 for b in range(valid):
                     t_ids, t_vals = fi[b], fv[b]
                     if exp is not None:
@@ -425,16 +477,12 @@ def encode_examples(
                         quantize_weights(t_vals,
                                          sparse_cfg.quantization_scale)))
             else:
-                sparse_logits, dense = _encode_image(
-                    params, lora, b_ids, b_mask, pixels, pos)
-                sparse_logits = np.asarray(sparse_logits, np.float32)
+                sparse_logits = parts[0]
                 for b in range(valid):
                     batch_terms.append(select_image_terms(
                         sparse_logits[b], sparse_cfg, filtered_ids))
 
-        dense = np.asarray(dense, np.float32)[:valid]
-        all_dense.append(dense)
-
+        all_dense.append(np.asarray(dense, np.float32)[:valid])
         for terms, ex in zip(batch_terms, batch[:valid]):
             result.ids.append(ex.text_id if encode_type == "text"
                               else ex.img_id)
@@ -450,6 +498,17 @@ def encode_examples(
                 result.sparse_vectors.append(
                     doc_string_vector(terms, id_to_token,
                                       sparse_cfg.is_filtered))
+
+    import collections
+    lookahead = 2
+    pending = collections.deque()   # (batch, valid, host, packed, spec)
+    for batch, valid, host in _prefetched():
+        while len(pending) >= lookahead:
+            _resolve(*pending.popleft())
+        packed, pk_spec = _dispatch(batch, valid, host)
+        pending.append((batch, valid, host, packed, pk_spec))
+    while pending:
+        _resolve(*pending.popleft())
 
     result.dense = np.concatenate(all_dense) if all_dense else \
         np.zeros((0, arch.text.hidden_size), np.float32)
