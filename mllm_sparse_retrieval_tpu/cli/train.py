@@ -67,7 +67,8 @@ def main(argv=None):
     parser.add_argument("--log-every", type=int, default=10,
                         help="log (and host-sync) every N steps; unlogged "
                              "steps dispatch asynchronously, which hides "
-                             "the per-step link round trip on remote chips")
+                             "the per-step link round trip on remote "
+                             "chips; 0 disables periodic step logging")
     parser.add_argument("--checkpoint-every", type=int, default=0)
     parser.add_argument("--merge", action="store_true",
                         help="also save merged encoder params")

@@ -122,30 +122,36 @@ class DenseFlatIndex:
         """
         import collections
 
+        from mllm_sparse_retrieval_tpu.ops.stream import pipeline_dispatch
+
         self._materialize(mesh)
         q_reps = np.asarray(q_reps, dtype=np.float32)
         n = q_reps.shape[0]
         all_scores, all_idx = [], []
-        pending = collections.deque()       # (out_dev, valid)
 
-        def resolve_front():
-            out, valid = pending.popleft()
+        def chunks():
+            for start in range(0, n, batch_size):
+                chunk = q_reps[start:start + batch_size]
+                valid = chunk.shape[0]
+                if valid < batch_size:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((batch_size - valid, chunk.shape[1]),
+                                         chunk.dtype)])
+                yield chunk, valid
+
+        def dispatch(item):
+            chunk, valid = item
+            return self._dispatch_chunk(chunk, depth, mesh), valid
+
+        def resolve(handle):
+            out, valid = handle
             scores, idx = self._resolve_chunk(out)
             all_scores.append(scores[:valid])
             all_idx.append(idx[:valid])
 
-        for start in range(0, n, batch_size):
-            chunk = q_reps[start:start + batch_size]
-            valid = chunk.shape[0]
-            if valid < batch_size:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((batch_size - valid, chunk.shape[1]),
-                                     chunk.dtype)])
-            while len(pending) >= max(lookahead, 1):
-                resolve_front()
-            pending.append((self._dispatch_chunk(chunk, depth, mesh), valid))
-        while pending:
-            resolve_front()
+        collections.deque(
+            pipeline_dispatch(chunks(), dispatch, resolve, lookahead),
+            maxlen=0)
         return np.concatenate(all_scores), np.concatenate(all_idx)
 
     def search_ids(
@@ -154,10 +160,13 @@ class DenseFlatIndex:
         """Search and map row indices to lookup ids (reference search_queries,
         /root/reference/src/search.py:55-63)."""
         scores, idx = self.batch_search(q_reps, depth, batch_size, mesh=mesh)
-        lookup_arr = getattr(self, "_lookup_arr", None)
-        if lookup_arr is None or len(lookup_arr) != len(self.lookup):
-            lookup_arr = self._lookup_arr = np.asarray(self.lookup)
-        ids = lookup_arr[idx].tolist()
+        # cache keyed on the list OBJECT: a same-length replacement of the
+        # public ``lookup`` must not serve stale ids
+        if getattr(self, "_lookup_arr_src", None) is not self.lookup or \
+                len(self._lookup_arr) != len(self.lookup):
+            self._lookup_arr = np.asarray(self.lookup)
+            self._lookup_arr_src = self.lookup
+        ids = self._lookup_arr[idx].tolist()
         return scores, ids
 
     # ---- persistence -----------------------------------------------------------

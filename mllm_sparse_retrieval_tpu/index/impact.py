@@ -55,7 +55,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
+from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS, replicated
 
 TermKey = Union[str, int]
 SparseVector = Mapping[TermKey, int]
@@ -446,13 +446,12 @@ class ImpactIndex:
         which is the throughput-optimal serving pattern. Batches wider than
         the HBM chunk budget are sub-chunked through the same pipeline.
         """
-        import collections
+        from mllm_sparse_retrieval_tpu.ops.stream import pipeline_dispatch
 
         plan = self._search_plan(mesh, backend, depth)
-        pending = collections.deque()  # (packed_dev, take, last)
 
         def submit():
-            for bi, (q_idx, q_w) in enumerate(batches):
+            for q_idx, q_w in batches:
                 chunks = list(self._chunk_queries(plan, q_idx, q_w))
                 for ci, (chunk_i, chunk_w, take) in enumerate(chunks):
                     yield (chunk_i, chunk_w, take, ci == len(chunks) - 1)
@@ -460,9 +459,14 @@ class ImpactIndex:
         out_s: List[List[float]] = []
         out_i: List[List[str]] = []
 
-        def resolve_front():
+        def dispatch(item):
+            chunk_i, chunk_w, take, last = item
+            return (self._dispatch_encoded(plan, chunk_i, chunk_w), take,
+                    last)
+
+        def resolve(handle):
             nonlocal out_s, out_i
-            packed, take, last = pending.popleft()
+            packed, take, last = handle
             s_c, i_c = self._resolve_encoded(packed, take)
             out_s.extend(s_c)
             out_i.extend(i_c)
@@ -472,17 +476,7 @@ class ImpactIndex:
                 return done_s, done_i
             return None
 
-        for chunk_i, chunk_w, take, last in submit():
-            while len(pending) >= max(lookahead, 1):
-                done = resolve_front()
-                if done is not None:
-                    yield done
-            pending.append((self._dispatch_encoded(plan, chunk_i, chunk_w),
-                            take, last))
-        while pending:
-            done = resolve_front()
-            if done is not None:
-                yield done
+        yield from pipeline_dispatch(submit(), dispatch, resolve, lookahead)
 
     # ---- search internals (plan / dispatch / resolve) ------------------------
     def _search_plan(self, mesh, backend: str, depth: int) -> dict:
@@ -588,6 +582,7 @@ class ImpactIndex:
                 q_idx = jax.device_put(q_idx)
                 q_w = jax.device_put(q_w)
                 return _taat_topk(dev, q_idx, q_w, self._n_valid, k)
+            q_idx, q_w = (replicated(mesh, q_idx), replicated(mesh, q_w))
             return _sharded_taat_topk(mesh, dev, q_idx, q_w,
                                       self._n_valid, k)
         if mesh is None:
@@ -597,6 +592,7 @@ class ImpactIndex:
             q_idx = jax.device_put(q_idx)
             q_w = jax.device_put(q_w)
             return _impact_topk(dev, q_idx, q_w, self._n_valid, k)
+        q_idx, q_w = (replicated(mesh, q_idx), replicated(mesh, q_w))
         return _sharded_impact_topk(mesh, dev, q_idx, q_w, self._n_valid, k)
 
     def _resolve_encoded(self, packed_dev, b
@@ -610,10 +606,13 @@ class ImpactIndex:
         and trimming only rows that actually contain zero scores keeps it
         ~5 ms."""
         scores, idx = _unpack_results(np.asarray(packed_dev)[:b])
-        ids_arr = getattr(self, "_doc_ids_arr", None)
-        if ids_arr is None or len(ids_arr) != len(self.doc_ids):
-            ids_arr = self._doc_ids_arr = np.asarray(self.doc_ids)
-        ids_rows = ids_arr[idx]                 # [b, k] str array
+        # cache keyed on the list OBJECT: a same-length replacement of the
+        # public ``doc_ids`` must not serve stale ids
+        if getattr(self, "_doc_ids_arr_src", None) is not self.doc_ids or \
+                len(self._doc_ids_arr) != len(self.doc_ids):
+            self._doc_ids_arr = np.asarray(self.doc_ids)
+            self._doc_ids_arr_src = self.doc_ids
+        ids_rows = self._doc_ids_arr[idx]       # [b, k] str array
         out_scores = scores.tolist()
         out_ids = ids_rows.tolist()
         if scores.size and scores.min() <= 0.0:

@@ -44,13 +44,10 @@ def mips_topk(
 @functools.partial(jax.jit, static_argnames=("k",))
 def mips_topk_packed(queries: jax.Array, corpus: jax.Array, k: int
                      ) -> jax.Array:
-    """``mips_topk`` with both outputs fused into one [B, 2k] f32 array
-    (``ops.packing.unpack_topk`` inverts) — one host fetch per chunk, the
-    serving-path form used by ``DenseFlatIndex``."""
-    scores = jnp.dot(
-        queries, corpus.T, preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST)
-    return pack_topk(*lax.top_k(scores, min(k, corpus.shape[0])))
+    """``mips_topk`` with both outputs fused into one [B, 2k] **int32**
+    array (scores bitcast; ``ops.packing.unpack_topk`` inverts) — one host
+    fetch per chunk, the serving-path form used by ``DenseFlatIndex``."""
+    return pack_topk(*mips_topk(queries, corpus, k))
 
 
 def _local_then_global_topk(queries, corpus_shard, n_valid, k, k_local):

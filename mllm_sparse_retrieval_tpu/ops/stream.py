@@ -1,0 +1,44 @@
+"""Bounded dispatch-ahead pipeline, shared by every device serving loop.
+
+The serving pattern on thin-link hosts: keep up to ``lookahead`` device
+programs in flight ahead of the consumer so batch r+1's query upload and
+compute overlap batch r's result fetch and host-side post-processing.
+One implementation (impact search streaming, dense batch search, the
+encode pipeline all use it) so queue-depth fixes land everywhere at once.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Callable, Iterable, Iterator, Optional, TypeVar
+
+T = TypeVar("T")
+D = TypeVar("D")
+R = TypeVar("R")
+
+
+def pipeline_dispatch(
+    items: Iterable[T],
+    dispatch: Callable[[T], D],
+    resolve: Callable[[D], Optional[R]],
+    lookahead: int = 2,
+) -> Iterator[R]:
+    """Run ``dispatch`` up to ``lookahead`` items ahead of ``resolve``.
+
+    ``dispatch`` must enqueue device work WITHOUT a host sync and return a
+    handle; ``resolve`` syncs on a handle and may return a result to yield
+    (``None`` results are swallowed — drain with ``deque(..., maxlen=0)``
+    when only the side effects matter).
+    """
+    pending: "collections.deque[D]" = collections.deque()
+    depth = max(lookahead, 1)
+    for item in items:
+        while len(pending) >= depth:
+            out = resolve(pending.popleft())
+            if out is not None:
+                yield out
+        pending.append(dispatch(item))
+    while pending:
+        out = resolve(pending.popleft())
+        if out is not None:
+            yield out

@@ -419,6 +419,11 @@ def encode_examples(
             return _encode_text(params, lora, dids, dmask), _plain_spec()
         b_ids, b_mask, pixels, pos = host
         b_ids, b_mask, pixels = _shard(b_ids, b_mask, pixels)
+        if pos is not None and mesh is None:
+            # M-RoPE ids ride the async upload too — a numpy jit arg here
+            # would re-serialize the pipeline for mrope families (mesh
+            # placement keeps its own [3, B, T] layout handling)
+            pos = jax.device_put(pos)
         if use_device_select:
             packed = _encode_image_ds(params, lora, b_ids, b_mask, pixels,
                                       pos, filtered_mask_dev)
@@ -500,15 +505,18 @@ def encode_examples(
                                       sparse_cfg.is_filtered))
 
     import collections
-    lookahead = 2
-    pending = collections.deque()   # (batch, valid, host, packed, spec)
-    for batch, valid, host in _prefetched():
-        while len(pending) >= lookahead:
-            _resolve(*pending.popleft())
+
+    from mllm_sparse_retrieval_tpu.ops.stream import pipeline_dispatch
+
+    def _dispatch_item(item):
+        batch, valid, host = item
         packed, pk_spec = _dispatch(batch, valid, host)
-        pending.append((batch, valid, host, packed, pk_spec))
-    while pending:
-        _resolve(*pending.popleft())
+        return batch, valid, host, packed, pk_spec
+
+    collections.deque(
+        pipeline_dispatch(_prefetched(), _dispatch_item,
+                          lambda h: _resolve(*h), lookahead=2),
+        maxlen=0)
 
     result.dense = np.concatenate(all_dense) if all_dense else \
         np.zeros((0, arch.text.hidden_size), np.float32)

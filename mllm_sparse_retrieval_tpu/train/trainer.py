@@ -356,23 +356,34 @@ class ContrastiveTrainer:
         num_epochs = num_epochs or self.cfg.num_epochs
         rng = np.random.default_rng(seed)
         order = np.arange(len(examples))
+        # Async queue depth: every un-retired step pins one generation of
+        # (trainable, opt_state) buffers, so the sync stride must scale
+        # with the trainable tree — 32 generations of a LoRA tree is a few
+        # MB, 32 generations of a full-finetune tree would OOM the chip.
+        step_bytes = sum(
+            int(getattr(x, "nbytes", 0))
+            for x in jax.tree_util.tree_leaves(
+                (self._trainable(), self.opt_state)))
+        sync_stride = max(1, min(32, int(2e9 // max(step_bytes, 1))))
         for epoch in range(num_epochs):
             rng.shuffle(order)
             for start in range(0, len(examples) - batch_size + 1, batch_size):
                 batch_ex = [examples[i] for i in order[start:start + batch_size]]
                 # only sync the host on steps that log or checkpoint —
-                # un-logged steps stay fully async (see train_on_batch)
+                # un-logged steps stay fully async (see train_on_batch);
+                # log_every=0 disables periodic logging entirely
                 want_sync = bool(
-                    (logger and (self.step + 1) % log_every == 0) or
+                    (logger and log_every and
+                     (self.step + 1) % log_every == 0) or
                     (checkpoint_dir and self.cfg.checkpoint_every_steps and
                      (self.step + 1) % self.cfg.checkpoint_every_steps == 0))
                 loss = self.train_on_batch(collate(batch_ex, text_max_len),
                                            blocking=want_sync)
-                if not want_sync and self.step % 32 == 0:
+                if not want_sync and self.step % sync_stride == 0:
                     # bound the async queue: each in-flight step pins a
                     # fresh (trainable, opt_state) allocation until retired
                     jax.block_until_ready(loss)
-                if logger and self.step % log_every == 0:
+                if logger and log_every and self.step % log_every == 0:
                     logger(f"epoch {epoch} step {self.step} loss {loss:.4f}")
                 if checkpoint_dir and self.cfg.checkpoint_every_steps and \
                         self.step % self.cfg.checkpoint_every_steps == 0:
