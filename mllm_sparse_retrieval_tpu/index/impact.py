@@ -417,14 +417,27 @@ class ImpactIndex:
         are this index's compact ids (column of ``doc_terms``), padding
         entries have weight 0.
         """
+        from mllm_sparse_retrieval_tpu.ops.stream import pipeline_dispatch
+
         plan = self._search_plan(mesh, backend, depth)
         out_s: List[List[float]] = []
         out_i: List[List[str]] = []
-        for chunk_i, chunk_w, take in self._chunk_queries(plan, q_idx, q_w):
-            packed = self._dispatch_encoded(plan, chunk_i, chunk_w)
+
+        def dispatch(item):
+            chunk_i, chunk_w, take = item
+            return self._dispatch_encoded(plan, chunk_i, chunk_w), take
+
+        def resolve(handle):
+            packed, take = handle
             s_c, i_c = self._resolve_encoded(packed, take)
             out_s.extend(s_c)
             out_i.extend(i_c)
+
+        import collections
+        collections.deque(
+            pipeline_dispatch(self._chunk_queries(plan, q_idx, q_w),
+                              dispatch, resolve, lookahead=2),
+            maxlen=0)
         return out_s, out_i
 
     def search_encoded_stream(

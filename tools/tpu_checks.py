@@ -35,6 +35,27 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def check_packing_roundtrip():
+    """Packed top-k results must round-trip bit-exactly ON THE CHIP — the
+    f32-packed form passed every CPU test while zeroing all ids < 2^23 on
+    the v5e (denormal flush in some copy lowerings). tests/test_packing.py
+    pins the int32 invariant; this is the hardware canary."""
+    from mllm_sparse_retrieval_tpu.ops.packing import pack_topk, unpack_topk
+
+    rng = np.random.default_rng(0)
+    scores = (rng.normal(size=(64, 10)) * 1e3).astype(np.float32)
+    scores[0, 0] = 0.0
+    idx = rng.integers(0, 2 ** 23, size=(64, 10)).astype(np.int32)
+    idx[1, :5] = [0, 1, 2, 3, 4]          # the denormal-critical small ids
+    packed = jax.jit(pack_topk)(jnp.asarray(scores), jnp.asarray(idx))
+    s2, i2 = unpack_topk(np.asarray(packed))
+    assert np.array_equal(s2, scores), "packed scores corrupted on chip"
+    assert np.array_equal(i2, idx), (
+        "packed indices corrupted on chip (denormal flush?)")
+    print("OK packed top-k round trip bit-exact on chip (incl. ids < 2^23)",
+          flush=True)
+
+
 def check_impact_backends():
     from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
 
@@ -142,6 +163,7 @@ def main():
         f"this script validates TPU paths; backend is "
         f"{jax.default_backend()} (run without JAX_PLATFORMS=cpu)")
     t0 = time.time()
+    check_packing_roundtrip()
     check_impact_backends()
     check_flash_layer()
     check_decoder_flash()
