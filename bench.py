@@ -133,12 +133,143 @@ def bench_tpu(doc_terms, doc_weights, q_idx, q_w):
         pipe_qps = ROUNDS * BATCH / pipe
         log(f"  {backend}: pipelined {pipe / ROUNDS * 1e3:.1f} ms/batch "
             f"effective -> {pipe_qps:.0f} QPS over {ROUNDS} batches")
-        qps[backend] = max(serial_qps, pipe_qps)
+        # headline = pipelined only (the declared production serving
+        # pattern); serial stays a stderr line. max() of the two mixed
+        # methodologies against a serial-only CPU baseline (ADVICE r3).
+        qps[backend] = pipe_qps
+    # product-path (run_search) evidence rides the same index while it is
+    # hot (stderr only; fail-soft)
+    if "taat" in qps:
+        try:
+            bench_engine_leg(index, q_idx, q_w)
+        except Exception as e:
+            log(f"engine leg failed (non-fatal): {e}")
+    index.drop_device_cache()  # free HBM for the later legs
     # the metric names its backend: report the TAAT kernel when it ran,
     # otherwise the matmul number under a matmul-named metric
     if "taat" in qps:
         return "taat", qps["taat"]
     return "matmul", qps["matmul"]
+
+
+def bench_engine_leg(index, q_idx, q_w):
+    """Side metric (stderr only): the PRODUCT search path — SelectedTerms →
+    ImpactIndex.search_terms_stream (id-keyed fast path, the route
+    search/engine.run_search takes) → make_run — at the same corpus/batch as
+    the headline. VERDICT r3 #1's done criterion: within ~10-15% of the raw
+    search_encoded QPS."""
+    from mllm_sparse_retrieval_tpu.search.runs import make_run
+    from mllm_sparse_retrieval_tpu.sparse import SelectedTerms
+
+    assert index.int_keyed  # bench corpus term keys are raw ints
+    qw_i = q_w.astype(np.int32)
+    term_batches = [
+        [SelectedTerms(np.roll(q_idx, r, axis=0)[i],
+                       np.roll(qw_i, r, axis=0)[i]) for i in range(BATCH)]
+        for r in range(ROUNDS)]
+    qids = [str(i) for i in range(BATCH)]
+
+    def consume(batches):
+        runs = []
+        for scores, ids in index.search_terms_stream(batches, DEPTH,
+                                                     backend="taat"):
+            runs.append(make_run(qids, scores, ids))
+        return runs
+
+    consume(term_batches[:2])  # warm
+    t0 = time.time()
+    runs = consume(term_batches)
+    dt = time.time() - t0
+    assert len(runs) == ROUNDS and all(len(r) == BATCH for r in runs)
+    qps = ROUNDS * BATCH / dt
+    log(f"engine leg (SelectedTerms -> search_terms_stream -> make_run): "
+        f"{dt / ROUNDS * 1e3:.1f} ms/batch -> {qps:.0f} QPS "
+        f"(the run_search product path, id-keyed fast path)")
+
+    # single-call form (one run_search invocation, serial): search_terms +
+    # make_run on one batch
+    t0 = time.time()
+    s, i = index.search_terms(term_batches[0], DEPTH, backend="taat")
+    make_run(qids, s, i)
+    dt1 = time.time() - t0
+    log(f"engine leg single-call: {dt1 * 1e3:.1f} ms/batch -> "
+        f"{BATCH / dt1:.0f} QPS")
+
+
+def bench_encode_pipeline():
+    """Side metric (stderr only): offline encode throughput (captions/s)
+    through pipelines.encode — tiny family, real Flickr captions, synthetic
+    pixels; the same configuration tools/corpus_e2e.py runs (VERDICT r3 #4:
+    driver-visible witness for the encode hot loop,
+    /root/reference/src/encode.py:274-377)."""
+    from mllm_sparse_retrieval_tpu.configs import (ModelConfig, ModelFamily,
+                                                   SparseConfig)
+    from mllm_sparse_retrieval_tpu.data import CrossModalCorpus
+    from mllm_sparse_retrieval_tpu.models.registry import build_model
+    from mllm_sparse_retrieval_tpu.pipelines.encode import encode_examples
+
+    corpus = CrossModalCorpus("flickr", "test", "/root/reference/data")
+    captions = corpus.examples("full")[:2048]
+    cfg = ModelConfig(family=ModelFamily.TINY_DEBUG, dtype="float32",
+                      tiny_vocab_size=2048, tiny_hidden_size=128)
+    params, arch, tok, tmpl = build_model(
+        cfg, captions=[e.text for e in captions])
+    sp = SparseConfig()
+    # warm the compile on a short prefix, then time the full run
+    encode_examples(captions[:64], params, arch, tok, tmpl,
+                    encode_type="text", sparse_cfg=sp, batch_size=32)
+    t0 = time.time()
+    enc = encode_examples(captions, params, arch, tok, tmpl,
+                          encode_type="text", sparse_cfg=sp, batch_size=32)
+    dt = time.time() - t0
+    assert len(enc.ids) == len(captions)
+    log(f"encode pipeline: {len(captions)} captions in {dt:.1f}s -> "
+        f"{len(captions) / dt:.0f} captions/s (tiny family, warm cache)")
+
+
+def bench_scale_leg():
+    """Side metric (stderr only): the 200k-doc sparse leg (8× corpus scale,
+    8.0 GB int16 matrix; BASELINE.md large-corpus row) — same shapes/seed as
+    the round-3 self-run so the compile cache hits (VERDICT r3 #4)."""
+    from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+
+    n_docs = 200_000
+    rng = np.random.default_rng(0)
+    zipf_p = 1.0 / np.arange(1, N_TERMS + 1)
+    zipf_p /= zipf_p.sum()
+    doc_terms = np.empty((n_docs, DOC_K), np.int32)
+    for i in range(0, n_docs, 4096):
+        n = min(4096, n_docs - i)
+        doc_terms[i:i + n] = rng.choice(N_TERMS, size=(n, DOC_K), p=zipf_p)
+    doc_weights = rng.integers(1, 350, size=(n_docs, DOC_K)
+                               ).astype(np.float32)
+    q_idx = rng.choice(N_TERMS, size=(BATCH, QUERY_TERMS), p=zipf_p
+                       ).astype(np.int32)
+    q_w = rng.integers(1, 300, size=(BATCH, QUERY_TERMS)).astype(np.float32)
+
+    t0 = time.time()
+    index = ImpactIndex.from_packed_arrays(doc_terms, doc_weights,
+                                           term_keys=range(N_TERMS))
+    csr_s = time.time() - t0
+    t0 = time.time()
+    dev = index._materialize(None, "i16", kernel_layout=True)
+    dev.block_until_ready()
+    log(f"scale leg 200k docs: index build {csr_s:.1f}s CSR + "
+        f"{time.time() - t0:.1f}s HBM placement ({dev.nbytes / 1e9:.2f} GB)")
+    t0 = time.time()
+    index.search_encoded(q_idx, q_w, DEPTH, backend="taat")
+    log(f"  compile+first run: {time.time() - t0:.1f}s")
+    batches = [(np.roll(q_idx, r, axis=0), np.roll(q_w, r, axis=0))
+               for r in range(ROUNDS)]
+    for _ in index.search_encoded_stream(batches[:2], DEPTH, backend="taat"):
+        pass
+    t0 = time.time()
+    for _ in index.search_encoded_stream(batches, DEPTH, backend="taat"):
+        pass
+    pipe = (time.time() - t0) / ROUNDS
+    log(f"  200k-doc taat: pipelined {pipe * 1e3:.1f} ms/batch -> "
+        f"{BATCH / pipe:.0f} QPS")
+    index.drop_device_cache()
 
 
 def bench_dense_side(rng):
@@ -259,6 +390,19 @@ def main():
         bench_dense_side(rng)
     except Exception as e:
         log(f"dense side metric failed (non-fatal): {e}")
+    # driver-visible witnesses for the encode hot loop and the corpus-scale
+    # sparse leg (VERDICT r3 #4); stderr only, fail-soft, TPU only (these
+    # reuse cached compiles — off-TPU they would pay interpret-mode cost)
+    import jax
+    if jax.default_backend() == "tpu":
+        try:
+            bench_encode_pipeline()
+        except Exception as e:
+            log(f"encode pipeline leg failed (non-fatal): {e}")
+        try:
+            bench_scale_leg()
+        except Exception as e:
+            log(f"scale leg failed (non-fatal): {e}")
 
     print(json.dumps({
         "metric": f"sparse_impact_{tpu_backend}_qps_coco25k_depth10",

