@@ -2,6 +2,7 @@
 
 from mllm_sparse_retrieval_tpu.sparse.term_selection import (
     SelectedTerms,
+    canonical_id_map,
     filter_token,
     get_filtered_ids,
     quantize_weights,
@@ -14,6 +15,7 @@ from mllm_sparse_retrieval_tpu.sparse.term_selection import (
 
 __all__ = [
     "SelectedTerms",
+    "canonical_id_map",
     "filter_token",
     "get_filtered_ids",
     "quantize_weights",

@@ -197,6 +197,35 @@ def _term_strings(
     return out
 
 
+def canonical_id_map(
+    vocab: Mapping[str, int],
+    is_filtered: bool,
+    vocab_size: int = 0,
+) -> np.ndarray:
+    """Token id → canonical token id under the string collision rules.
+
+    Two token ids are *string-colliding* when they lowercase (and, with
+    ``is_filtered``, ``filter_token``) to the same string — e.g. "The"/"the".
+    The string-keyed artifact path merges such ids implicitly through dict
+    keys; the id-keyed fast path (``ImpactIndex.from_selected_terms`` /
+    ``search_terms``) reproduces the exact same merge arithmetic by mapping
+    every id to its class representative (the LOWEST colliding id) before
+    keying. Slots not present in ``vocab`` map to -1 (dropped, mirroring
+    ``_term_strings``'s out-of-vocab rule).
+
+    One O(vocab) pass; build it once per (tokenizer, is_filtered) and reuse.
+    """
+    size = max(vocab_size, max(vocab.values(), default=-1) + 1)
+    out = np.full(size, -1, np.int32)
+    first: Dict[str, int] = {}
+    for tid, tok in sorted((tid, tok) for tok, tid in vocab.items()):
+        s = tok.lower()
+        if is_filtered:
+            s = filter_token(s)
+        out[tid] = first.setdefault(s, tid)
+    return out
+
+
 def doc_string_vector(
     terms: SelectedTerms,
     id_to_token: Mapping[int, str],

@@ -114,6 +114,37 @@ def test_sparse_self_retrieval_beats_chance(setup):
 
 
 @needs_data
+def test_engine_id_fast_path_matches_string_path(setup):
+    """run_search over an int-keyed index (id fast path, no string round
+    trip) produces the exact sparse run of the string-keyed path."""
+    from mllm_sparse_retrieval_tpu.sparse import canonical_id_map
+
+    corpus, params, arch, tok, template = setup
+    examples = corpus.examples_single()[:32]
+    scfg = SparseConfig()
+    res = encode_examples(examples, params, arch, tok, template,
+                          encode_type="image", sparse_cfg=scfg, batch_size=8)
+    imp_str = ImpactIndex()
+    imp_str.add_many(zip(res.ids, res.sparse_vectors))
+    imp_str.finalize()
+    cmap = canonical_id_map(tok.get_vocab(), scfg.is_filtered)
+    imp_id = ImpactIndex.from_selected_terms(res.ids, res.selected_terms,
+                                             cmap)
+    assert imp_id.int_keyed and not imp_str.int_keyed
+
+    # depth >= corpus size: no tie-cut at the boundary, runs comparable
+    kw = dict(query_type="image", sparse_cfg=scfg,
+              search_cfg=SearchConfig(depth=40), batch_size=8,
+              get_target=lambda qid: qid)
+    out_id = run_search(examples, params, arch, tok, template,
+                        impact_index=imp_id, **kw)
+    out_str = run_search(examples, params, arch, tok, template,
+                         impact_index=imp_str, **kw)
+    assert out_id.sparse_run == out_str.sparse_run
+    assert out_id.sparse_recall[5] >= 0.9
+
+
+@needs_data
 def test_full_hybrid_search_on_mesh(setup):
     corpus, params, arch, tok, template = setup
     mesh = make_mesh()

@@ -76,12 +76,33 @@ def main():
     t0 = time.time()
     dense = DenseFlatIndex()
     dense.add(enc.dense, enc.ids)
-    imp = ImpactIndex()
-    for i, v in zip(enc.ids, enc.sparse_vectors):
-        imp.add(i, v)
-    imp.finalize()
-    print(f"index build: {time.time() - t0:.1f}s "
+    # product path: id-keyed index straight from SelectedTerms (run_search
+    # then takes the dict-free fast path)
+    from mllm_sparse_retrieval_tpu.sparse import canonical_id_map
+    cmap = canonical_id_map(tok.get_vocab(), sp.is_filtered)
+    imp = ImpactIndex.from_selected_terms(enc.ids, enc.selected_terms, cmap)
+    assert imp.int_keyed
+    print(f"index build (id-keyed): {time.time() - t0:.1f}s "
           f"({imp.num_docs} docs, {imp.num_terms} terms)", flush=True)
+
+    # cross-check: the Lucene-parity string path scores identically
+    t0 = time.time()
+    imp_str = ImpactIndex()
+    for i, v in zip(enc.ids, enc.sparse_vectors):
+        imp_str.add(i, v)
+    imp_str.finalize()
+    from mllm_sparse_retrieval_tpu.sparse import query_string_weights
+    probe = enc.selected_terms[:64]
+    probe_dicts = [query_string_weights(t, enc.id_to_token, sp.is_filtered)
+                   for t in probe]
+    fs, fi = imp.search_terms(probe, 20, canonical_map=cmap)
+    ss, si = imp_str.search(probe_dicts, 20)
+    for a_s, a_i, b_s, b_i in zip(fs, fi, ss, si):
+        assert sorted(zip(a_s, a_i)) == sorted(zip(b_s, b_i)), \
+            "id fast path diverged from the string path"
+    del imp_str
+    print(f"id-keyed vs string-path parity OK ({time.time() - t0:.1f}s)",
+          flush=True)
 
     # i2t: images query the caption corpus (the reference's main direction)
     t0 = time.time()
