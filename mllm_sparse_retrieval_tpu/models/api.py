@@ -31,10 +31,11 @@ def encode_any(params, arch, input_ids, attention_mask, vision_input=None,
     """(sparse [B,V], dense [B,H]) for any model family.
 
     ``remat=True`` gradient-checkpoints the decoder blocks (training-time
-    memory/FLOPs trade). ``allow_flash=False`` forces the masked XLA
-    attention — pass it whenever this runs inside a GSPMD-sharded jit over a
-    mesh (the stock Pallas flash kernel has no SPMD partitioning rule); see
-    llama.apply. ``lora_rng``/``lora_dropout`` enable train-time dropout on
+    memory/FLOPs trade). ``allow_flash``: True / False / a
+    ``jax.sharding.Mesh`` — pass the mesh whenever this runs inside a
+    GSPMD-sharded jit so long sequences keep the O(T) flash path through a
+    shard_map wrap (the raw Pallas kernel has no SPMD partitioning rule);
+    see llama.apply. ``lora_rng``/``lora_dropout`` enable train-time dropout on
     the decoder LoRA paths (reference ``--lora_dropout``); inference callers
     pass neither and stay deterministic."""
     if isinstance(arch, QwenVLConfig):

@@ -197,7 +197,7 @@ def flash_attention_eligible(seq_len: int, head_dim: int) -> bool:
 
 
 def flash_causal_attention(q, k, v, attention_mask, *,
-                           scale: Optional[float] = None):
+                           scale: Optional[float] = None, mesh=None):
     """Causal attention via the stock Pallas TPU flash kernel
     (jax.experimental.pallas.ops.tpu.flash_attention): O(T) memory, fused
     softmax, custom VJP (trains). Padding is excluded through segment ids
@@ -206,7 +206,18 @@ def flash_causal_attention(q, k, v, attention_mask, *,
     every non-pad position.
 
     q: [B, T, Hq, Dh]; k/v: [B, T, Hkv, Dh] (GQA repeated here).
+
+    ``mesh``: a jax.sharding.Mesh makes the kernel legal inside a
+    GSPMD-sharded jit — the Pallas kernel has no SPMD partitioning rule, so
+    it is wrapped in a shard_map that splits batch over the data axis (and
+    heads over the model axis when they divide). Attention is independent
+    per (batch, head), so the wrap needs no collectives — the same pattern
+    as the sharded TAAT kernel (index/impact.py:_sharded_topk_fn).
+    VERDICT r3 #3: multi-chip encode of ~3k-token anyres prompts was
+    falling back to materializing [B, H, T, T] logits per layer.
     """
+    if mesh is not None:
+        return _sharded_flash(mesh, q, k, v, attention_mask, scale)
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, SegmentIds, flash_attention)
 
@@ -233,3 +244,36 @@ def flash_causal_attention(q, k, v, attention_mask, *,
                           segment_ids=SegmentIds(q=seg, kv=seg),
                           causal=True, sm_scale=scale, block_sizes=bs)
     return out.transpose(0, 2, 1, 3)
+
+
+def _sharded_flash(mesh, q, k, v, attention_mask, scale):
+    """shard_map wrapper for the flash kernel: batch over the data axis,
+    q/kv heads over the model axis when both divide it (TP layouts shard
+    heads contiguously, so each shard's q-head block attends to exactly its
+    own kv-head block under GQA). No collectives — per-(batch, head)
+    independent."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    b, t, hq, dh = q.shape
+    hkv = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(dh)
+    shape = dict(mesh.shape)
+    n_data = shape.get(DATA_AXIS, 1)
+    n_model = shape.get(MODEL_AXIS, 1)
+    batch_ax = DATA_AXIS if (n_data > 1 and b % n_data == 0) else None
+    head_ax = MODEL_AXIS if (n_model > 1 and hkv % n_model == 0) else None
+    q_spec = P(batch_ax, None, head_ax, None)
+    seg_spec = P(batch_ax, None)
+    fn = shard_map(
+        lambda lq, lk, lv, lm: flash_causal_attention(lq, lk, lv, lm,
+                                                      scale=scale),
+        mesh=mesh,
+        in_specs=(q_spec, q_spec, q_spec, seg_spec),
+        out_specs=q_spec,
+        check_vma=False,
+    )
+    return fn(q, k, v, attention_mask)

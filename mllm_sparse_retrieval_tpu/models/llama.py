@@ -80,7 +80,7 @@ def init_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Dict:
 
 def _block(x, p, cfg: LlamaConfig, mask, cos, sin,
            lora: Optional[Dict] = None, flash_mask=None, lora_rng=None,
-           *, lora_dropout: float = 0.0):
+           *, lora_dropout: float = 0.0, flash_mesh=None):
     b, t, h = x.shape
     dh = cfg.head_dim
     lget = (lambda name: lora.get(name) if lora else None)
@@ -102,7 +102,8 @@ def _block(x, p, cfg: LlamaConfig, mask, cos, sin,
     q = L.apply_rope(q, cos, sin)
     k = L.apply_rope(k, cos, sin)
     if flash_mask is not None:
-        attn = L.flash_causal_attention(q, k, v, flash_mask)
+        attn = L.flash_causal_attention(q, k, v, flash_mask,
+                                        mesh=flash_mesh)
     else:
         attn = L.attention(q, k, v, mask)
     attn = attn.reshape(b, t, cfg.num_heads * dh)
@@ -161,25 +162,30 @@ def apply(
     ``remat=True`` checkpoints each block (recompute activations on the
     backward pass) — the standard memory/FLOPs trade for full-finetuning
     large decoders; pair with FSDP param sharding (parallel/fsdp.py).
-    ``allow_flash=False`` forces the masked XLA attention — REQUIRED when
-    this forward runs inside a GSPMD-sharded jit over a mesh (the stock
-    Pallas flash kernel carries no SPMD partitioning rule).
+    ``allow_flash``: ``True`` (single chip), ``False`` (force the masked
+    XLA attention), or a ``jax.sharding.Mesh`` — flash allowed inside a
+    GSPMD-sharded jit via a data/model-axis shard_map around the kernel
+    (layers._sharded_flash; the raw Pallas kernel carries no SPMD rule).
     ``lora_rng`` + ``lora_dropout`` enable train-time dropout on the LoRA
     paths (the reference recipe's ``--lora_dropout 0.1``,
     scripts/train.sh:20); per-block subkeys are folded in here."""
     t = inputs_embeds.shape[1]
     cos, sin = rope_tables(cfg, t, position_ids)
+    flash_mesh = None if isinstance(allow_flash, bool) else allow_flash
     # long sequences (anyres image prompts) use the fused flash kernel and
     # never materialize the [B, 1, T, T] mask / [B, H, T, T] logits
-    use_flash = allow_flash and L.flash_attention_eligible(t, cfg.head_dim)
+    use_flash = (allow_flash is not False) and \
+        L.flash_attention_eligible(t, cfg.head_dim)
     flash_mask = attention_mask if use_flash else None
     mask = None if use_flash else L.causal_padding_mask(attention_mask)
     dropout_on = lora_rng is not None and lora_dropout > 0.0 \
         and lora is not None
     block_fn = _block
-    if dropout_on:
+    if dropout_on or (use_flash and flash_mesh is not None):
         import functools
-        block_fn = functools.partial(_block, lora_dropout=lora_dropout)
+        block_fn = functools.partial(
+            _block, lora_dropout=lora_dropout if dropout_on else 0.0,
+            flash_mesh=flash_mesh if use_flash else None)
     if remat:
         block_fn = jax.checkpoint(block_fn, static_argnums=(2,))
     x = inputs_embeds
