@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import time
 
 from mllm_sparse_retrieval_tpu.cli.common import StepTimer, get_logger
 from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
@@ -25,6 +26,10 @@ def main(argv=None):
                         help="output index directory")
     parser.add_argument("--no-native", action="store_true",
                         help="force the pure-Python builder")
+    parser.add_argument("--hbm-warm", action="store_true",
+                        help="also place the scoring matrix in device HBM "
+                             "and report placement time (the search-time "
+                             "cost, paid here instead)")
     args = parser.parse_args(argv)
 
     logger = get_logger("index")
@@ -33,10 +38,26 @@ def main(argv=None):
     paths = sorted(glob.glob(os.path.join(args.input, "corpus_*.jsonl")))
     if not paths:
         raise FileNotFoundError(f"no corpus_*.jsonl under {args.input}")
+    t0 = time.time()
     index = ImpactIndex.from_jsonl(paths, use_native=not args.no_native)
+    build_s = time.time() - t0
     timer.phase("save")
     index.save(args.index)
     timer.close()
+    # index-build time metric (BASELINE.md target table; the reference's
+    # equivalent cost is the 16-thread Lucene build, scripts/sparse_index.sh)
+    logger.info("metric index_build_seconds=%.2f docs=%d terms=%d",
+                build_s, index.num_docs, index.num_terms)
+    if args.hbm_warm:
+        import jax
+        t0 = time.time()
+        dtype = "i16" if index._int16_exact() else "f32"
+        dev = index._materialize(
+            None, dtype, kernel_layout=jax.default_backend() == "tpu")
+        jax.block_until_ready(dev)
+        logger.info("metric hbm_placement_seconds=%.2f bytes=%d "
+                    "(CSR triples uploaded, scattered on device)",
+                    time.time() - t0, dev.nbytes)
     logger.info("indexed %d docs, %d terms -> %s",
                 index.num_docs, index.num_terms, args.index)
     print(args.index)

@@ -61,6 +61,7 @@ TermKey = Union[str, int]
 SparseVector = Mapping[TermKey, int]
 
 _DOC_TILE = 2048       # docs scored per device tile (static shape)
+_PLACE_BLOCK_BYTES = 256e6  # _place_chunked host-scatter block size
 _QUERY_WIDTH_PAD = 64  # query term-count padding granularity (one compile)
 
 
@@ -331,6 +332,12 @@ class ImpactIndex:
                 f"(search(..., mesh=...)), or raise "
                 f"this index's hbm_budget_bytes if the chip has headroom.")
 
+        np_dtype = np.int16 if dtype == "i16" else np.float32
+        if mesh is None:
+            dev = self._place_chunked(t, n_pad, np_dtype, kernel_layout)
+            self._dev[key] = dev
+            return dev
+
         matrix = np.zeros((t + 1, n_pad), np.float32)
         # CSR rows are contiguous per term: expand offsets to row indices.
         counts = np.diff(self.csr_offsets).astype(np.int64)
@@ -341,24 +348,78 @@ class ImpactIndex:
         if kernel_layout:
             from mllm_sparse_retrieval_tpu.ops.impact_kernel import _sublanes
             s_lanes = _sublanes(matrix.dtype)
-            if mesh is None:
-                matrix = matrix.reshape(t + 1, s_lanes, n_pad // s_lanes)
-            else:
-                # [T+1, D*shard] -> [D, T+1, s, shard/s]: shard-major so each
-                # device's slice is its contiguous doc block, pre-shaped
-                matrix = np.ascontiguousarray(
-                    matrix.reshape(t + 1, n_shards, shard_cols)
-                    .transpose(1, 0, 2)
-                ).reshape(n_shards, t + 1, s_lanes, shard_cols // s_lanes)
+            # [T+1, D*shard] -> [D, T+1, s, shard/s]: shard-major so each
+            # device's slice is its contiguous doc block, pre-shaped
+            matrix = np.ascontiguousarray(
+                matrix.reshape(t + 1, n_shards, shard_cols)
+                .transpose(1, 0, 2)
+            ).reshape(n_shards, t + 1, s_lanes, shard_cols // s_lanes)
 
-        if mesh is None:
-            dev = jnp.asarray(matrix)
-        else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            spec = P(DATA_AXIS, None, None, None) if kernel_layout \
-                else P(None, DATA_AXIS)
-            dev = jax.device_put(matrix, NamedSharding(mesh, spec))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(DATA_AXIS, None, None, None) if kernel_layout \
+            else P(None, DATA_AXIS)
+        dev = jax.device_put(matrix, NamedSharding(mesh, spec))
         self._dev[key] = dev
+        return dev
+
+    def _place_chunked(self, t, n_pad, np_dtype, kernel_layout):
+        """Single-chip HBM placement by DEVICE-SIDE scatter from CSR
+        triples (VERDICT r3 #7).
+
+        The scoring matrix is ~99% zeros (128 selected terms per doc out of
+        ~20k vocabulary), so shipping it dense wastes the link: at 200k
+        docs the int16 matrix is 8.0 GB but the CSR payload is 25.6M
+        (row, col, weight) triples ≈ 260 MB — 30x fewer bytes. The host
+        uploads the triples in fixed-size blocks (async ``device_put``,
+        next block's prep overlaps the transfer) and a donated-buffer
+        scatter writes them in place; the v5e scatters ~40M updates/s, so
+        device time is <1 s where the dense upload was ~162-210 s on this
+        relay. Padding entries write weight 0 to row 0 (the query-padding
+        slot, zero by construction), keeping ONE compiled program per
+        matrix shape. The mesh path still uploads dense per-shard blocks
+        (multi-chip links are not relay-bound; revisit if they ever are).
+        """
+        s_lanes = 1
+        if kernel_layout:
+            from mllm_sparse_retrieval_tpu.ops.impact_kernel import _sublanes
+            s_lanes = _sublanes(np.dtype(np_dtype))
+        shape = (t + 1, s_lanes, n_pad // s_lanes) if kernel_layout \
+            else (t + 1, n_pad)
+        dev = jnp.zeros(shape, np_dtype)
+        nnz = int(self.csr_docs.shape[0])
+        if nnz == 0:
+            return dev
+
+        bytes_per = 8 + np.dtype(np_dtype).itemsize
+        ent_per = max(1, int(_PLACE_BLOCK_BYTES // bytes_per))
+        # XLA pads each scatter-index ROW to a full (8,128) lane tile on
+        # TPU (~512 B/entry of HLO temp, 2 copies live) — cap the block so
+        # those temps stay ~2 GB next to the matrix itself
+        ent_per = min(ent_per, 2_000_000, _round_up(nnz, 65536))
+        counts = np.diff(self.csr_offsets)
+        # matrix row r holds term r-1 (row 0 is the query-padding slot)
+        rows_all = (np.repeat(np.arange(t, dtype=np.int64), counts) + 1
+                    ).astype(np.int32)
+        cols_all = self.csr_docs.astype(np.int32, copy=False)
+        w_all = self.csr_weights.astype(np_dtype)
+        lane_w = max(n_pad // s_lanes, 1)
+        for i in range(0, nnz, ent_per):
+            j = min(i + ent_per, nnz)
+            if j - i == ent_per:
+                r, c, v = rows_all[i:j], cols_all[i:j], w_all[i:j]
+            else:  # pad the tail block: zero-weight writes to row 0
+                r = np.zeros(ent_per, np.int32)
+                c = np.zeros(ent_per, np.int32)
+                v = np.zeros(ent_per, np_dtype)
+                r[: j - i] = rows_all[i:j]
+                c[: j - i] = cols_all[i:j]
+                v[: j - i] = w_all[i:j]
+            # async uploads: device_put returns immediately; the next
+            # block's host prep overlaps the transfer in flight
+            dev = _scatter_block(dev, jax.device_put(r), jax.device_put(c),
+                                 jax.device_put(v), lane_w, kernel_layout)
+            if (i // ent_per) % 8 == 7:  # bound in-flight host pins
+                jax.block_until_ready(dev)
         return dev
 
     def drop_device_cache(self) -> None:
@@ -958,6 +1019,20 @@ class ImpactIndex:
 # ---------------------------------------------------------------------------
 
 import functools
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("lane_w", "kernel_layout"))
+def _scatter_block(mat, rows, cols, vals, lane_w, kernel_layout):
+    """In-place CSR-triple scatter into the (donated) scoring matrix.
+    ``kernel_layout`` matrices are [T+1, s, n_pad/s] — doc column c lives
+    at (c // lane_w, c % lane_w). Padding triples target (row 0, col 0)
+    with weight 0, which row 0's zero invariant absorbs (duplicates all
+    write the same 0, so scatter-set stays deterministic)."""
+    if kernel_layout:
+        return mat.at[rows, cols // lane_w, cols % lane_w].set(
+            vals, mode="drop")
+    return mat.at[rows, cols].set(vals, mode="drop")
 
 
 def _query_table(q_idx, q_w, num_rows):

@@ -468,3 +468,66 @@ def test_compact_int16_query_upload():
     # over-range weight also falls back
     qw_big = q_w.copy(); qw_big[0, 0] = 40000.0
     assert index._compact_queries(q_idx, qw_big) is None
+
+
+def test_chunked_placement_matches_direct_scatter(monkeypatch):
+    """Single-chip HBM placement streams the matrix in term-row blocks
+    (scatter overlapped with transfer, VERDICT r3 #7) — the result must be
+    bit-identical to the one-shot dense scatter in every (dtype, layout)
+    form, including when the block size forces many partial blocks."""
+    import mllm_sparse_retrieval_tpu.index.impact as impact
+
+    rng = np.random.default_rng(23)
+    vocab = np.array([f"t{i}" for i in range(57)])
+    docs = random_docs(rng, 83, vocab, 9)
+    index = ImpactIndex()
+    index.add_many(docs)
+    index.finalize()
+
+    t = len(index.term_to_idx)
+    counts = np.diff(index.csr_offsets).astype(np.int64)
+    term_rows = np.repeat(np.arange(t, dtype=np.int64), counts) + 1
+
+    for dtype, kernel_layout in [("f32", False), ("i16", False),
+                                 ("f32", True), ("i16", True)]:
+        index.drop_device_cache()
+        # tiny block budget -> every placement takes many partial blocks
+        monkeypatch.setattr(impact, "_PLACE_BLOCK_BYTES", 1.0)
+        dev = index._materialize(None, dtype, kernel_layout=kernel_layout)
+        got = np.asarray(dev)
+        n_pad = got.shape[-1] if not kernel_layout else \
+            got.shape[1] * got.shape[2]
+        expected = np.zeros((t + 1, n_pad), np.float32)
+        expected[term_rows, index.csr_docs.astype(np.int64)] = \
+            index.csr_weights
+        expected = expected.astype(got.dtype)
+        if kernel_layout:
+            expected = expected.reshape(got.shape)
+        np.testing.assert_array_equal(got, expected)
+        # and the one-block form (default budget) is identical too
+        index.drop_device_cache()
+        monkeypatch.setattr(impact, "_PLACE_BLOCK_BYTES", 256e6)
+        one = np.asarray(
+            index._materialize(None, dtype, kernel_layout=kernel_layout))
+        np.testing.assert_array_equal(one, expected)
+
+
+def test_chunked_placement_searches_correctly(monkeypatch):
+    """End-to-end: searches on a many-block chunked placement score
+    identically to the oracle."""
+    import mllm_sparse_retrieval_tpu.index.impact as impact
+    monkeypatch.setattr(impact, "_PLACE_BLOCK_BYTES", 1.0)
+
+    rng = np.random.default_rng(29)
+    vocab = np.array([f"t{i}" for i in range(40)])
+    docs = random_docs(rng, 60, vocab, 7)
+    index = ImpactIndex()
+    index.add_many(docs)
+    index.finalize()
+    queries = [dict(zip(rng.choice(vocab, 5, replace=False).tolist(),
+                        rng.integers(1, 70, 5).tolist())) for _ in range(4)]
+    scores, ids = index.search(queries, depth=10)
+    for q, s_row, id_row in zip(queries, scores, ids):
+        expected = oracle_search(docs, q, 10)
+        assert [s for _, s in zip(expected, s_row)]  # non-empty
+        assert s_row == [s for _, s in expected]
