@@ -163,10 +163,11 @@ def bench_engine_leg(index, q_idx, q_w):
 
     assert index.int_keyed  # bench corpus term keys are raw ints
     qw_i = q_w.astype(np.int32)
-    term_batches = [
-        [SelectedTerms(np.roll(q_idx, r, axis=0)[i],
-                       np.roll(qw_i, r, axis=0)[i]) for i in range(BATCH)]
-        for r in range(ROUNDS)]
+    term_batches = []
+    for r in range(ROUNDS):
+        ri, rw = np.roll(q_idx, r, axis=0), np.roll(qw_i, r, axis=0)
+        term_batches.append(
+            [SelectedTerms(ri[i], rw[i]) for i in range(BATCH)])
     qids = [str(i) for i in range(BATCH)]
 
     def consume(batches):

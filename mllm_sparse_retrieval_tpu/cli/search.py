@@ -33,7 +33,7 @@ def main(argv=None):
     parser.add_argument("--alpha", type=float, default=0.5)
     parser.add_argument("--remove-query", action="store_true")
     parser.add_argument("--impact-backend", default="auto",
-                        choices=["auto", "taat", "taat-shared", "matmul"],
+                        choices=["auto", "taat", "matmul"],
                         help="sparse scoring backend (auto = Pallas TAAT "
                              "kernel on TPU, MXU matmul elsewhere)")
     parser.add_argument("--save-dir", default=None,

@@ -795,24 +795,23 @@ class ImpactIndex:
         """Resolve backend + device matrix + chunk budget once per search."""
         if backend == "auto":
             backend = "taat" if jax.default_backend() == "tpu" else "matmul"
-        use_taat = backend in ("taat", "taat-shared")
+        if backend not in ("taat", "matmul"):
+            raise ValueError(
+                f"unknown impact backend {backend!r}: expected 'auto', "
+                f"'taat', or 'matmul'")
+        # A shared-row TAAT variant (one DMA per DISTINCT tile term) was
+        # built, measured, and DELETED in round 4: even on its best-case
+        # high-duplication workload (4096 queries from 200 templates,
+        # sorted — 4x fewer row DMAs) it ran 206-258 ms/batch vs plain
+        # taat's 86-92 ms on v5e; the per-(row, query) conditional-FMA
+        # overhead dwarfs the DMA savings at any duplication level.
+        use_taat = backend == "taat"
         dtype = "i16" if use_taat and self._int16_exact() else "f32"
         dev = self._materialize(mesh, dtype, kernel_layout=use_taat)
         # dev: 2-D [T+1, N] (matmul), 3-D [T+1, s, sub] (single-chip TAAT),
         # or 4-D [D, T+1, s, shard/s] (mesh TAAT)
         n_pad = dev.shape[0] * dev.shape[2] * dev.shape[3] if dev.ndim == 4 \
             else int(np.prod(dev.shape[1:]))
-        if backend == "taat-shared":
-            # the shared kernel holds full posting rows in VMEM (no
-            # column-blocked grid) — fall back to the per-query walk for
-            # corpora past its width budget (ADVICE r2)
-            from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
-                MAX_SUB_SINGLE_BLOCK, _sublanes)
-            cols = n_pad
-            if mesh is not None:
-                cols //= mesh.shape[DATA_AXIS]
-            if cols // _sublanes(dev.dtype) > MAX_SUB_SINGLE_BLOCK:
-                backend = "taat"
 
         # The [B, N_pad] f32 score tensor (plus ~2x top_k scratch) must fit
         # beside the matrix; wide corpora chunk the query batch.
@@ -867,9 +866,8 @@ class ImpactIndex:
         upload with the previous chunk's compute."""
         backend, dev, mesh, k = (plan["backend"], plan["dev"], plan["mesh"],
                                  plan["k"])
-        if backend in ("taat", "taat-shared"):
-            from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
-                QUERY_TILE, prepare_shared_tiles)
+        if backend == "taat":
+            from mllm_sparse_retrieval_tpu.ops.impact_kernel import QUERY_TILE
             b = q_idx.shape[0]
             pad = (-b) % QUERY_TILE
             if pad:
@@ -877,16 +875,6 @@ class ImpactIndex:
                     [q_idx, np.zeros((pad, q_idx.shape[1]), q_idx.dtype)])
                 q_w = np.concatenate(
                     [q_w, np.zeros((pad, q_w.shape[1]), q_w.dtype)])
-            if backend == "taat-shared":
-                # one DMA per DISTINCT tile term; measured slower than the
-                # per-query walk on v5e (per-(row, query) branch overhead
-                # outweighs the DMA savings) — kept for high-dup workloads
-                tile_terms, tile_weights = prepare_shared_tiles(q_idx, q_w)
-                if mesh is None:
-                    return _taat_shared_topk(dev, tile_terms, tile_weights,
-                                             self._n_valid, k)
-                return _sharded_taat_shared_topk(
-                    mesh, dev, tile_terms, tile_weights, self._n_valid, k)
             if mesh is None:
                 compact = self._compact_queries(q_idx, q_w)
                 if compact is not None:
@@ -1085,17 +1073,6 @@ def _taat_scores(matrix, q_idx, q_w):
     return impact_scores_taat(matrix, safe_idx, safe_w, interpret=interpret)
 
 
-def _taat_shared_scores(matrix, tile_terms, tile_weights):
-    """Shared-row Pallas TAAT scoring (tile arrays from
-    ``prepare_shared_tiles``). Interpreted on non-TPU backends (tests)."""
-    from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
-        impact_scores_taat_shared)
-
-    interpret = jax.default_backend() != "tpu"
-    return impact_scores_taat_shared(matrix, tile_terms, tile_weights,
-                                     interpret=interpret)
-
-
 def _masked_topk(scores, n_valid, k):
     col_ids = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
     scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
@@ -1126,12 +1103,6 @@ def _taat_topk(matrix, q_idx, q_w, n_valid, k):
         _taat_scores(matrix, q_idx, q_w), n_valid, k))
 
 
-@functools.partial(jax.jit, static_argnames=("n_valid", "k"))
-def _taat_shared_topk(matrix, tile_terms, tile_weights, n_valid, k):
-    return _pack_results(*_masked_topk(
-        _taat_shared_scores(matrix, tile_terms, tile_weights), n_valid, k))
-
-
 def _sharded_merge_topk(scores, base, shard_cols, n_valid, k):
     """Per-shard top-k + ICI all-gather candidate merge (the same pattern as
     sharded dense MIPS)."""
@@ -1148,7 +1119,6 @@ def _sharded_merge_topk(scores, base, shard_cols, n_valid, k):
 _SHARDED_SCORERS = {
     "matmul": (_scores_from_matrix, (2, 2)),        # q_idx, q_w: [B, Q]
     "taat": (_taat_scores, (2, 2)),                 # idem
-    "taat-shared": (_taat_shared_scores, (2, 3)),   # tile_terms, tile_weights
 }
 
 
@@ -1157,8 +1127,8 @@ def _sharded_topk_fn(mesh, shard_cols, n_valid, k, backend):
     """Build-and-cache the jitted shard_map program per (mesh, shapes,
     backend) — a fresh closure per call would retrace every search.
 
-    The matmul backend shards the 2-D matrix column-wise; the TAAT backends
-    take the 4-D ``[D, T+1, s, shard/s]`` pre-shaped layout sharded on the
+    The matmul backend shards the 2-D matrix column-wise; the TAAT backend
+    takes the 4-D ``[D, T+1, s, shard/s]`` pre-shaped layout sharded on the
     leading axis, so each shard hands the kernel its native 3-D form with no
     in-trace relayout (the local ``m[0]`` drops a unit leading dim — a
     layout-preserving reshape, not a copy)."""
@@ -1201,11 +1171,3 @@ def _sharded_taat_topk(mesh, matrix, q_idx, q_w, n_valid, k):
     fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "taat")
     return fn(matrix, q_idx, q_w)
 
-
-def _sharded_taat_shared_topk(mesh, matrix, tile_terms, tile_weights,
-                              n_valid, k):
-    """Doc-column-sharded shared-row TAAT scoring + ICI merge (4-D mesh
-    kernel layout, as ``_sharded_taat_topk``)."""
-    shard_cols = matrix.shape[2] * matrix.shape[3]
-    fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "taat-shared")
-    return fn(matrix, tile_terms, tile_weights)

@@ -282,148 +282,6 @@ def impact_scores_taat(
     return scores.reshape(b, n)
 
 
-def _taat_shared_kernel(terms_ref, w_ref, matrix_ref, out_ref, rowbuf, sems,
-                        *, qt: int):
-    """One grid step: M unique term rows FMA'd into qt query accumulators.
-
-    terms_ref: [1, 1, M] SMEM matrix-row ids (0 = dead padding row, skipped;
-               the singleton dim satisfies Mosaic's SMEM block-shape rule);
-    w_ref:     [1, M, qt] SMEM per-(term, query) summed weights;
-    out_ref:   [qt, s, N/s] f32 VMEM accumulators.
-    """
-    m = terms_ref.shape[2]
-
-    def row_dma(slot, r):
-        return pltpu.make_async_copy(
-            matrix_ref.at[terms_ref[0, 0, r]], rowbuf.at[slot], sems.at[slot])
-
-    out_ref[:] = jnp.zeros_like(out_ref)
-
-    for s in range(min(N_SLOTS, m)):
-        @pl.when(terms_ref[0, 0, s] != 0)
-        def _():
-            row_dma(s, s).start()
-
-    def body(r, _):
-        slot = r % N_SLOTS
-
-        @pl.when(terms_ref[0, 0, r] != 0)
-        def _():
-            row_dma(slot, r).wait()
-            rowf = rowbuf[slot].astype(jnp.float32)
-            for q in range(qt):
-                w = w_ref[0, r, q]
-
-                @pl.when(w != 0.0)
-                def _():
-                    out_ref[q] = out_ref[q] + w * rowf
-        nxt = r + N_SLOTS
-
-        @pl.when(jnp.logical_and(nxt < m, terms_ref[0, 0, nxt % m] != 0))
-        def _():
-            row_dma(slot, nxt).start()
-        return 0
-
-    lax.fori_loop(0, m, body, 0, unroll=False)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def impact_scores_taat_shared(
-    matrix: jax.Array,       # [T+1, N] float32 or int16 (row 0 = zeros)
-    tile_terms: jax.Array,   # [G, M] int32 matrix-row ids (+1 applied; 0=dead)
-    tile_weights: jax.Array, # [G, M, QT] float32 per-(term, query) weights
-    interpret: bool = False,
-) -> jax.Array:
-    """[G*QT, N] f32 impact scores, one DMA per DISTINCT term per tile.
-
-    The classical TAAT sharing: the host groups each QUERY_TILE-query tile's
-    terms into a unique list + per-query weight columns (see
-    ``prepare_shared_tiles``), so a term used by several queries in the tile
-    is fetched from HBM once. FMA count is unchanged (one per (query, term)
-    instance — zero-weight pairs are skipped), so scores remain exactly the
-    integer sums the matmul path produces.
-    """
-    g, m = tile_terms.shape
-    tile_terms = tile_terms.reshape(g, 1, m)
-    qt = tile_weights.shape[2]
-    s = _sublanes(matrix.dtype)
-    matrix3, n = _as_kernel_layout(matrix)
-    sub = n // s
-    if sub > MAX_SUB_SINGLE_BLOCK:
-        # this kernel holds N_SLOTS + qt FULL-WIDTH rows in VMEM and has no
-        # column-blocked grid; callers (ImpactIndex.search_encoded) fall back
-        # to the per-query 'taat' kernel past this width
-        raise ValueError(
-            f"taat-shared holds full posting rows in VMEM; per-row width "
-            f"{sub} exceeds {MAX_SUB_SINGLE_BLOCK} — use backend='taat' "
-            f"(column-blocked) for corpora this wide")
-
-    kernel = functools.partial(_taat_shared_kernel, qt=qt)
-    scores = pl.pallas_call(
-        kernel,
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, m, qt), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((qt, s, sub), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g * qt, s, sub), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((N_SLOTS, s, sub), matrix.dtype),
-            pltpu.SemaphoreType.DMA((N_SLOTS,)),
-        ],
-        interpret=interpret,
-    )(tile_terms, tile_weights, matrix3)
-    return scores.reshape(g * qt, n)
-
-
-def prepare_shared_tiles(q_idx, q_w, qt: int = QUERY_TILE,
-                         m_pad: int = 64) -> Tuple["np.ndarray", "np.ndarray"]:
-    """Group queries into QUERY_TILE tiles with deduplicated term lists.
-
-    Returns (tile_terms [G, M], tile_weights [G, M, qt]): matrix-row ids
-    (+1 applied, 0 = dead) and per-(term, query) weights. Duplicate term
-    instances within one query SUM (the matmul path's scatter-add
-    semantics). B must be a multiple of ``qt``. M is the per-batch max
-    unique count rounded up to ``m_pad`` (bucketed compiles).
-    """
-    import numpy as np
-
-    q_idx = np.asarray(q_idx)
-    q_w = np.asarray(q_w, np.float32)
-    b, _ = q_idx.shape
-    assert b % qt == 0, f"batch {b} % {qt} != 0"
-    g = b // qt
-    safe = np.where(q_w > 0, q_idx + 1, 0).astype(np.int32)
-
-    uniqs = []
-    m_max = 1
-    for t in range(g):
-        ids = safe[t * qt:(t + 1) * qt]
-        uniq = np.unique(ids[ids > 0])
-        uniqs.append(uniq)
-        m_max = max(m_max, len(uniq))
-    m = -(-m_max // m_pad) * m_pad
-
-    tile_terms = np.zeros((g, m), np.int32)
-    tile_weights = np.zeros((g, m, qt), np.float32)
-    for t, uniq in enumerate(uniqs):
-        tile_terms[t, :len(uniq)] = uniq
-        ids = safe[t * qt:(t + 1) * qt]
-        w = np.where(q_w[t * qt:(t + 1) * qt] > 0,
-                     q_w[t * qt:(t + 1) * qt], 0.0)
-        for q in range(qt):
-            live = ids[q] > 0
-            pos = np.searchsorted(uniq, ids[q][live])
-            np.add.at(tile_weights[t], (pos, np.full(pos.shape, q)),
-                      w[q][live])
-    return tile_terms, tile_weights
-
-
 def prepare_query_arrays(q_idx, q_w):
     """Shift term ids to matrix rows (+1) and route padding to the dead row.
 

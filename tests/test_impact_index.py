@@ -311,45 +311,6 @@ def test_f32_taat_uploads_kernel_layout():
     assert index._dev["f32"].ndim == 2
 
 
-def test_taat_shared_falls_back_when_too_wide(monkeypatch):
-    """backend='taat-shared' on a corpus wider than the shared kernel's VMEM
-    budget silently uses the column-blocked 'taat' kernel (ADVICE r2)."""
-    import mllm_sparse_retrieval_tpu.ops.impact_kernel as K
-
-    rng = np.random.default_rng(17)
-    vocab = np.array([f"t{i}" for i in range(30)])
-    # > 2048 docs -> n_pad 4096 -> i16 sub = 256 > the forced budget of 128
-    docs = random_docs(rng, 2100, vocab, 6)
-    index = ImpactIndex()
-    index.add_many(docs)
-    index.finalize()
-    queries = [dict(zip(rng.choice(vocab, 4, replace=False).tolist(),
-                        rng.integers(1, 50, 4).tolist())) for _ in range(3)]
-    s_mm, i_mm = index.search(queries, depth=10, backend="matmul")
-    monkeypatch.setattr(K, "MAX_SUB_SINGLE_BLOCK", 128)  # force "too wide"
-    index.drop_device_cache()
-    s_sh, i_sh = index.search(queries, depth=10, backend="taat-shared")
-    assert (s_sh, i_sh) == (s_mm, i_mm)
-
-
-def test_taat_shared_backend_matches_matmul():
-    rng = np.random.default_rng(13)
-    vocab = np.array([f"t{i}" for i in range(40)])
-    docs = random_docs(rng, 80, vocab, 8)
-    index = ImpactIndex()
-    index.add_many(docs)
-    index.finalize()
-    queries = [dict(zip(rng.choice(vocab, 5, replace=False).tolist(),
-                        rng.integers(1, 60, 5).tolist())) for _ in range(4)]
-    s_mm, _ = index.search(queries, depth=10, backend="matmul")
-    s_sh, _ = index.search(queries, depth=10, backend="taat-shared")
-    assert s_mm == s_sh
-    mesh = make_mesh()
-    s_shm, _ = index.search(queries, depth=10, mesh=mesh,
-                            backend="taat-shared")
-    assert s_mm == s_shm
-
-
 def test_term_ids_ordered_by_document_frequency():
     """finalize() relabels term ids hot-first (df descending, stable) so the
     TAAT kernel's VMEM hot cache absorbs the most-queried rows; scores and
@@ -531,3 +492,14 @@ def test_chunked_placement_searches_correctly(monkeypatch):
         expected = oracle_search(docs, q, 10)
         assert [s for _, s in zip(expected, s_row)]  # non-empty
         assert s_row == [s for _, s in expected]
+
+
+def test_unknown_backend_rejected():
+    """'taat-shared' was deleted in round 4 (measured 2.4x slower than
+    'taat' even on its best-case high-duplication workload); unknown
+    backends must fail loudly instead of silently misrouting."""
+    index = ImpactIndex()
+    index.add("a", {"x": 5})
+    index.finalize()
+    with pytest.raises(ValueError, match="unknown impact backend"):
+        index.search([{"x": 1}], depth=1, backend="taat-shared")

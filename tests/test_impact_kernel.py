@@ -107,58 +107,6 @@ def test_index_int16_eligibility():
     assert s[0] == [80000.0] and i[0] == ["a"]
 
 
-def test_taat_shared_matches_per_query():
-    """Shared-row TAAT (one DMA per distinct tile term) is bit-identical to
-    the per-query walk and the XLA matmul path."""
-    from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
-        impact_scores_taat_shared, prepare_shared_tiles)
-
-    rng = np.random.default_rng(11)
-    t, n, b, q = 40, 2048, 16, 10
-    matrix = np.zeros((t + 1, n), np.float32)
-    matrix[1:] = rng.integers(0, 300, size=(t, n)).astype(np.float32)
-    # heavy term reuse across queries + in-query duplicates + padding
-    q_idx = rng.integers(0, 12, size=(b, q)).astype(np.int32)
-    q_w = rng.integers(0, 200, size=(b, q)).astype(np.float32)  # some zeros
-
-    safe_idx, safe_w = prepare_query_arrays(q_idx, q_w)
-    ref = np.asarray(impact_scores_taat(
-        jnp.asarray(matrix), jnp.asarray(safe_idx), jnp.asarray(safe_w),
-        interpret=True))
-
-    tile_terms, tile_weights = prepare_shared_tiles(q_idx, q_w)
-    assert tile_terms.shape[1] % 64 == 0
-    got = np.asarray(impact_scores_taat_shared(
-        jnp.asarray(matrix), jnp.asarray(tile_terms),
-        jnp.asarray(tile_weights), interpret=True))
-    np.testing.assert_array_equal(got, ref)
-
-    # int16 storage too
-    got16 = np.asarray(impact_scores_taat_shared(
-        jnp.asarray(matrix.astype(np.int16)), jnp.asarray(tile_terms),
-        jnp.asarray(tile_weights), interpret=True))
-    np.testing.assert_array_equal(got16, ref)
-
-
-def test_prepare_shared_tiles_dedup_and_sum():
-    from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
-        prepare_shared_tiles)
-
-    q_idx = np.array([[3, 3, 5, 0], [5, 7, 7, 7]], np.int32)
-    q_w = np.array([[2, 4, 1, 9], [1, 1, 1, 0]], np.float32)
-    terms, weights = prepare_shared_tiles(q_idx, q_w, qt=2, m_pad=4)
-    assert terms.shape == (1, 4)
-    # unique matrix rows: 1(+0 from q0 w=9? no: id 0 w 9 valid>0 -> row 1!), ...
-    # ids+1 for positive weights: q0 -> {4:6, 6:1, 1:9}; q1 -> {6:1, 8:2}
-    row = {int(t): i for i, t in enumerate(terms[0]) if t != 0}
-    assert set(row) == {1, 4, 6, 8}
-    assert weights[0, row[4], 0] == 6.0   # in-query duplicates sum
-    assert weights[0, row[1], 0] == 9.0
-    assert weights[0, row[6], 0] == 1.0 and weights[0, row[6], 1] == 1.0
-    assert weights[0, row[8], 1] == 2.0
-    assert weights[0, row[8], 0] == 0.0
-
-
 def test_taat_skips_padding_rows_bitexact():
     """Short queries padded to the fixed width must score identically
     (padding entries point at the dead zero row with weight 0).
@@ -214,20 +162,6 @@ def test_plan_column_blocks_stays_wide():
             assert nb == -(-(n_pad // s) // MAX_SUB_SINGLE_BLOCK)
             # padding overhead is bounded (vs plain 2048 rounding)
             assert n_pad - (-(-n // 2048) * 2048) <= s * nb * 128
-
-
-def test_taat_shared_rejects_overwide_matrix(monkeypatch):
-    """The shared kernel holds full rows in VMEM; past the width budget it
-    must refuse (search_encoded falls back to 'taat' — ADVICE r2)."""
-    import mllm_sparse_retrieval_tpu.ops.impact_kernel as K
-
-    monkeypatch.setattr(K, "MAX_SUB_SINGLE_BLOCK", 64)
-    matrix = np.zeros((3, 4096), np.int16)  # sub = 256 > 64
-    terms = np.zeros((1, 4), np.int32)
-    weights = np.zeros((1, 4, QUERY_TILE), np.float32)
-    with pytest.raises(ValueError, match="taat-shared"):
-        K.impact_scores_taat_shared(jnp.asarray(matrix), jnp.asarray(terms),
-                                    jnp.asarray(weights), interpret=True)
 
 
 def test_taat_column_blocked_matches_single_block():

@@ -8,7 +8,7 @@ against the portable paths:
     python tools/tpu_checks.py
 
 Checks:
-  1. impact backends bit-parity ON CHIP (taat / taat-shared / matmul),
+  1. impact backends bit-parity ON CHIP (taat / matmul),
      including the int16 storage path;
   2. flash attention vs masked XLA attention (layer level, vs a
      HIGHEST-precision reference — both must sit at bf16-pass noise);
@@ -70,9 +70,9 @@ def check_impact_backends():
     q = [dict(zip(rng.choice(vocab, 12, replace=False).tolist(),
                   rng.integers(1, 300, 12).tolist())) for _ in range(24)]
     results = {b: index.search(q, depth=20, backend=b)
-               for b in ("matmul", "taat", "taat-shared")}
+               for b in ("matmul", "taat")}
     ref_scores = results["matmul"][0]
-    for b in ("taat", "taat-shared"):
+    for b in ("taat",):
         assert results[b][0] == ref_scores, f"{b} scores != matmul on chip"
     print("OK impact backends bit-identical on chip "
           f"(taat dtype=i16, {n_docs} docs)")
