@@ -96,12 +96,22 @@ def model_config_from_args(args) -> ModelConfig:
 
 def enable_compilation_cache(path: str = "/root/repo/.jax_cache") -> None:
     """Persistent XLA compilation cache — first compile through a remote
-    compile service can take minutes; the cache makes reruns instant."""
+    compile service can take minutes; the cache makes reruns instant.
+
+    ``jax_traceback_in_locations_limit = 0`` drops Python caller frames
+    from MLIR locations. Without it the Mosaic (Pallas) kernel payload
+    embeds the whole call stack — caller file paths and line numbers —
+    into the serialized module the cache key hashes, so the SAME kernel
+    recompiles (minutes, remotely) whenever it is reached from a different
+    script or any calling line shifts. Verified here: canonicalized IR for
+    one program lowered from two script paths differed byte-for-byte until
+    the limit was 0, after which it was identical (and 2.6 KB smaller)."""
     import jax
 
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_traceback_in_locations_limit", 0)
     except Exception:
         pass
 

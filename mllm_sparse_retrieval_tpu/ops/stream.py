@@ -42,3 +42,57 @@ def pipeline_dispatch(
         out = resolve(pending.popleft())
         if out is not None:
             yield out
+
+
+def prefetch_thread(items: Iterable[T], depth: int = 2) -> Iterator[T]:
+    """Run the producer iterable on a daemon thread, ``depth`` items ahead.
+
+    For host-prep stages (numpy query packing, tokenization, image decode)
+    feeding a device pipeline: the consumer's blocking device fetches
+    release the GIL, so the producer makes real progress during exactly the
+    waits that otherwise serialize with it. Ordering is preserved; producer
+    exceptions re-raise at the consumption point; abandoning the iterator
+    (break / GC) unblocks and stops the worker.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
+    _END = object()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for item in items:
+                if not _put(item):
+                    return
+        except BaseException as e:  # surface to the consumer
+            _put(e)
+            return
+        _put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # release queued references
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -388,54 +388,19 @@ def encode_examples(
 
     def _prefetched():
         """(batch, valid, host_arrays) with host prep one step ahead of the
-        consumer (overlaps PIL decode/tokenization with device compute).
+        consumer (overlaps PIL decode/tokenization with device compute;
+        ops/stream.prefetch_thread handles the stop/error plumbing so an
+        aborted consumer can't leave the worker blocked holding multi-GB
+        prepared batches)."""
+        from mllm_sparse_retrieval_tpu.ops.stream import prefetch_thread
 
-        The worker checks a stop event around every bounded put so an
-        aborted consumer (device error mid-loop) can't leave it blocked
-        forever holding multi-GB prepared batches."""
-        import queue
-        import threading
+        def produce():
+            for start in range(0, len(examples), batch_size):
+                raw = examples[start:start + batch_size]
+                batch = _pad_batch_examples(raw, batch_size)
+                yield batch, len(raw), _host_prep(batch)
 
-        q: "queue.Queue" = queue.Queue(maxsize=2)
-        stop = threading.Event()
-
-        def _put(item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def worker():
-            try:
-                for start in range(0, len(examples), batch_size):
-                    raw = examples[start:start + batch_size]
-                    batch = _pad_batch_examples(raw, batch_size)
-                    if not _put((batch, len(raw), _host_prep(batch))):
-                        return
-            except BaseException as e:  # surface worker errors to the consumer
-                _put(e)
-                return
-            _put(None)
-
-        threading.Thread(target=worker, daemon=True).start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            stop.set()
-            while not q.empty():  # release the worker's queued references
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break
+        yield from prefetch_thread(produce(), depth=2)
 
     from mllm_sparse_retrieval_tpu.ops.packing import unpack_blocks
 

@@ -29,8 +29,14 @@ def make_run(
     for qid, scores, rankings in zip(batch_ids, batch_scores, batch_rankings):
         # bulk dict build (C-level zip/map) — this runs once per serving
         # batch on the hot path; a per-doc Python loop here cost ~30 ms per
-        # 4096-query batch at depth 10
-        docs = dict(zip(map(str, rankings), map(float, scores)))
+        # 4096-query batch at depth 10. The library's resolve paths hand
+        # native str/float lists (ndarray .tolist()), so the per-element
+        # coercions are usually skippable entirely.
+        keys = rankings if (not rankings or type(rankings[0]) is str) \
+            else map(str, rankings)
+        vals = scores if (not scores or type(scores[0]) is float) \
+            else map(float, scores)
+        docs = dict(zip(keys, vals))
         if remove_query:
             # removal AFTER min/max would change them; reference computes
             # min/max over all returned scores BEFORE removal — keep that
