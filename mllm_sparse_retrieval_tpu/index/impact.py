@@ -1035,173 +1035,10 @@ class ImpactIndex:
         index._reorder_terms_by_df()  # same hot-first pass as finalize()
         return index
 
-
-# ---------------------------------------------------------------------------
-# Device scoring
-# ---------------------------------------------------------------------------
-
-import functools
-
-
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("lane_w", "kernel_layout"))
-def _scatter_block(mat, rows, cols, vals, lane_w, kernel_layout):
-    """In-place CSR-triple scatter into the (donated) scoring matrix.
-    ``kernel_layout`` matrices are [T+1, s, n_pad/s] — doc column c lives
-    at (c // lane_w, c % lane_w). Padding triples target (row 0, col 0)
-    with weight 0, which row 0's zero invariant absorbs (duplicates all
-    write the same 0, so scatter-set stays deterministic)."""
-    if kernel_layout:
-        return mat.at[rows, cols // lane_w, cols % lane_w].set(
-            vals, mode="drop")
-    return mat.at[rows, cols].set(vals, mode="drop")
-
-
-def _query_table(q_idx, q_w, num_rows):
-    """Accumulate query weights into a dense [B, num_rows] table.
-
-    Term t maps to column t+1; padded/non-positive entries route to the dead
-    column 0. Duplicate term idxs (string-collision sums) add.
-
-    Implemented as a scan of compare-select-add steps over the (small) query
-    width rather than a scatter: XLA scatters at [B, T] scale lower to slow
-    serialized updates on TPU and blow up remote compile time, while this
-    form is pure VPU work that compiles in seconds.
-    """
-    b = q_idx.shape[0]
-    cols = lax.broadcasted_iota(jnp.int32, (1, num_rows), 1)   # [1, rows]
-    safe_idx = jnp.where(q_w > 0, q_idx + 1, 0)
-
-    def step(table, term):
-        idx, w = term                                          # [B], [B]
-        hit = cols == idx[:, None]
-        return table + jnp.where(hit, w[:, None], 0.0), None
-
-    table0 = jnp.zeros((b, num_rows), jnp.float32)
-    table, _ = lax.scan(step, table0, (safe_idx.T, q_w.T))
-    return table
-
-
-def _scores_from_matrix(matrix, q_idx, q_w):
-    """[B, N_pad] impact scores = query table @ dense impact matrix.
-
-    ``precision=HIGHEST`` keeps f32 integer weights exact on the MXU (scores
-    are sums of integer products; the default bf16 passes would round
-    weights > 256 and break Lucene-score parity).
-    """
-    table = _query_table(q_idx, q_w, matrix.shape[0])
-    return jnp.dot(table, matrix, preferred_element_type=jnp.float32,
-                   precision=lax.Precision.HIGHEST)
-
-
-def _taat_scores(matrix, q_idx, q_w):
-    """Per-query Pallas TAAT scoring (traced context; q_idx = raw term ids).
-
-    Shifts ids to matrix rows (+1), routes padding to the dead zero row, and
-    runs interpreted on non-TPU backends (tests)."""
-    from mllm_sparse_retrieval_tpu.ops.impact_kernel import impact_scores_taat
-
-    safe_idx = jnp.where(q_w > 0, q_idx + 1, 0).astype(jnp.int32)
-    safe_w = jnp.where(q_w > 0, q_w, 0.0).astype(jnp.float32)
-    interpret = jax.default_backend() != "tpu"
-    return impact_scores_taat(matrix, safe_idx, safe_w, interpret=interpret)
-
-
-def _masked_topk(scores, n_valid, k):
-    col_ids = lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
-    scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
-    return lax.top_k(scores, k)
-
-
-# one packed result array per chunk = one host fetch (see ops/packing.py
-# for the rationale and the tie-ordering note)
-from mllm_sparse_retrieval_tpu.ops.packing import (
-    pack_topk as _pack_results, unpack_topk as _unpack_results)
-
-
-@functools.partial(jax.jit, static_argnames=("n_valid", "k"))
-def _impact_topk(matrix, q_idx, q_w, n_valid, k):
-    # accepts the compact int16 upload form (see _compact_queries); the
-    # upcast is a trivial device op, the transfer saving is the point
-    q_idx = q_idx.astype(jnp.int32)
-    q_w = q_w.astype(jnp.float32)
-    return _pack_results(*_masked_topk(
-        _scores_from_matrix(matrix, q_idx, q_w), n_valid, k))
-
-
-@functools.partial(jax.jit, static_argnames=("n_valid", "k"))
-def _taat_topk(matrix, q_idx, q_w, n_valid, k):
-    q_idx = q_idx.astype(jnp.int32)  # compact int16 upload form supported
-    q_w = q_w.astype(jnp.float32)
-    return _pack_results(*_masked_topk(
-        _taat_scores(matrix, q_idx, q_w), n_valid, k))
-
-
-def _sharded_merge_topk(scores, base, shard_cols, n_valid, k):
-    """Per-shard top-k + ICI all-gather candidate merge (the same pattern as
-    sharded dense MIPS)."""
-    col_ids = base + lax.broadcasted_iota(jnp.int32, (1, shard_cols), 1)
-    scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
-    lv, li = lax.top_k(scores, min(k, shard_cols))
-    lg = li + base
-    av = lax.all_gather(lv, DATA_AXIS, axis=1, tiled=True)
-    ag = lax.all_gather(lg, DATA_AXIS, axis=1, tiled=True)
-    vals, pos = lax.top_k(av, k)
-    return vals, jnp.take_along_axis(ag, pos, axis=1)
-
-
-_SHARDED_SCORERS = {
-    "matmul": (_scores_from_matrix, (2, 2)),        # q_idx, q_w: [B, Q]
-    "taat": (_taat_scores, (2, 2)),                 # idem
-}
-
-
-@functools.lru_cache(maxsize=64)
-def _sharded_topk_fn(mesh, shard_cols, n_valid, k, backend):
-    """Build-and-cache the jitted shard_map program per (mesh, shapes,
-    backend) — a fresh closure per call would retrace every search.
-
-    The matmul backend shards the 2-D matrix column-wise; the TAAT backend
-    takes the 4-D ``[D, T+1, s, shard/s]`` pre-shaped layout sharded on the
-    leading axis, so each shard hands the kernel its native 3-D form with no
-    in-trace relayout (the local ``m[0]`` drops a unit leading dim — a
-    layout-preserving reshape, not a copy)."""
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    scores_fn, query_ndims = _SHARDED_SCORERS[backend]
-    kernel_layout = backend != "matmul"
-
-    def local_fn(m, *query_args):
-        base = lax.axis_index(DATA_AXIS) * shard_cols
-        local = m[0] if kernel_layout else m
-        return _pack_results(*_sharded_merge_topk(
-            scores_fn(local, *query_args), base, shard_cols, n_valid, k))
-
-    query_specs = tuple(P(*(None,) * nd) for nd in query_ndims)
-    matrix_spec = P(DATA_AXIS, None, None, None) if kernel_layout \
-        else P(None, DATA_AXIS)
-    fn = shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(matrix_spec,) + query_specs,
-        out_specs=P(None, None),
-        check_vma=False,
-    )
-    return jax.jit(fn)
-
-
-def _sharded_impact_topk(mesh, matrix, q_idx, q_w, n_valid, k):
-    """Doc-column-sharded matmul scoring + ICI merge."""
-    shard_cols = matrix.shape[1] // mesh.shape[DATA_AXIS]
-    fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "matmul")
-    return fn(matrix, q_idx, q_w)
-
-
-def _sharded_taat_topk(mesh, matrix, q_idx, q_w, n_valid, k):
-    """Doc-column-sharded per-query TAAT scoring + ICI merge. ``matrix`` is
-    the 4-D mesh kernel layout; shard d's doc block is contiguous, so global
-    doc ids are ``d * shard_cols + local column``."""
-    shard_cols = matrix.shape[2] * matrix.shape[3]
-    fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "taat")
-    return fn(matrix, q_idx, q_w)
-
+# Jitted device programs live in ops/score_programs (a stable leaf module:
+# line shifts HERE must not re-key the minutes-long Pallas compiles there).
+from mllm_sparse_retrieval_tpu.ops.score_programs import (  # noqa: E402
+    _impact_topk, _masked_topk, _pack_results, _query_table, _scatter_block,
+    _scores_from_matrix, _sharded_impact_topk, _sharded_merge_topk,
+    _sharded_taat_topk, _sharded_topk_fn, _taat_scores, _taat_topk,
+    _unpack_results)

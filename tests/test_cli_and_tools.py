@@ -115,9 +115,10 @@ def test_cli_encode_index_search_roundtrip(tmp_path, capsys):
     dense_dir, sparse_dir = out[-2], out[-1]
     assert os.path.exists(os.path.join(dense_dir, "corpus_0.pkl"))
 
-    # build impact index
+    # build impact index — --hbm-warm pays device placement at build time
+    # and logs index_build_seconds / hbm_placement_seconds metric lines
     cli_index.main(["--input", sparse_dir,
-                    "--index", str(tmp_path / "impact")])
+                    "--index", str(tmp_path / "impact"), "--hbm-warm"])
     capsys.readouterr()
 
     # image self-search, hybrid
