@@ -79,7 +79,8 @@ def run_search(
             enc.dense, search_cfg.depth,
             batch_size=max(search_cfg.batch_size, 1), mesh=mesh)
         out.dense_run = make_run(enc.ids, scores.tolist(), id_rows,
-                                 remove_query=search_cfg.remove_query)
+                                 remove_query=search_cfg.remove_query,
+                                 scores_sorted=True)
 
     if impact_index is not None:
         if impact_index.int_keyed and enc.selected_terms:
@@ -99,7 +100,8 @@ def run_search(
                 enc.query_weights, search_cfg.depth, mesh=mesh,
                 backend=impact_backend)
         out.sparse_run = make_run(enc.ids, s_scores, s_ids,
-                                  remove_query=search_cfg.remove_query)
+                                  remove_query=search_cfg.remove_query,
+                                  scores_sorted=True)
 
     if dense_index is not None and impact_index is not None:
         out.fusion_run = fuse(

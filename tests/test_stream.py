@@ -116,3 +116,16 @@ def test_search_terms_stream_uses_prefetched_encode():
         assert s_se == s_st
         assert [set(zip(a, b)) for a, b in zip(s_se, i_se)] == \
             [set(zip(a, b)) for a, b in zip(s_st, i_st)]
+
+
+def test_make_run_sorted_fast_path_matches_scan():
+    from mllm_sparse_retrieval_tpu.search.runs import make_run
+
+    ids = ["q0", "q1"]
+    scores = [[9.0, 5.0, 1.0], []]
+    ranks = [["a", "b", "c"], []]
+    fast = make_run(ids, scores, ranks, scores_sorted=True)
+    scan = make_run(ids, scores, ranks)
+    assert fast == scan
+    assert fast["q0"]["min_score"] == 1.0 and fast["q0"]["max_score"] == 9.0
+    assert fast["q1"]["min_score"] == 0.0 and fast["q1"]["max_score"] == 0.0
