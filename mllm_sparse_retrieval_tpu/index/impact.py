@@ -615,7 +615,7 @@ class ImpactIndex:
         canonical_map: Optional[np.ndarray] = None,
         mesh=None,
         backend: str = "auto",
-        lookahead: int = 2,
+        lookahead: int = 3,
     ):
         """Pipelined serving loop over SelectedTerms batches: yields one
         ``(scores, ids)`` pair per input batch, with the numpy query
@@ -755,7 +755,7 @@ class ImpactIndex:
         import collections
         collections.deque(
             pipeline_dispatch(self._chunk_queries(plan, q_idx, q_w),
-                              dispatch, resolve, lookahead=2),
+                              dispatch, resolve, lookahead=3),
             maxlen=0)
         return out_s, out_i
 
@@ -765,7 +765,7 @@ class ImpactIndex:
         depth: int,
         mesh=None,
         backend: str = "auto",
-        lookahead: int = 2,
+        lookahead: int = 3,
     ):
         """Pipelined batch search: yields one ``(scores, ids)`` pair per
         input batch (same semantics as ``search_encoded``), keeping up to
