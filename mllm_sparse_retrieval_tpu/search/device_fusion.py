@@ -1,0 +1,206 @@
+"""Fused hybrid serving path: dense + sparse search + fusion in one fetch.
+
+``FusedHybridSearcher`` drives both index engines chunk-by-chunk through the
+shared dispatch-ahead pipeline (ops/stream.py): per chunk it enqueues the
+impact program, the dense MIPS program, and the pure-XLA fusion program
+(ops/hybrid_fusion.py) — three device programs, zero intermediate host
+syncs — and the host fetches ONE packed [B, 2*out_depth] fused result.
+
+Contrast with the host path (search/engine.run_search): two [B, 2*depth]
+run fetches + Python dict fusion per batch. At the reference pipeline's
+default depth 1000 (/root/reference/src/arguments.py:60) the host path
+ships 16 KB/query and fuses ~2000 dicts/query; this path ships
+``16 * out_depth / depth`` KB/query (out_depth defaults to depth but the
+recall consumer only needs its max k, e.g. 200) and fuses nothing on host.
+
+The fused scores match ``search.fusion.fuse`` to float32 rounding — the
+parity contract is tested in tests/test_device_fusion.py; the host path
+remains the Lucene-artifact/TREC interchange route.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
+from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+from mllm_sparse_retrieval_tpu.ops.hybrid_fusion import (fused_topk_packed,
+                                                         fused_topk_parts)
+from mllm_sparse_retrieval_tpu.ops.packing import unpack_topk
+from mllm_sparse_retrieval_tpu.ops.stream import pipeline_dispatch
+from mllm_sparse_retrieval_tpu.search.runs import Run
+
+
+class FusedHybridSearcher:
+    """Hybrid dense+sparse retrieval with on-device run fusion.
+
+    Both indexes must cover the SAME doc-id set (the hybrid contract —
+    the reference fuses runs over one corpus, src/search.py:429-447);
+    a doc present in only one index raises at construction.
+    """
+
+    def __init__(
+        self,
+        dense_index: DenseFlatIndex,
+        impact_index: ImpactIndex,
+        alpha: float = 0.5,
+        mesh=None,
+        backend: str = "auto",
+    ):
+        self.dense = dense_index
+        self.impact = impact_index
+        self.alpha = float(alpha)
+        self.mesh = mesh
+        self.backend = backend
+        # impact-local doc order -> dense-local doc order, once per pair.
+        dense_pos = {d: i for i, d in enumerate(dense_index.lookup)}
+        self._dense_pos = dense_pos
+        perm = np.full(max(len(impact_index.doc_ids), 1), -1, np.int32)
+        missing = []
+        for i, d in enumerate(impact_index.doc_ids):
+            p = dense_pos.get(d)
+            if p is None:
+                missing.append(d)
+            else:
+                perm[i] = p
+        if missing:
+            raise ValueError(
+                f"{len(missing)} impact docs absent from the dense index "
+                f"(first: {missing[:3]}); hybrid fusion requires one corpus")
+        self._perm_host = perm
+        self._perm_dev = None
+        self._lookup_arr = np.asarray(dense_index.lookup)
+        self._w_dense = np.float32(self.alpha)
+        self._w_sparse = np.float32(1.0 - self.alpha)
+
+    # ---- internals -----------------------------------------------------------
+    def _self_indices(self, qids: Optional[Sequence[str]], n: int
+                      ) -> np.ndarray:
+        if qids is None:
+            return np.full(n, -1, np.int32)
+        return np.fromiter(
+            (self._dense_pos.get(str(q), -1) for q in qids),
+            np.int32, count=n)
+
+    def _dispatch_fused(self, plan, chunk_i, chunk_w, dense_chunk,
+                        self_chunk, out_k: int):
+        """Enqueue impact + dense + fusion programs for one chunk; returns
+        the fused packed device array with no host sync."""
+        sparse_packed = self.impact._dispatch_encoded(plan, chunk_i, chunk_w)
+        dense_out = self.dense._dispatch_chunk(dense_chunk,
+                                               plan["k"], self.mesh)
+        if self._perm_dev is None:
+            self._perm_dev = jax.device_put(self._perm_host)
+        self_dev = jax.device_put(self_chunk)
+        if isinstance(dense_out, tuple):        # mesh dense path
+            return fused_topk_parts(
+                sparse_packed, dense_out[0], dense_out[1], self._perm_dev,
+                self_dev, self._w_dense, self._w_sparse, out_k)
+        return fused_topk_packed(
+            sparse_packed, dense_out, self._perm_dev, self_dev,
+            self._w_dense, self._w_sparse, out_k)
+
+    def _resolve_fused(self, packed, take: int
+                       ) -> Tuple[List[List[float]], List[List[str]]]:
+        scores, idx = unpack_topk(np.asarray(packed)[:take])
+        ids_rows = self._lookup_arr[np.clip(idx, 0, len(self._lookup_arr) - 1)]
+        out_scores = scores.tolist()
+        out_ids = ids_rows.tolist()
+        # -inf marks rows whose union had fewer than out_k docs.
+        if scores.size and not np.isfinite(scores.min()):
+            for row in np.nonzero((~np.isfinite(scores)).any(axis=1))[0]:
+                keep = np.isfinite(scores[row])
+                out_scores[row] = scores[row][keep].tolist()
+                out_ids[row] = ids_rows[row][keep].tolist()
+        return out_scores, out_ids
+
+    # ---- public API ----------------------------------------------------------
+    def search_encoded(
+        self,
+        q_reps: np.ndarray,                    # [B, d] dense query reps
+        q_idx: np.ndarray, q_w: np.ndarray,    # impact-encoded queries
+        depth: int,
+        qids: Optional[Sequence[str]] = None,  # enables self-hit removal
+        out_depth: Optional[int] = None,
+        lookahead: int = 3,
+    ) -> Tuple[List[List[float]], List[List[str]]]:
+        """Fused hybrid top-``out_depth`` for a query batch. Returns
+        (scores, doc-id rows), fused-score-descending, one packed fetch per
+        chunk. ``qids`` activates the engine's ``remove_query`` semantics
+        (self doc dropped AFTER each run's min/max is recorded)."""
+        b = q_reps.shape[0]
+        if q_idx.shape[0] != b:
+            raise ValueError("dense/sparse query batch mismatch")
+        self.dense._materialize(self.mesh)
+        plan = self.impact._search_plan(self.mesh, self.backend, depth)
+        k_dense = min(depth, self.dense._n_valid)
+        out_k = min(out_depth if out_depth is not None else depth,
+                    plan["k"] + k_dense)
+        self_all = self._self_indices(qids, b)
+        max_b = plan["max_b"]
+
+        def submit():
+            for start in range(0, b, max_b):
+                end = min(start + max_b, b)
+                chunk_i = q_idx[start:end]
+                chunk_w = q_w[start:end]
+                dense_chunk = np.ascontiguousarray(
+                    q_reps[start:end], dtype=np.float32)
+                if end - start < max_b and b > max_b:
+                    pad = max_b - (end - start)
+                    chunk_i = np.concatenate(
+                        [chunk_i, np.zeros((pad, chunk_i.shape[1]),
+                                           chunk_i.dtype)])
+                    chunk_w = np.concatenate(
+                        [chunk_w, np.zeros((pad, chunk_w.shape[1]),
+                                           chunk_w.dtype)])
+                    dense_chunk = np.concatenate(
+                        [dense_chunk,
+                         np.zeros((pad, dense_chunk.shape[1]), np.float32)])
+                self_chunk = np.full(chunk_i.shape[0], -1, np.int32)
+                self_chunk[:end - start] = self_all[start:end]
+                yield chunk_i, chunk_w, dense_chunk, self_chunk, end - start
+
+        out_s: List[List[float]] = []
+        out_i: List[List[str]] = []
+
+        def dispatch(item):
+            chunk_i, chunk_w, dense_chunk, self_chunk, take = item
+            return self._dispatch_fused(plan, chunk_i, chunk_w, dense_chunk,
+                                        self_chunk, out_k), take
+
+        def resolve(handle):
+            packed, take = handle
+            s_c, i_c = self._resolve_fused(packed, take)
+            out_s.extend(s_c)
+            out_i.extend(i_c)
+
+        import collections
+        collections.deque(
+            pipeline_dispatch(submit(), dispatch, resolve, lookahead),
+            maxlen=0)
+        return out_s, out_i
+
+    def search_run(
+        self,
+        q_reps: np.ndarray,
+        q_idx: np.ndarray, q_w: np.ndarray,
+        qids: Sequence[str],
+        depth: int,
+        remove_query: bool = False,
+        out_depth: Optional[int] = None,
+    ) -> Run:
+        """Fused hybrid run dict (qid -> {docid: fused_score}) — the
+        device-path counterpart of ``fuse([dense_run, sparse_run], ...)``
+        restricted to the top ``out_depth`` fused docs per query."""
+        scores, ids = self.search_encoded(
+            q_reps, q_idx, q_w, depth,
+            qids=qids if remove_query else None, out_depth=out_depth)
+        run: Dict[str, Dict[str, float]] = {}
+        for qid, s_row, d_row in zip(qids, scores, ids):
+            run[str(qid)] = dict(zip(d_row, s_row))
+        return run
