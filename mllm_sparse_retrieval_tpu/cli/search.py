@@ -36,6 +36,12 @@ def main(argv=None):
                         choices=["auto", "taat", "matmul"],
                         help="sparse scoring backend (auto = Pallas TAAT "
                              "kernel on TPU, MXU matmul elsewhere)")
+    parser.add_argument("--fusion-mode", default="host",
+                        choices=["host", "device"],
+                        help="hybrid fusion route: 'host' = reference-parity "
+                             "run fusion in Python; 'device' = on-device "
+                             "fused top-k, one packed fetch per chunk "
+                             "(fusion run/recall only)")
     parser.add_argument("--save-dir", default=None,
                         help="write TREC run files here")
     parser.add_argument("--limit", type=int, default=0)
@@ -43,6 +49,10 @@ def main(argv=None):
 
     if args.passage_reps is None and args.sparse_index is None:
         parser.error("need --passage-reps and/or --sparse-index")
+    if args.fusion_mode == "device" and (
+            args.passage_reps is None or args.sparse_index is None):
+        parser.error("--fusion-mode device needs both --passage-reps "
+                     "and --sparse-index")
 
     logger = get_logger("search")
     timer = StepTimer(logger)
@@ -81,6 +91,7 @@ def main(argv=None):
             impact_index=impact_index, reps_loc=RepsLoc(args.reps_loc),
             batch_size=args.batch_size, mesh=mesh, lora=lora,
             impact_backend=args.impact_backend,
+            fusion_mode=args.fusion_mode,
             get_target=lambda qid: corpus.get_target(qid, args.query_type))
     timer.close()
 

@@ -40,6 +40,18 @@ class SearchOutput:
         return "\n".join(lines)
 
 
+def _encode_sparse_queries(impact_index, enc, tokenizer, sparse_cfg):
+    """Encoded (term_idx, weight) query arrays for the device fusion path —
+    the id-keyed route when available (no string round trip), else the
+    string-dict route; both bit-match what ``search_terms``/``search`` feed
+    the scoring program."""
+    if impact_index.int_keyed and enc.selected_terms:
+        from mllm_sparse_retrieval_tpu.sparse import canonical_id_map
+        cmap = canonical_id_map(tokenizer.get_vocab(), sparse_cfg.is_filtered)
+        return impact_index.encode_query_terms(enc.selected_terms, cmap)
+    return impact_index.encode_queries(enc.query_weights)
+
+
 def run_search(
     queries: Sequence[Example],
     params,
@@ -60,12 +72,34 @@ def run_search(
     get_target: Optional[Callable[[str], object]] = None,
     ks: Sequence[int] = DEFAULT_KS,
     impact_backend: str = "auto",
+    fusion_mode: str = "host",
 ) -> SearchOutput:
     """Encode queries live and search the given indexes.
 
     ``get_target`` enables recall computation (ground truth per query id);
     omit it to get runs only.
+
+    ``fusion_mode`` selects the hybrid route when both indexes are given:
+
+    - ``"host"`` (default, reference parity): materialize the dense and
+      sparse runs on host and min-max fuse them in Python — exactly
+      ``fuse(dense_run, sparse_run)`` (/root/reference/src/hybrid.py:32-53);
+      all three runs populate ``SearchOutput``.
+    - ``"device"`` (TPU-native serving path): fuse both engines' top-k ON
+      DEVICE (search/device_fusion.py) — one packed fetch per chunk instead
+      of two depth-sized run fetches plus host dict fusion. Only
+      ``fusion_run``/``fusion_recall`` are produced (the individual runs are
+      never materialized on host — that is the point), and the run holds the
+      top ``search_cfg.depth`` fused docs per query rather than the full
+      dense∪sparse union (identical recall@k for every k ≤ depth; fused
+      scores match the host path to f32 rounding).
     """
+    if fusion_mode not in ("host", "device"):
+        raise ValueError(f"fusion_mode must be 'host' or 'device', "
+                         f"got {fusion_mode!r}")
+    if fusion_mode == "device" and (dense_index is None or impact_index is None):
+        raise ValueError("fusion_mode='device' needs BOTH a dense and an "
+                         "impact index (it is the hybrid serving path)")
     out = SearchOutput()
 
     enc = encode_examples(
@@ -73,6 +107,21 @@ def run_search(
         encode_type=query_type, sparse_cfg=sparse_cfg, reps_loc=reps_loc,
         batch_size=batch_size, is_query=True, mesh=mesh, lora=lora,
         pixel_loader=pixel_loader)
+
+    if fusion_mode == "device":
+        from mllm_sparse_retrieval_tpu.search.device_fusion import (
+            FusedHybridSearcher)
+        q_idx, q_w = _encode_sparse_queries(
+            impact_index, enc, tokenizer, sparse_cfg)
+        searcher = FusedHybridSearcher(
+            dense_index, impact_index, alpha=search_cfg.alpha, mesh=mesh,
+            backend=impact_backend)
+        out.fusion_run = searcher.search_run(
+            enc.dense, q_idx, q_w, enc.ids, search_cfg.depth,
+            remove_query=search_cfg.remove_query)
+        if get_target is not None:
+            out.fusion_recall = recall_at_k(out.fusion_run, get_target, ks)
+        return out
 
     if dense_index is not None:
         scores, id_rows = dense_index.search_ids(

@@ -174,6 +174,59 @@ def test_full_hybrid_search_on_mesh(setup):
 
 
 @needs_data
+@pytest.mark.parametrize("id_keyed", [False, True])
+def test_engine_device_fusion_matches_host(setup, id_keyed):
+    """run_search(fusion_mode='device') reproduces the host fusion run to
+    f32 rounding on both sparse-encode routes (string dicts / id-keyed
+    SelectedTerms), including remove_query semantics."""
+    from mllm_sparse_retrieval_tpu.sparse import canonical_id_map
+
+    corpus, params, arch, tok, template = setup
+    examples = corpus.examples_single()[:24]
+    scfg = SparseConfig()
+    res = encode_examples(examples, params, arch, tok, template,
+                          encode_type="image", sparse_cfg=scfg, batch_size=8)
+    dense = DenseFlatIndex()
+    dense.add(res.dense, res.ids)
+    if id_keyed:
+        cmap = canonical_id_map(tok.get_vocab(), scfg.is_filtered)
+        imp = ImpactIndex.from_selected_terms(res.ids, res.selected_terms,
+                                              cmap)
+        assert imp.int_keyed
+    else:
+        imp = ImpactIndex()
+        imp.add_many(zip(res.ids, res.sparse_vectors))
+        imp.finalize()
+
+    # depth >= union size: the device run's top-depth IS the full union,
+    # so the doc sets must match exactly, not just prefix-wise
+    kw = dict(query_type="image", sparse_cfg=scfg,
+              search_cfg=SearchConfig(depth=48, alpha=0.3,
+                                      remove_query=True),
+              dense_index=dense, impact_index=imp, batch_size=8,
+              get_target=lambda qid: qid)
+    host = run_search(examples, params, arch, tok, template, **kw)
+    dev = run_search(examples, params, arch, tok, template,
+                     fusion_mode="device", **kw)
+
+    assert not dev.dense_run and not dev.sparse_run  # never materialized
+    assert set(dev.fusion_run) == set(host.fusion_run)
+    for qid, docs in host.fusion_run.items():
+        assert set(dev.fusion_run[qid]) == set(docs), qid
+        for doc, s in docs.items():
+            assert dev.fusion_run[qid][doc] == pytest.approx(s, abs=1e-5)
+    assert dev.fusion_recall.hits == host.fusion_recall.hits
+
+
+def test_device_fusion_mode_requires_both_indexes():
+    from mllm_sparse_retrieval_tpu.search.engine import run_search as rs
+    with pytest.raises(ValueError, match="BOTH a dense and an impact"):
+        rs([], None, None, None, None, query_type="text",
+           sparse_cfg=SparseConfig(), search_cfg=SearchConfig(),
+           dense_index=DenseFlatIndex(), fusion_mode="device")
+
+
+@needs_data
 def test_remove_query_drops_self_hit(setup):
     corpus, params, arch, tok, template = setup
     examples = corpus.examples_single()[:16]
