@@ -87,7 +87,14 @@ class DenseFlatIndex:
         """Enqueue one chunk's program; no host sync (the pipelining point).
         Single-chip results come back as ONE packed array — one fetch, one
         link round trip (see ops/packing.py)."""
-        q = jnp.asarray(chunk_f32, dtype=self.dtype)
+        if mesh is None and self.dtype == jnp.float32:
+            # async upload: device_put returns immediately and the transfer
+            # overlaps the previous chunk's compute; jnp.asarray (and jit
+            # numpy args) transfer SYNCHRONOUSLY through thin-link relays,
+            # serializing upload with compute (serving rule, CLAUDE.md)
+            q = jax.device_put(np.ascontiguousarray(chunk_f32, np.float32))
+        else:
+            q = jnp.asarray(chunk_f32, dtype=self.dtype)
         if mesh is None:
             return mips_topk_packed(q, self._corpus_dev,
                                     min(depth, self._n_valid))
