@@ -31,7 +31,6 @@ from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
 from mllm_sparse_retrieval_tpu.ops.hybrid_fusion import (fused_topk_packed,
                                                          fused_topk_parts)
 from mllm_sparse_retrieval_tpu.ops.packing import unpack_topk
-from mllm_sparse_retrieval_tpu.ops.stream import pipeline_dispatch
 from mllm_sparse_retrieval_tpu.search.runs import Run
 
 
@@ -118,7 +117,103 @@ class FusedHybridSearcher:
                 out_ids[row] = ids_rows[row][keep].tolist()
         return out_scores, out_ids
 
+    def _prep(self, depth: int, out_depth: Optional[int]):
+        self.dense._materialize(self.mesh)
+        plan = self.impact._search_plan(self.mesh, self.backend, depth)
+        k_dense = min(depth, self.dense._n_valid)
+        out_k = min(out_depth if out_depth is not None else depth,
+                    plan["k"] + k_dense)
+        return plan, out_k
+
+    def _batch_chunks(self, plan, q_reps, q_idx, q_w, self_all):
+        """Yield (chunk_i, chunk_w, dense_chunk, self_chunk, take) at the
+        impact plan's HBM chunk width, tail zero-padded to one compiled
+        shape."""
+        b = q_reps.shape[0]
+        max_b = plan["max_b"]
+        for start in range(0, b, max_b):
+            end = min(start + max_b, b)
+            chunk_i = q_idx[start:end]
+            chunk_w = q_w[start:end]
+            dense_chunk = np.ascontiguousarray(
+                q_reps[start:end], dtype=np.float32)
+            if end - start < max_b and b > max_b:
+                pad = max_b - (end - start)
+                chunk_i = np.concatenate(
+                    [chunk_i, np.zeros((pad, chunk_i.shape[1]),
+                                       chunk_i.dtype)])
+                chunk_w = np.concatenate(
+                    [chunk_w, np.zeros((pad, chunk_w.shape[1]),
+                                       chunk_w.dtype)])
+                dense_chunk = np.concatenate(
+                    [dense_chunk,
+                     np.zeros((pad, dense_chunk.shape[1]), np.float32)])
+            self_chunk = np.full(chunk_i.shape[0], -1, np.int32)
+            self_chunk[:end - start] = self_all[start:end]
+            yield chunk_i, chunk_w, dense_chunk, self_chunk, end - start
+
     # ---- public API ----------------------------------------------------------
+    def search_encoded_stream(
+        self,
+        batches,            # iterable of (q_reps, q_idx, q_w[, qids]) tuples
+        depth: int,
+        out_depth: Optional[int] = None,
+        lookahead: int = 3,
+    ):
+        """Pipelined fused serving loop: yields one ``(scores, ids)`` pair
+        per input batch, keeping up to ``lookahead`` fused programs in
+        flight — batch r's packed-result fetch overlaps batch r+1's three
+        device programs (the production serving pattern; the fused
+        counterpart of ``ImpactIndex.search_encoded_stream``). A 4th tuple
+        element supplies per-batch qids for self-hit removal."""
+        from mllm_sparse_retrieval_tpu.ops import stream as stream_mod
+
+        plan, out_k = self._prep(depth, out_depth)
+
+        def submit():
+            seq = 0
+            for item in batches:
+                q_reps, q_idx, q_w = item[:3]
+                qids = item[3] if len(item) > 3 else None
+                if q_idx.shape[0] != q_reps.shape[0]:
+                    raise ValueError("dense/sparse query batch mismatch")
+                self_all = self._self_indices(qids, q_reps.shape[0])
+                chunks = list(self._batch_chunks(plan, q_reps, q_idx, q_w,
+                                                 self_all))
+                for ci, ch in enumerate(chunks):
+                    yield ch + (ci == len(chunks) - 1, seq)
+                    seq += 1
+
+        out_s: List[List[float]] = []
+        out_i: List[List[str]] = []
+        expect_seq = 0
+
+        def dispatch(item):
+            chunk_i, chunk_w, dense_chunk, self_chunk, take, last, seq = item
+            return (self._dispatch_fused(plan, chunk_i, chunk_w, dense_chunk,
+                                         self_chunk, out_k), take, last, seq)
+
+        def resolve(handle):
+            nonlocal out_s, out_i, expect_seq
+            packed, take, last, seq = handle
+            # batch-boundary accumulation requires submit-order resolution
+            # (same invariant + guard as ImpactIndex.search_encoded_stream)
+            assert seq == expect_seq, (
+                f"fused stream resolved chunk {seq} out of order "
+                f"(expected {expect_seq})")
+            expect_seq += 1
+            s_c, i_c = self._resolve_fused(packed, take)
+            out_s.extend(s_c)
+            out_i.extend(i_c)
+            if last:
+                done_s, done_i = out_s, out_i
+                out_s, out_i = [], []
+                return done_s, done_i
+            return None
+
+        yield from stream_mod.pipeline_dispatch(submit(), dispatch, resolve,
+                                                lookahead)
+
     def search_encoded(
         self,
         q_reps: np.ndarray,                    # [B, d] dense query reps
@@ -128,62 +223,14 @@ class FusedHybridSearcher:
         out_depth: Optional[int] = None,
         lookahead: int = 3,
     ) -> Tuple[List[List[float]], List[List[str]]]:
-        """Fused hybrid top-``out_depth`` for a query batch. Returns
+        """Fused hybrid top-``out_depth`` for one query batch. Returns
         (scores, doc-id rows), fused-score-descending, one packed fetch per
         chunk. ``qids`` activates the engine's ``remove_query`` semantics
         (self doc dropped AFTER each run's min/max is recorded)."""
-        b = q_reps.shape[0]
-        if q_idx.shape[0] != b:
-            raise ValueError("dense/sparse query batch mismatch")
-        self.dense._materialize(self.mesh)
-        plan = self.impact._search_plan(self.mesh, self.backend, depth)
-        k_dense = min(depth, self.dense._n_valid)
-        out_k = min(out_depth if out_depth is not None else depth,
-                    plan["k"] + k_dense)
-        self_all = self._self_indices(qids, b)
-        max_b = plan["max_b"]
-
-        def submit():
-            for start in range(0, b, max_b):
-                end = min(start + max_b, b)
-                chunk_i = q_idx[start:end]
-                chunk_w = q_w[start:end]
-                dense_chunk = np.ascontiguousarray(
-                    q_reps[start:end], dtype=np.float32)
-                if end - start < max_b and b > max_b:
-                    pad = max_b - (end - start)
-                    chunk_i = np.concatenate(
-                        [chunk_i, np.zeros((pad, chunk_i.shape[1]),
-                                           chunk_i.dtype)])
-                    chunk_w = np.concatenate(
-                        [chunk_w, np.zeros((pad, chunk_w.shape[1]),
-                                           chunk_w.dtype)])
-                    dense_chunk = np.concatenate(
-                        [dense_chunk,
-                         np.zeros((pad, dense_chunk.shape[1]), np.float32)])
-                self_chunk = np.full(chunk_i.shape[0], -1, np.int32)
-                self_chunk[:end - start] = self_all[start:end]
-                yield chunk_i, chunk_w, dense_chunk, self_chunk, end - start
-
-        out_s: List[List[float]] = []
-        out_i: List[List[str]] = []
-
-        def dispatch(item):
-            chunk_i, chunk_w, dense_chunk, self_chunk, take = item
-            return self._dispatch_fused(plan, chunk_i, chunk_w, dense_chunk,
-                                        self_chunk, out_k), take
-
-        def resolve(handle):
-            packed, take = handle
-            s_c, i_c = self._resolve_fused(packed, take)
-            out_s.extend(s_c)
-            out_i.extend(i_c)
-
-        import collections
-        collections.deque(
-            pipeline_dispatch(submit(), dispatch, resolve, lookahead),
-            maxlen=0)
-        return out_s, out_i
+        for out in self.search_encoded_stream(
+                [(q_reps, q_idx, q_w, qids)], depth, out_depth, lookahead):
+            return out
+        return [], []
 
     def search_run(
         self,

@@ -122,6 +122,63 @@ def test_device_fusion_chunked_matches_single():
         assert set(a) == set(b)
 
 
+def test_fused_stream_matches_per_batch():
+    """Multi-batch stream (incl. a forced-subchunk leg and per-batch qids)
+    yields exactly the per-batch search_encoded results."""
+    impact, dense, q_reps, q_dicts, qids = _build(seed=5)
+    depth = 20
+    q_idx, q_w = impact.encode_queries(q_dicts)
+    searcher = FusedHybridSearcher(dense, impact, alpha=ALPHA)
+
+    cuts = [(0, 5), (5, 7), (7, 12)]
+    batches = [(q_reps[a:b], q_idx[a:b], q_w[a:b], qids[a:b])
+               for a, b in cuts]
+    serial = [searcher.search_encoded(q_reps[a:b], q_idx[a:b], q_w[a:b],
+                                      depth, qids=qids[a:b])
+              for a, b in cuts]
+    streamed = list(searcher.search_encoded_stream(batches, depth))
+    assert streamed == serial
+
+    impact.hbm_budget_bytes = \
+        sum(d.nbytes for d in impact._dev.values()) + 8 * 80 * 4 * 6
+    plan = impact._search_plan(None, "matmul", depth)
+    assert plan["max_b"] < 12, "budget did not force chunking"
+    chunked = list(searcher.search_encoded_stream(batches, depth))
+    for (s_a, i_a), (s_b, i_b) in zip(streamed, chunked):
+        for ra, rb in zip(s_a, s_b):
+            np.testing.assert_allclose(ra, rb, atol=1e-6)
+        for ra, rb in zip(i_a, i_b):
+            assert set(ra) == set(rb)
+
+
+def test_fused_stream_rejects_out_of_order_resolution(monkeypatch):
+    """Same invariant + guard as ImpactIndex.search_encoded_stream: the
+    batch-boundary accumulator depends on FIFO resolution; a deliberate
+    reorder trips the monotone assert loudly."""
+    import mllm_sparse_retrieval_tpu.ops.stream as stream_mod
+
+    impact, dense, q_reps, q_dicts, qids = _build(seed=13)
+    q_idx, q_w = impact.encode_queries(q_dicts)
+    searcher = FusedHybridSearcher(dense, impact, alpha=ALPHA)
+    batches = [(q_reps[:6], q_idx[:6], q_w[:6]),
+               (q_reps[6:], q_idx[6:], q_w[6:])]
+
+    real = stream_mod.pipeline_dispatch
+
+    def reordering(items, dispatch, resolve, lookahead=2):
+        handles = [dispatch(it) for it in items]
+        for h in reversed(handles):
+            out = resolve(h)
+            if out is not None:
+                yield out
+
+    monkeypatch.setattr(stream_mod, "pipeline_dispatch", reordering)
+    with pytest.raises(AssertionError, match="out of order"):
+        list(searcher.search_encoded_stream(batches, 10))
+    monkeypatch.setattr(stream_mod, "pipeline_dispatch", real)
+    assert list(searcher.search_encoded_stream(batches, 10))
+
+
 def test_device_fusion_requires_one_corpus():
     impact, dense, *_ = _build(n_docs=10)
     other = DenseFlatIndex()

@@ -116,9 +116,16 @@ def main():
             fused.search_encoded(reps_b, qi, qw, args.depth,
                                  out_depth=out_depth)
 
+    def run_stream(out_depth):
+        for _ in fused.search_encoded_stream(batches, args.depth,
+                                             out_depth=out_depth):
+            pass
+
     legs = [("host ", run_host),
             (f"dev{args.depth:>4}", lambda: run_device(args.depth)),
-            (f"dev{args.out_depth:>4}", lambda: run_device(args.out_depth))]
+            (f"dev{args.out_depth:>4}", lambda: run_device(args.out_depth)),
+            (f"str{args.depth:>4}", lambda: run_stream(args.depth)),
+            (f"str{args.out_depth:>4}", lambda: run_stream(args.out_depth))]
     for _, f in legs:
         f()  # warm compiles
     times = {name: [] for name, _ in legs}
