@@ -277,6 +277,73 @@ def bench_scale_leg():
     index.drop_device_cache()
 
 
+def bench_hybrid_leg(doc_terms, doc_weights, q_idx, q_w):
+    """Side metric (stderr only): hybrid fusion at the reference pipeline's
+    DEFAULT depth 1000 (/root/reference/src/arguments.py:60) — the host
+    run-fusion path (fusion_mode='host') vs the on-device fused path
+    (fusion_mode='device', streamed). Same shapes as tools/hybrid_ab.py so
+    the compile cache hits; batch 1024 (the depth-1000 result tensors are
+    16 MB/batch at 4096)."""
+    from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
+    from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+    from mllm_sparse_retrieval_tpu.search.device_fusion import (
+        FusedHybridSearcher)
+    from mllm_sparse_retrieval_tpu.search.fusion import fuse
+    from mllm_sparse_retrieval_tpu.search.runs import make_run
+
+    batch, depth, out_k, dim, rounds = 1024, 1000, 200, 1024, 4
+    rng = np.random.default_rng(7)
+    impact = ImpactIndex.from_packed_arrays(doc_terms, doc_weights,
+                                            term_keys=range(N_TERMS))
+    dense = DenseFlatIndex()
+    dense.add(rng.normal(size=(N_DOCS, dim)).astype(np.float32),
+              impact.doc_ids)
+    impact._materialize(None, "i16", kernel_layout=True).block_until_ready()
+    dense._materialize(None)
+    dense._corpus_dev.block_until_ready()
+
+    qi, qw = q_idx[:batch], q_w[:batch]
+    q_reps = rng.normal(size=(batch, dim)).astype(np.float32)
+    batches = [(np.roll(q_reps, r, axis=0), np.roll(qi, r, axis=0),
+                np.roll(qw, r, axis=0)) for r in range(rounds)]
+    qids = [str(-1 - i) for i in range(batch)]
+
+    def run_host():
+        for reps_b, bi, bw in batches[:2]:
+            d_s, d_i = dense.search_ids(reps_b, depth, batch_size=batch)
+            d_run = make_run(qids, d_s.tolist(), d_i, scores_sorted=True)
+            s_s, s_i = impact.search_encoded(bi, bw, depth, backend="taat")
+            s_run = make_run(qids, s_s, s_i, scores_sorted=True)
+            fuse([d_run, s_run], [0.5, 0.5])
+
+    fused = FusedHybridSearcher(dense, impact, alpha=0.5, backend="taat")
+
+    def run_stream(ok):
+        for _ in fused.search_encoded_stream(batches, depth, out_depth=ok):
+            pass
+
+    run_host()                       # warm (also times below: 2 rounds)
+    run_stream(depth)
+    run_stream(out_k)
+    t0 = time.time()
+    run_host()
+    host_ms = (time.time() - t0) / 2 * 1e3
+    t0 = time.time()
+    run_stream(depth)
+    full_ms = (time.time() - t0) / rounds * 1e3
+    t0 = time.time()
+    run_stream(out_k)
+    trunc_ms = (time.time() - t0) / rounds * 1e3
+    log(f"hybrid leg (depth {depth}, {N_DOCS} docs, dim {dim}, batch "
+        f"{batch}): host-fused {host_ms:.0f} ms/batch "
+        f"({batch / host_ms * 1e3:.0f} QPS); device-fused stream "
+        f"{full_ms:.0f} ms/batch ({batch / full_ms * 1e3:.0f} QPS, "
+        f"x{host_ms / full_ms:.1f}); out_depth {out_k}: {trunc_ms:.0f} "
+        f"ms/batch ({batch / trunc_ms * 1e3:.0f} QPS, "
+        f"x{host_ms / trunc_ms:.1f})")
+    impact.drop_device_cache()
+
+
 def bench_dense_side(rng):
     """Side metric (stderr only): dense MIPS QPS at COCO scale — 25k docs x
     4096-d (LLaVA-NeXT hidden size), depth 10, through DenseFlatIndex."""
@@ -404,6 +471,10 @@ def main():
             bench_encode_pipeline()
         except Exception as e:
             log(f"encode pipeline leg failed (non-fatal): {e}")
+        try:
+            bench_hybrid_leg(doc_terms, doc_weights, q_idx, q_w)
+        except Exception as e:
+            log(f"hybrid leg failed (non-fatal): {e}")
         try:
             bench_scale_leg()
         except Exception as e:

@@ -79,6 +79,62 @@ def check_impact_backends():
           f"(taat dtype=i16, {n_docs} docs)")
 
 
+def check_device_fusion():
+    """On-device hybrid fusion vs the host ``fuse`` path ON CHIP — the
+    fused program leans on sort/searchsorted/bitcast lowerings the CPU
+    tests can't vouch for (cf. the f32-packing denormal flush this suite
+    caught; ops/packing.py)."""
+    from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
+    from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+    from mllm_sparse_retrieval_tpu.search.device_fusion import (
+        FusedHybridSearcher)
+    from mllm_sparse_retrieval_tpu.search.fusion import fuse
+    from mllm_sparse_retrieval_tpu.search.runs import make_run
+
+    rng = np.random.default_rng(2)
+    n_docs, vocab, dim, depth = 400, 300, 64, 40
+    ids = [f"d{i}" for i in range(n_docs)]
+    impact = ImpactIndex()
+    for d in ids:
+        t = rng.choice(vocab, size=8, replace=False)
+        impact.add(d, {f"t{x}": int(rng.integers(1, 50)) for x in t})
+    impact.finalize()
+    dense = DenseFlatIndex()
+    order = rng.permutation(n_docs)     # shuffled doc order between engines
+    reps = rng.normal(size=(n_docs, dim)).astype(np.float32)
+    dense.add(reps[order], [ids[i] for i in order])
+
+    n_q = 16
+    q_reps = rng.normal(size=(n_q, dim)).astype(np.float32)
+    q_dicts = [{f"t{x}": int(rng.integers(1, 10))
+                for x in rng.choice(vocab, size=5, replace=False)}
+               for _ in range(n_q)]
+    qids = [f"d{3 * i}" for i in range(n_q)]
+
+    d_s, d_i = dense.search_ids(q_reps, depth)
+    dense_run = make_run(qids, d_s.tolist(), d_i, remove_query=True,
+                         scores_sorted=True)
+    s_s, s_i = impact.search(q_dicts, depth)
+    sparse_run = make_run(qids, s_s, s_i, remove_query=True,
+                          scores_sorted=True)
+    host = fuse([dense_run, sparse_run], [0.3, 0.7])
+
+    searcher = FusedHybridSearcher(dense, impact, alpha=0.3)
+    q_idx, q_w = impact.encode_queries(q_dicts)
+    dev = searcher.search_run(q_reps, q_idx, q_w, qids, depth,
+                              remove_query=True, out_depth=2 * depth)
+    assert set(dev) == set(host)
+    worst = 0.0
+    for qid in host:
+        assert set(dev[qid]) == set(host[qid]), f"doc set differs for {qid}"
+        for doc, s in host[qid].items():
+            worst = max(worst, abs(dev[qid][doc] - s))
+    assert worst < 1e-5, f"fused scores diverge on chip: {worst}"
+    print(f"OK on-device hybrid fusion matches host fuse on chip "
+          f"(worst |delta| {worst:.2e}, {sum(len(v) for v in host.values())} "
+          f"entries)", flush=True)
+
+
 def check_flash_layer():
     from mllm_sparse_retrieval_tpu.models import layers as L
 
@@ -197,6 +253,7 @@ def main():
     t0 = time.time()
     check_packing_roundtrip()
     check_impact_backends()
+    check_device_fusion()
     check_flash_layer()
     check_flash_shard_map()
     check_decoder_flash()
