@@ -1,0 +1,220 @@
+/* Host-side serving-path accelerators (CPython extension).
+ *
+ * The id-keyed engine serving loop is device-bound except for two
+ * pure-Python residues measured at ~9 + ~13 ms per 4096-query batch
+ * (BASELINE.md "engine leg"): re-stacking per-query SelectedTerms rows
+ * into the padded [B, W] query arrays, and assembling 4096 run dicts
+ * (search/runs.py make_run — the product contract,
+ * /root/reference/src/search.py:66-82). Both serialize with the dispatch
+ * pipeline (GIL); a worker thread measured WORSE (see
+ * ImpactIndex.search_terms_stream). This module moves the per-row
+ * interpreter overhead to C; the Python implementations remain the
+ * fallback and the semantic reference (bit-parity tested in
+ * tests/test_hostops.py).
+ *
+ * Built by hostops/Makefile (g++, no libpython link needed on Linux);
+ * loaded via importlib in hostops/__init__.py with make-on-change
+ * rebuild, same pattern as index/native.
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <string.h>
+
+/* build_runs(qids, batch_scores, batch_rankings, remove_query,
+ *            scores_sorted) -> run dict
+ *
+ * Exact semantics of search.runs.make_run: per query a
+ * {"docs": {docid: score}, "min_score": m, "max_score": M} entry, with
+ * min/max over ALL returned scores BEFORE the optional self-hit
+ * removal. All three outer arguments and every row must be lists
+ * (what the resolve paths produce via .tolist()); anything else raises
+ * TypeError and the caller falls back to the Python path. */
+static PyObject *
+build_runs(PyObject *self, PyObject *args)
+{
+    PyObject *qids, *scores_b, *ranks_b;
+    int remove_query, scores_sorted;
+    if (!PyArg_ParseTuple(args, "O!O!O!pp", &PyList_Type, &qids,
+                          &PyList_Type, &scores_b, &PyList_Type, &ranks_b,
+                          &remove_query, &scores_sorted))
+        return NULL;
+    Py_ssize_t n = PyList_GET_SIZE(qids);
+    if (PyList_GET_SIZE(scores_b) < n || PyList_GET_SIZE(ranks_b) < n) {
+        PyErr_SetString(PyExc_ValueError, "make_run: length mismatch");
+        return NULL;
+    }
+    PyObject *run = PyDict_New();
+    if (!run)
+        return NULL;
+
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *qid = PyList_GET_ITEM(qids, i);        /* borrowed */
+        PyObject *scores = PyList_GET_ITEM(scores_b, i);
+        PyObject *ranks = PyList_GET_ITEM(ranks_b, i);
+        if (!PyList_Check(scores) || !PyList_Check(ranks)) {
+            PyErr_SetString(PyExc_TypeError, "make_run: rows must be lists");
+            goto fail;
+        }
+        Py_ssize_t m = PyList_GET_SIZE(scores);
+        if (PyList_GET_SIZE(ranks) != m) {
+            PyErr_SetString(PyExc_ValueError, "make_run: row length mismatch");
+            goto fail;
+        }
+
+        PyObject *docs = PyDict_New();
+        if (!docs)
+            goto fail;
+        double mn = 0.0, mx = 0.0;
+        for (Py_ssize_t j = 0; j < m; j++) {
+            PyObject *k = PyList_GET_ITEM(ranks, j);     /* borrowed */
+            PyObject *v = PyList_GET_ITEM(scores, j);    /* borrowed */
+            PyObject *ks, *vf;
+            if (PyUnicode_Check(k)) {
+                ks = k;
+                Py_INCREF(ks);
+            } else {
+                ks = PyObject_Str(k);
+                if (!ks) { Py_DECREF(docs); goto fail; }
+            }
+            if (PyFloat_Check(v)) {
+                vf = v;
+                Py_INCREF(vf);
+            } else {
+                vf = PyNumber_Float(v);
+                if (!vf) { Py_DECREF(ks); Py_DECREF(docs); goto fail; }
+            }
+            double dv = PyFloat_AS_DOUBLE(vf);
+            if (j == 0) {
+                mn = dv;
+                mx = dv;
+            } else if (scores_sorted) {
+                mn = dv;                 /* descending rows: last is min */
+            } else {
+                if (dv < mn) mn = dv;
+                if (dv > mx) mx = dv;
+            }
+            int rc = PyDict_SetItem(docs, ks, vf);
+            Py_DECREF(ks);
+            Py_DECREF(vf);
+            if (rc < 0) { Py_DECREF(docs); goto fail; }
+        }
+
+        PyObject *qid_s;
+        if (PyUnicode_Check(qid)) {
+            qid_s = qid;
+            Py_INCREF(qid_s);
+        } else {
+            qid_s = PyObject_Str(qid);
+            if (!qid_s) { Py_DECREF(docs); goto fail; }
+        }
+        if (remove_query) {
+            int has = PyDict_Contains(docs, qid_s);
+            if (has < 0 ||
+                (has && PyDict_DelItem(docs, qid_s) < 0)) {
+                Py_DECREF(qid_s); Py_DECREF(docs); goto fail;
+            }
+        }
+
+        PyObject *entry = PyDict_New();
+        PyObject *mn_f = PyFloat_FromDouble(mn);
+        PyObject *mx_f = PyFloat_FromDouble(mx);
+        if (!entry || !mn_f || !mx_f ||
+            PyDict_SetItemString(entry, "docs", docs) < 0 ||
+            PyDict_SetItemString(entry, "min_score", mn_f) < 0 ||
+            PyDict_SetItemString(entry, "max_score", mx_f) < 0 ||
+            PyDict_SetItem(run, qid_s, entry) < 0) {
+            Py_XDECREF(entry); Py_XDECREF(mn_f); Py_XDECREF(mx_f);
+            Py_DECREF(qid_s); Py_DECREF(docs);
+            goto fail;
+        }
+        Py_DECREF(entry);
+        Py_DECREF(mn_f);
+        Py_DECREF(mx_f);
+        Py_DECREF(qid_s);
+        Py_DECREF(docs);
+    }
+    return run;
+
+fail:
+    Py_DECREF(run);
+    return NULL;
+}
+
+/* stack_rows(rows, attr_ids, attr_w, out_ids, out_w) -> bool
+ *
+ * Fill the writable C-contiguous int32 buffers out_ids/out_w
+ * ([B, W] row-major) from rows[i].<attr_ids> / rows[i].<attr_w>.
+ * Returns False (leaving the buffers partially written — caller must
+ * fall back and overwrite) unless EVERY row attribute exposes a
+ * C-contiguous int32 buffer of exactly W elements; the Python caller
+ * then uses np.stack. No numpy C API needed: the buffer protocol
+ * carries the dtype as format "i". */
+static int
+copy_rows(PyObject *rows, PyObject *attr, char *dst, Py_ssize_t n,
+          Py_ssize_t row_bytes)
+{
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *obj = PyObject_GetAttr(PyList_GET_ITEM(rows, i), attr);
+        if (!obj)
+            return -1;
+        Py_buffer view;
+        if (PyObject_GetBuffer(obj, &view, PyBUF_FORMAT | PyBUF_ND) < 0) {
+            Py_DECREF(obj);
+            PyErr_Clear();
+            return 0;
+        }
+        int ok = view.len == row_bytes && view.itemsize == 4 &&
+                 view.format && view.format[0] == 'i' &&
+                 view.format[1] == '\0' && PyBuffer_IsContiguous(&view, 'C');
+        if (ok)
+            memcpy(dst + i * row_bytes, view.buf, (size_t)row_bytes);
+        PyBuffer_Release(&view);
+        Py_DECREF(obj);
+        if (!ok)
+            return 0;
+    }
+    return 1;
+}
+
+static PyObject *
+stack_rows(PyObject *self, PyObject *args)
+{
+    PyObject *rows, *attr_i, *attr_w;
+    Py_buffer out_i, out_w;
+    if (!PyArg_ParseTuple(args, "O!UUw*w*", &PyList_Type, &rows,
+                          &attr_i, &attr_w, &out_i, &out_w))
+        return NULL;
+    Py_ssize_t n = PyList_GET_SIZE(rows);
+    int ok = 0;
+    if (n > 0 && out_i.len == out_w.len && out_i.len % n == 0) {
+        Py_ssize_t row_bytes = out_i.len / n;
+        ok = copy_rows(rows, attr_i, (char *)out_i.buf, n, row_bytes);
+        if (ok > 0)
+            ok = copy_rows(rows, attr_w, (char *)out_w.buf, n, row_bytes);
+    }
+    PyBuffer_Release(&out_i);
+    PyBuffer_Release(&out_w);
+    if (ok < 0)
+        return NULL;
+    return PyBool_FromLong(ok);
+}
+
+static PyMethodDef methods[] = {
+    {"build_runs", build_runs, METH_VARARGS,
+     "Assemble a run dict (make_run semantics) at C speed."},
+    {"stack_rows", stack_rows, METH_VARARGS,
+     "Fill [B, W] int32 buffers from per-row array attributes."},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef module = {
+    PyModuleDef_HEAD_INIT, "mllm_hostops",
+    "Host-side serving-path accelerators.", -1, methods,
+};
+
+PyMODINIT_FUNC
+PyInit_mllm_hostops(void)
+{
+    return PyModule_Create(&module);
+}

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import Dict, Iterable, Sequence
 
+from mllm_sparse_retrieval_tpu import hostops as _hostops
+
 
 Run = Dict[str, dict]
 
@@ -30,7 +32,22 @@ def make_run(
     search in this library returns — top-k output), making min/max O(1)
     per row instead of two O(depth) scans; at the reference's default
     depth 1000 those scans dominate the run assembly.
+
+    All-list input (what the resolve paths produce) takes the C
+    assembler (hostops/hostops.c — the per-row interpreter overhead was
+    ~13 ms per 4096-query batch, serialized with the serving pipeline);
+    this Python body is the fallback and the semantic reference,
+    bit-parity tested in tests/test_hostops.py.
     """
+    native = _hostops.get()
+    if (native is not None and type(batch_ids) is list
+            and type(batch_scores) is list and type(batch_rankings) is list):
+        try:
+            return native.build_runs(batch_ids, batch_scores,
+                                     batch_rankings, bool(remove_query),
+                                     bool(scores_sorted))
+        except TypeError:
+            pass        # non-list rows etc. — the Python path handles them
     run: Run = {}
     for qid, scores, rankings in zip(batch_ids, batch_scores, batch_rankings):
         # bulk dict build (C-level zip/map) — this runs once per serving

@@ -1,0 +1,139 @@
+"""C host-ops vs the pure-Python reference implementations.
+
+hostops/hostops.c accelerates the two GIL-bound serving residues
+(make_run assembly, SelectedTerms row stacking); the Python bodies stay
+the semantic reference. Every test asserts bit parity between the two
+paths, including the fallback corners (non-list rows, non-int32 rows).
+"""
+
+import numpy as np
+import pytest
+
+from mllm_sparse_retrieval_tpu import hostops
+from mllm_sparse_retrieval_tpu.search import runs as runs_mod
+from mllm_sparse_retrieval_tpu.search.runs import make_run
+
+native = hostops.get()
+needs_native = pytest.mark.skipif(native is None,
+                                  reason="hostops extension unavailable")
+
+
+def _python_make_run(*args, **kw):
+    """make_run forced down the Python body."""
+    stub = type("stub", (), {"get": staticmethod(lambda: None)})
+    runs_mod._hostops = stub
+    try:
+        return make_run(*args, **kw)
+    finally:
+        runs_mod._hostops = hostops
+
+
+@needs_native
+@pytest.mark.parametrize("remove_query", [False, True])
+@pytest.mark.parametrize("scores_sorted", [False, True])
+def test_build_runs_matches_python(remove_query, scores_sorted):
+    rng = np.random.default_rng(0)
+    n, k = 50, 12
+    qids = [f"d{3 * i}" for i in range(n)]
+    scores, ids = [], []
+    for i in range(n):
+        row = rng.normal(size=rng.integers(0, k + 1)).tolist()
+        if scores_sorted:
+            row.sort(reverse=True)
+        scores.append(row)
+        # make some rows contain the qid (self hits)
+        row_ids = [f"d{int(x)}" for x in rng.integers(0, 3 * n, len(row))]
+        if row and i % 3 == 0:
+            row_ids[rng.integers(0, len(row))] = qids[i]
+        ids.append(row_ids)
+
+    got = make_run(qids, scores, ids, remove_query=remove_query,
+                   scores_sorted=scores_sorted)
+    want = _python_make_run(qids, scores, ids, remove_query=remove_query,
+                            scores_sorted=scores_sorted)
+    assert got == want
+
+
+@needs_native
+def test_build_runs_numeric_coercion_matches():
+    """Non-str ids / non-float scores coerce exactly like the Python path
+    (np.str_ keys compare equal to str; np floats coerce via float())."""
+    qids = [np.str_("q0"), 7]
+    scores = [[np.float32(1.5), np.float64(0.25)], []]
+    ids = [[np.str_("a"), "b"], []]
+    got = make_run(qids, scores, ids)
+    want = _python_make_run(qids, scores, ids)
+    assert got == want
+    assert got["q0"]["docs"]["a"] == 1.5
+    assert got["7"] == {"docs": {}, "min_score": 0.0, "max_score": 0.0}
+
+
+@needs_native
+def test_build_runs_rejects_non_list_rows():
+    """Tuple rows raise TypeError in C; make_run falls back to Python and
+    still succeeds."""
+    with pytest.raises(TypeError):
+        native.build_runs(["q"], [(1.0, 0.5)], [("a", "b")], False, False)
+    out = make_run(["q"], [(1.0, 0.5)], [("a", "b")])
+    assert out["q"]["docs"] == {"a": 1.0, "b": 0.5}
+
+
+@needs_native
+def test_stack_rows_matches_numpy():
+    from mllm_sparse_retrieval_tpu.sparse import SelectedTerms
+
+    rng = np.random.default_rng(1)
+    b, w = 40, 16
+    rows = [SelectedTerms(rng.integers(0, 999, w).astype(np.int32),
+                          rng.integers(1, 99, w).astype(np.int32))
+            for _ in range(b)]
+    ti = np.empty((b, w), np.int32)
+    tw = np.empty((b, w), np.int32)
+    assert native.stack_rows(rows, "token_ids", "weights", ti, tw)
+    np.testing.assert_array_equal(ti, np.stack([r.token_ids for r in rows]))
+    np.testing.assert_array_equal(tw, np.stack([r.weights for r in rows]))
+
+
+@needs_native
+def test_stack_rows_refuses_wrong_dtype_or_shape():
+    from mllm_sparse_retrieval_tpu.sparse import SelectedTerms
+
+    b, w = 4, 8
+    ti = np.empty((b, w), np.int32)
+    tw = np.empty((b, w), np.int32)
+    rows64 = [SelectedTerms(np.arange(w), np.arange(w))  # int64 rows
+              for _ in range(b)]
+    assert not native.stack_rows(rows64, "token_ids", "weights", ti, tw)
+    short = [SelectedTerms(np.arange(w - 1, dtype=np.int32),
+                           np.arange(w - 1, dtype=np.int32))
+             for _ in range(b)]
+    assert not native.stack_rows(short, "token_ids", "weights", ti, tw)
+
+
+@needs_native
+def test_encode_query_terms_native_path_bit_identical():
+    """ImpactIndex.encode_query_terms equal-width output is identical with
+    the native row stack and with it disabled."""
+    from mllm_sparse_retrieval_tpu.index import impact as impact_mod
+    from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+    from mllm_sparse_retrieval_tpu.sparse import SelectedTerms
+
+    rng = np.random.default_rng(2)
+    terms = 200
+    idx = ImpactIndex.from_packed_arrays(
+        rng.integers(0, terms, (30, 8)).astype(np.int32),
+        rng.integers(1, 50, (30, 8)).astype(np.float32),
+        term_keys=range(terms))
+    rows = [SelectedTerms(rng.integers(0, 2 * terms, 12).astype(np.int32),
+                          rng.integers(-3, 40, 12).astype(np.int32))
+            for _ in range(20)]
+    got = idx.encode_query_terms(rows)
+    real = impact_mod._hostops
+    try:
+        impact_mod._hostops = type("stub", (),
+                                   {"get": staticmethod(lambda: None)})
+        want = idx.encode_query_terms(rows)
+    finally:
+        impact_mod._hostops = real
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
