@@ -42,6 +42,12 @@ def main(argv=None):
                              "run fusion in Python; 'device' = on-device "
                              "fused top-k, one packed fetch per chunk "
                              "(fusion run/recall only)")
+    parser.add_argument("--dense-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="device dtype for the dense corpus matrix: "
+                             "bfloat16 halves HBM + host->device bytes and "
+                             "scores on the MXU in one pass (f32 accumulate); "
+                             "float32 is bit-exact FAISS-flat parity")
     parser.add_argument("--save-dir", default=None,
                         help="write TREC run files here")
     parser.add_argument("--limit", type=int, default=0)
@@ -68,7 +74,11 @@ def main(argv=None):
     impact_index = None
     if args.passage_reps:
         timer.phase("load dense index")
-        dense_index = DenseFlatIndex.load(args.passage_reps)
+        import jax.numpy as jnp
+        dense_index = DenseFlatIndex.load(
+            args.passage_reps,
+            dtype=jnp.bfloat16 if args.dense_dtype == "bfloat16"
+            else jnp.float32)
         logger.info("dense index: %d vectors", dense_index.size)
     if args.sparse_index:
         timer.phase("load sparse index")

@@ -29,7 +29,17 @@ from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
 
 
 class DenseFlatIndex:
-    """Exact inner-product search over a corpus embedding matrix."""
+    """Exact inner-product search over a corpus embedding matrix.
+
+    ``dtype=jnp.bfloat16`` stores the device corpus (and ships queries) in
+    bf16 — half the HBM footprint and host->device bytes, and the scoring
+    matmul runs as ONE MXU pass instead of f32-HIGHEST's multi-pass
+    decomposition, with f32 accumulation (``preferred_element_type``).
+    Scores are bf16-rounded inputs accumulated in f32, so near-tie ranks
+    can differ from the f32 index (rank-overlap tested in
+    tests/test_dense_index.py); persisted artifacts stay float32
+    (reference-compatible pickles) regardless of the device dtype.
+    """
 
     def __init__(self, dim: Optional[int] = None, dtype=jnp.float32):
         self.dim = dim
@@ -87,12 +97,16 @@ class DenseFlatIndex:
         """Enqueue one chunk's program; no host sync (the pipelining point).
         Single-chip results come back as ONE packed array — one fetch, one
         link round trip (see ops/packing.py)."""
-        if mesh is None and self.dtype == jnp.float32:
+        if mesh is None:
             # async upload: device_put returns immediately and the transfer
             # overlaps the previous chunk's compute; jnp.asarray (and jit
             # numpy args) transfer SYNCHRONOUSLY through thin-link relays,
-            # serializing upload with compute (serving rule, CLAUDE.md)
-            q = jax.device_put(np.ascontiguousarray(chunk_f32, np.float32))
+            # serializing upload with compute (serving rule, CLAUDE.md).
+            # Non-f32 index dtypes (bf16) cast on HOST first: ml_dtypes
+            # registers bfloat16 as a numpy dtype, and the cast halves the
+            # bytes shipped over the host->device link.
+            q = jax.device_put(
+                np.ascontiguousarray(np.asarray(chunk_f32, dtype=self.dtype)))
         else:
             q = jnp.asarray(chunk_f32, dtype=self.dtype)
         if mesh is None:

@@ -100,3 +100,88 @@ def test_batch_search_partial_final_batch():
     s2, i2 = index.batch_search(q, depth=5, batch_size=10)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+# ---- bf16 device-dtype mode -------------------------------------------------
+# dtype=jnp.bfloat16 halves HBM + upload bytes and scores in one MXU pass;
+# scores are bf16-rounded operands accumulated in f32 (index/dense.py).
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def _int_reps(rng, shape, lo=-8, hi=8):
+    """Small-integer reps: exactly representable in bf16, so the bf16 index
+    must score BIT-IDENTICALLY to f32 (f32 accumulation of exact operands)."""
+    return rng.integers(lo, hi, size=shape).astype(np.float32)
+
+
+def test_bf16_index_bit_exact_on_representable_values():
+    rng = np.random.default_rng(7)
+    c = _int_reps(rng, (60, 16))
+    q = _int_reps(rng, (9, 16))
+    ids = [f"d{i}" for i in range(60)]
+    f32 = DenseFlatIndex()
+    f32.add(c, ids)
+    bf16 = DenseFlatIndex(dtype=jnp.bfloat16)
+    bf16.add(c, ids)
+    s32, i32 = f32.search(q, depth=8)
+    s16, i16 = bf16.search(q, depth=8)
+    # equal-score ties may order differently; compare (score, id) sets
+    for r in range(q.shape[0]):
+        assert sorted(zip(np.asarray(s32)[r], np.asarray(i32)[r]))[::-1] == \
+            sorted(zip(np.asarray(s16)[r], np.asarray(i16)[r]))[::-1] or \
+            sorted(np.asarray(s32)[r].tolist()) == \
+            sorted(np.asarray(s16)[r].tolist())
+
+
+def test_bf16_index_rank_overlap_on_gaussian_reps():
+    """On realistic float reps, bf16 rounding may swap near-ties but the
+    top-k SET should stay close to the f32 index's (overlap >= 0.9)."""
+    rng = np.random.default_rng(8)
+    c = rng.normal(size=(2000, 64)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    q = rng.normal(size=(32, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ids = [str(i) for i in range(2000)]
+    f32 = DenseFlatIndex()
+    f32.add(c, ids)
+    bf16 = DenseFlatIndex(dtype=jnp.bfloat16)
+    bf16.add(c, ids)
+    _, i32 = f32.search(q, depth=10)
+    _, i16 = bf16.search(q, depth=10)
+    overlap = np.mean([
+        len(set(np.asarray(i32)[r]) & set(np.asarray(i16)[r])) / 10.0
+        for r in range(q.shape[0])])
+    assert overlap >= 0.9, f"bf16 top-10 overlap {overlap:.3f} < 0.9"
+
+
+def test_bf16_artifact_stays_float32(tmp_path):
+    rng = np.random.default_rng(9)
+    index = DenseFlatIndex(dtype=jnp.bfloat16)
+    index.add(rng.normal(size=(10, 8)).astype(np.float32), list(range(10)))
+    path = tmp_path / "corpus_0.pkl"
+    index.save_shard(str(path))
+    import pickle
+    with open(path, "rb") as f:
+        reps, lookup = pickle.load(f)
+    assert reps.dtype == np.float32  # reference-compatible artifact
+
+
+def test_bf16_index_on_mesh_matches_single_chip():
+    """bf16 corpus sharded over the data axis: the per-shard bf16 matmul +
+    ICI merge must equal the single-replica bf16 result (same rounding)."""
+    rng = np.random.default_rng(10)
+    c = _int_reps(rng, (52, 16))   # bf16-exact values -> bit-equal scores
+    ids = [str(i) for i in range(52)]
+    q = _int_reps(rng, (5, 16))
+    from mllm_sparse_retrieval_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    index = DenseFlatIndex(dtype=jnp.bfloat16)
+    index.add(c, ids)
+    s_m, i_m = index.search(q, depth=7, mesh=mesh)
+    index2 = DenseFlatIndex(dtype=jnp.bfloat16)
+    index2.add(c, ids)
+    s_s, i_s = index2.search(q, depth=7)
+    for r in range(q.shape[0]):
+        assert sorted(np.asarray(s_m)[r].tolist()) == \
+            sorted(np.asarray(s_s)[r].tolist())

@@ -207,3 +207,42 @@ def test_device_fusion_mesh_dense_path():
     got_s, _ = sharded.search_encoded(q_reps, q_idx, q_w, depth)
     for a, b in zip(ref_s, got_s):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_device_fusion_with_bf16_dense_index():
+    """The fused program composes with a bf16-stored dense corpus
+    (index/dense.py dtype mode): integer-valued reps are bf16-exact, so
+    fused scores must still match the f32 host path to f32 rounding."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n_docs, dim, n_terms = 40, 8, 30
+    doc_ids = [f"d{i}" for i in range(n_docs)]
+    impact = ImpactIndex()
+    for d in doc_ids:
+        terms = rng.choice(n_terms, size=4, replace=False)
+        impact.add(d, {f"t{t}": int(rng.integers(1, 20)) for t in terms})
+    impact.finalize()
+
+    reps = rng.integers(-6, 6, size=(n_docs, dim)).astype(np.float32)
+    dense = DenseFlatIndex(dtype=jnp.bfloat16)
+    dense.add(reps, doc_ids)
+    dense_f32 = DenseFlatIndex()
+    dense_f32.add(reps, doc_ids)
+
+    q_reps = rng.integers(-6, 6, size=(6, dim)).astype(np.float32)
+    q_dicts = [{f"t{t}": int(rng.integers(1, 8))
+                for t in rng.choice(n_terms, size=3, replace=False)}
+               for _ in range(6)]
+    qids = [f"q{i}" for i in range(6)]
+    depth = 15
+
+    q_idx, q_w = impact.encode_queries(q_dicts)
+    bf = FusedHybridSearcher(dense, impact, alpha=ALPHA)
+    f32 = FusedHybridSearcher(dense_f32, impact, alpha=ALPHA)
+    s_bf, i_bf = bf.search_encoded(q_reps, q_idx, q_w, depth)
+    s_32, i_32 = f32.search_encoded(q_reps, q_idx, q_w, depth)
+    for a, b in zip(s_bf, s_32):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    for a, b in zip(i_bf, i_32):
+        assert set(a) == set(b)
