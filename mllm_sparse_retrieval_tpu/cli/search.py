@@ -33,9 +33,11 @@ def main(argv=None):
     parser.add_argument("--alpha", type=float, default=0.5)
     parser.add_argument("--remove-query", action="store_true")
     parser.add_argument("--impact-backend", default="auto",
-                        choices=["auto", "taat", "matmul"],
+                        choices=["auto", "taat", "taat-split", "matmul"],
                         help="sparse scoring backend (auto = Pallas TAAT "
-                             "kernel on TPU, MXU matmul elsewhere)")
+                             "kernel on TPU, MXU matmul elsewhere; "
+                             "taat-split = hottest terms via MXU matmul + "
+                             "tail via the kernel)")
     parser.add_argument("--fusion-mode", default="host",
                         choices=["host", "device"],
                         help="hybrid fusion route: 'host' = reference-parity "

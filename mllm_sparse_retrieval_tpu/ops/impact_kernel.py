@@ -27,7 +27,9 @@ batch naive → the optimized form):
 
 The query term ids live in SMEM (per-tile BlockSpec), so they are scalar-
 readable for DMA addressing. Padding entries must point at row 0 (the dead
-zero row) with weight 0.
+zero row) with weight 0 — dead steps are skipped outright (no DMA, no FMA),
+which is what makes the taat-split backend's head-masked queries cheap
+(ops/score_programs._taat_split_scores).
 
 Layout note: Mosaic requires HBM slices aligned to the native tile —
 (8, 128) for 4-byte types, (16, 128) for 2-byte — so a term's N-column
@@ -148,9 +150,13 @@ def _taat_kernel(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
         return q, j, qidx_ref[q, j]
 
     def is_cold(row):
-        # row 0 (query padding) keeps the legacy cold path: its DMA fetches
-        # the dead zero row, contributing nothing — branch layout unchanged
-        return jnp.logical_or(row == 0, row > n_hot) if n_hot else True
+        # Three-way step routing: DEAD rows (0 — query padding, or head
+        # terms masked out by the taat-split backend) are skipped outright
+        # (no DMA, no FMA: the zero row contributes nothing, and under the
+        # split regime half the slots are dead, so their per-step DMA
+        # issue+wait would dominate). HOT rows (1..n_hot) FMA from the
+        # resident VMEM block. COLD rows own a ring DMA.
+        return row > n_hot if n_hot else row > 0
 
     def row_dma(slot, row):
         src = matrix_ref.at[row] if cb is None else \
@@ -178,7 +184,7 @@ def _taat_kernel(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
             row_dma(slot, row).wait()
             out_ref[q] = out_ref[q] + w * rowbuf[slot].astype(jnp.float32)
         if n_hot:
-            @pl.when(jnp.logical_not(cold))
+            @pl.when(jnp.logical_and(row > 0, jnp.logical_not(cold)))
             def _():
                 out_ref[q] = out_ref[q] + w * hotbuf[row - 1].astype(
                     jnp.float32)

@@ -112,6 +112,60 @@ def _taat_topk(matrix, q_idx, q_w, n_valid, k):
         _taat_scores(matrix, q_idx, q_w), n_valid, k))
 
 
+# Default head width for the taat-split backend (ImpactIndex.taat_split_head
+# overrides per index). Sized so the head matmul stays a few ms at serving
+# batch sizes while Zipf query statistics put most term occurrences inside
+# it: coverage grows only logarithmically past a few hundred rows, but the
+# HIGHEST-precision matmul cost grows linearly with the head width.
+SPLIT_HEAD = 512
+
+
+def _taat_split_scores(matrix, q_idx, q_w, n_head):
+    """Head/tail split impact scoring (traced context; q_idx = raw ids).
+
+    The impact matrix's leading rows are the highest-DF terms
+    (``ImpactIndex._reorder_terms_by_df``) — the rows that absorb most query
+    term occurrences under Zipf statistics, but also exactly the steps whose
+    per-row DMA issue cost bounds the TAAT kernel. The split sends them to
+    the MXU instead: query terms with matrix row <= n_head accumulate into a
+    dense ``[B, n_head]`` table (the matmul backend's construction, but ~40x
+    narrower) and score as ONE precision-HIGHEST matmul against the matrix's
+    leading rows — sliced in-program from the SAME device matrix, no second
+    HBM copy — while the tail terms mask to the dead row 0, which the kernel
+    skips outright (no DMA, no FMA). Head + tail scores add exactly: impact
+    weights are integer-valued, so the regrouped sums are the same integers
+    (bit-identical to the other backends); for fractional f32 weights the
+    regrouping can differ in the last ulp — the same caveat as
+    matmul-vs-taat accumulation order.
+    """
+    from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
+        _as_kernel_layout, impact_scores_taat)
+
+    safe_idx = jnp.where(q_w > 0, q_idx + 1, 0).astype(jnp.int32)
+    safe_w = jnp.where(q_w > 0, q_w, 0.0).astype(jnp.float32)
+    in_head = safe_idx <= n_head            # row 0 (padding) rides along: w=0
+    tail_idx = jnp.where(in_head, 0, safe_idx)
+    tail_w = jnp.where(in_head, 0.0, safe_w)
+    interpret = jax.default_backend() != "tpu"
+    tail = impact_scores_taat(matrix, tail_idx, tail_w, interpret=interpret)
+
+    matrix3, _ = _as_kernel_layout(matrix)
+    head_rows = matrix3[1:n_head + 1].astype(jnp.float32)    # [H, s, sub]
+    table = _query_table(q_idx, jnp.where(in_head, safe_w, 0.0), n_head + 1)
+    head = jnp.einsum("bh,hsn->bsn", table[:, 1:], head_rows,
+                      preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST)
+    return tail + head.reshape(tail.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "k", "n_head"))
+def _taat_split_topk(matrix, q_idx, q_w, n_valid, k, n_head):
+    q_idx = q_idx.astype(jnp.int32)  # compact int16 upload form supported
+    q_w = q_w.astype(jnp.float32)
+    return _pack_results(*_masked_topk(
+        _taat_split_scores(matrix, q_idx, q_w, n_head), n_valid, k))
+
+
 def _sharded_merge_topk(scores, base, shard_cols, n_valid, k):
     """Per-shard top-k + ICI all-gather candidate merge (the same pattern as
     sharded dense MIPS)."""
@@ -128,11 +182,12 @@ def _sharded_merge_topk(scores, base, shard_cols, n_valid, k):
 _SHARDED_SCORERS = {
     "matmul": (_scores_from_matrix, (2, 2)),        # q_idx, q_w: [B, Q]
     "taat": (_taat_scores, (2, 2)),                 # idem
+    "taat-split": (_taat_split_scores, (2, 2)),     # idem (+ bound n_head)
 }
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_topk_fn(mesh, shard_cols, n_valid, k, backend):
+def _sharded_topk_fn(mesh, shard_cols, n_valid, k, backend, n_head=0):
     """Build-and-cache the jitted shard_map program per (mesh, shapes,
     backend) — a fresh closure per call would retrace every search.
 
@@ -145,6 +200,8 @@ def _sharded_topk_fn(mesh, shard_cols, n_valid, k, backend):
     from jax.sharding import PartitionSpec as P
 
     scores_fn, query_ndims = _SHARDED_SCORERS[backend]
+    if backend == "taat-split":
+        scores_fn = functools.partial(_taat_split_scores, n_head=n_head)
     kernel_layout = backend != "matmul"
 
     def local_fn(m, *query_args):
@@ -178,5 +235,14 @@ def _sharded_taat_topk(mesh, matrix, q_idx, q_w, n_valid, k):
     doc ids are ``d * shard_cols + local column``."""
     shard_cols = matrix.shape[2] * matrix.shape[3]
     fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "taat")
+    return fn(matrix, q_idx, q_w)
+
+
+def _sharded_taat_split_topk(mesh, matrix, q_idx, q_w, n_valid, k, n_head):
+    """Column-sharded head/tail split scoring + ICI merge (the taat-split
+    backend under a mesh; same 4-D layout contract as _sharded_taat_topk —
+    each shard slices its own leading head rows locally)."""
+    shard_cols = matrix.shape[2] * matrix.shape[3]
+    fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "taat-split", n_head)
     return fn(matrix, q_idx, q_w)
 

@@ -111,10 +111,14 @@ def test_taat_skips_padding_rows_bitexact():
     """Short queries padded to the fixed width must score identically
     (padding entries point at the dead zero row with weight 0).
 
-    Perf note: a dead-row-skip variant (pl.when guards around DMA/FMA) was
-    measured SLOWER on v5e (205 vs 179 ms full-width; 262 ms at 24 live
-    terms) — Mosaic conditional regions cost more than the skipped DMAs
-    save — so the kernel fetches row 0 for padding unconditionally."""
+    Perf note history: a round-3 dead-row-skip variant (extra pl.when
+    guards bolted onto the then-unconditional kernel) measured SLOWER on
+    v5e (205 vs 179 ms full-width; 262 ms at 24 live terms). The round-5
+    kernel re-landed the skip INSIDE the hot-cache branch structure (same
+    predicated-region count per step — dead rows simply take neither
+    branch), which is what makes the taat-split backend's head-masked
+    queries cheap; the plain full-live workload compiles to the same
+    step shape as before."""
     rng = np.random.default_rng(21)
     t, n, b = 25, 2048, QUERY_TILE
     matrix = np.zeros((t + 1, n), np.float32)
@@ -245,3 +249,30 @@ def test_hot_only_and_cold_only_batches():
             jnp.asarray(safe_w), interpret=True))
         np.testing.assert_array_equal(got, _ref_scores(matrix, safe_idx,
                                                        safe_w))
+
+
+def test_taat_split_scores_match_matmul_oracle():
+    """Head/tail split scoring (taat-split backend): head rows via MXU
+    matmul + tail rows via the kernel must reproduce the full matmul
+    oracle bit-exactly for integer weights, across head widths covering
+    all-tail, mixed, and all-head regimes — with duplicates, padding, and
+    terms straddling the head boundary."""
+    from mllm_sparse_retrieval_tpu.ops.score_programs import (
+        _scores_from_matrix, _taat_split_scores)
+
+    rng = np.random.default_rng(41)
+    t, n, b, q = 120, 2048, 2 * QUERY_TILE, 16
+    matrix = np.zeros((t + 1, n), np.float32)
+    matrix[1:] = rng.integers(0, 300, size=(t, n)).astype(np.float32)
+    q_idx = rng.integers(0, t, size=(b, q)).astype(np.int32)
+    q_idx[:, :4] = rng.integers(30, 34, size=(b, 4))     # straddle head=32
+    q_idx[:, 4] = q_idx[:, 5]                            # duplicate terms
+    q_w = rng.integers(-10, 200, size=(b, q)).astype(np.float32)  # padding
+
+    ref = np.asarray(_scores_from_matrix(
+        jnp.asarray(matrix), jnp.asarray(q_idx), jnp.asarray(q_w)))
+    for n_head in (0, 32, t):
+        got = np.asarray(_taat_split_scores(
+            jnp.asarray(matrix.astype(np.int16)), jnp.asarray(q_idx),
+            jnp.asarray(q_w), n_head))
+        np.testing.assert_array_equal(got, ref), n_head
