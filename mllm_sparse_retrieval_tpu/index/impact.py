@@ -942,6 +942,18 @@ class ImpactIndex:
                     SPLIT_HEAD)
                 n_head = min(self.taat_split_head or SPLIT_HEAD,
                              len(self.term_to_idx))
+                # Tail census: the device program compacts tail terms left
+                # and walks only tail_k kernel slots — legal only when every
+                # row's tail fits the bucket. Buckets of 16 bound the
+                # compiled-program count; a batch that overflows every
+                # bucket (tail_k >= width) just skips compaction.
+                live_tail = (np.asarray(q_idx) >= n_head) & \
+                    (np.asarray(q_w) > 0)
+                max_tail = int(live_tail.sum(axis=1).max()) if \
+                    q_idx.size else 0
+                tail_k = _round_up(max(max_tail, 8), 16)
+                if tail_k >= q_idx.shape[1]:
+                    tail_k = 0
             if mesh is None:
                 compact = self._compact_queries(q_idx, q_w)
                 if compact is not None:
@@ -950,12 +962,13 @@ class ImpactIndex:
                 q_w = jax.device_put(q_w)
                 if split:
                     return _taat_split_topk(dev, q_idx, q_w, self._n_valid,
-                                            k, n_head)
+                                            k, n_head, tail_k)
                 return _taat_topk(dev, q_idx, q_w, self._n_valid, k)
             q_idx, q_w = (replicated(mesh, q_idx), replicated(mesh, q_w))
             if split:
                 return _sharded_taat_split_topk(mesh, dev, q_idx, q_w,
-                                                self._n_valid, k, n_head)
+                                                self._n_valid, k, n_head,
+                                                tail_k)
             return _sharded_taat_topk(mesh, dev, q_idx, q_w,
                                       self._n_valid, k)
         if mesh is None:

@@ -120,7 +120,7 @@ def _taat_topk(matrix, q_idx, q_w, n_valid, k):
 SPLIT_HEAD = 512
 
 
-def _taat_split_scores(matrix, q_idx, q_w, n_head):
+def _taat_split_scores(matrix, q_idx, q_w, n_head, tail_k=0):
     """Head/tail split impact scoring (traced context; q_idx = raw ids).
 
     The impact matrix's leading rows are the highest-DF terms
@@ -146,6 +146,19 @@ def _taat_split_scores(matrix, q_idx, q_w, n_head):
     in_head = safe_idx <= n_head            # row 0 (padding) rides along: w=0
     tail_idx = jnp.where(in_head, 0, safe_idx)
     tail_w = jnp.where(in_head, 0.0, safe_w)
+    if tail_k and tail_k < q_idx.shape[1]:
+        # Compact tail entries left so the kernel walks ``tail_k`` slots per
+        # query instead of the full width. This is the split's REAL win on
+        # v5e: the kernel's floor is per-slot scalar-loop cost (measured —
+        # skipping a dead slot's DMA+FMA saves only ~20% of its step), so
+        # fewer slots beat cheaper slots. Stable argsort on the head mask
+        # (False = tail sorts first) preserves slot order; the DISPATCHER
+        # guarantees no row holds more than tail_k tail terms (host-side
+        # census in ImpactIndex._dispatch_encoded picks the bucket).
+        order = jnp.argsort(in_head.astype(jnp.int8), axis=1,
+                            stable=True)[:, :tail_k]
+        tail_idx = jnp.take_along_axis(tail_idx, order, axis=1)
+        tail_w = jnp.take_along_axis(tail_w, order, axis=1)
     interpret = jax.default_backend() != "tpu"
     tail = impact_scores_taat(matrix, tail_idx, tail_w, interpret=interpret)
 
@@ -158,12 +171,13 @@ def _taat_split_scores(matrix, q_idx, q_w, n_head):
     return tail + head.reshape(tail.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("n_valid", "k", "n_head"))
-def _taat_split_topk(matrix, q_idx, q_w, n_valid, k, n_head):
+@functools.partial(jax.jit,
+                   static_argnames=("n_valid", "k", "n_head", "tail_k"))
+def _taat_split_topk(matrix, q_idx, q_w, n_valid, k, n_head, tail_k=0):
     q_idx = q_idx.astype(jnp.int32)  # compact int16 upload form supported
     q_w = q_w.astype(jnp.float32)
     return _pack_results(*_masked_topk(
-        _taat_split_scores(matrix, q_idx, q_w, n_head), n_valid, k))
+        _taat_split_scores(matrix, q_idx, q_w, n_head, tail_k), n_valid, k))
 
 
 def _sharded_merge_topk(scores, base, shard_cols, n_valid, k):
@@ -187,7 +201,8 @@ _SHARDED_SCORERS = {
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_topk_fn(mesh, shard_cols, n_valid, k, backend, n_head=0):
+def _sharded_topk_fn(mesh, shard_cols, n_valid, k, backend, n_head=0,
+                     tail_k=0):
     """Build-and-cache the jitted shard_map program per (mesh, shapes,
     backend) — a fresh closure per call would retrace every search.
 
@@ -201,7 +216,8 @@ def _sharded_topk_fn(mesh, shard_cols, n_valid, k, backend, n_head=0):
 
     scores_fn, query_ndims = _SHARDED_SCORERS[backend]
     if backend == "taat-split":
-        scores_fn = functools.partial(_taat_split_scores, n_head=n_head)
+        scores_fn = functools.partial(_taat_split_scores, n_head=n_head,
+                                      tail_k=tail_k)
     kernel_layout = backend != "matmul"
 
     def local_fn(m, *query_args):
@@ -238,11 +254,13 @@ def _sharded_taat_topk(mesh, matrix, q_idx, q_w, n_valid, k):
     return fn(matrix, q_idx, q_w)
 
 
-def _sharded_taat_split_topk(mesh, matrix, q_idx, q_w, n_valid, k, n_head):
+def _sharded_taat_split_topk(mesh, matrix, q_idx, q_w, n_valid, k, n_head,
+                             tail_k=0):
     """Column-sharded head/tail split scoring + ICI merge (the taat-split
     backend under a mesh; same 4-D layout contract as _sharded_taat_topk —
     each shard slices its own leading head rows locally)."""
     shard_cols = matrix.shape[2] * matrix.shape[3]
-    fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "taat-split", n_head)
+    fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "taat-split", n_head,
+                          tail_k)
     return fn(matrix, q_idx, q_w)
 

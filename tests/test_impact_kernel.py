@@ -276,3 +276,33 @@ def test_taat_split_scores_match_matmul_oracle():
             jnp.asarray(matrix.astype(np.int16)), jnp.asarray(q_idx),
             jnp.asarray(q_w), n_head))
         np.testing.assert_array_equal(got, ref), n_head
+
+
+def test_taat_split_tail_compaction_matches_oracle():
+    """tail_k compaction (kernel walks tail_k slots instead of the full
+    query width) must be exact, including a row with EXACTLY tail_k tail
+    terms, rows with zero tail terms, duplicates, and interleaved padding."""
+    from mllm_sparse_retrieval_tpu.ops.score_programs import (
+        _scores_from_matrix, _taat_split_scores)
+
+    rng = np.random.default_rng(43)
+    t, n, b, q, n_head, tail_k = 150, 2048, QUERY_TILE, 24, 40, 8
+    matrix = np.zeros((t + 1, n), np.float32)
+    matrix[1:] = rng.integers(0, 250, size=(t, n)).astype(np.float32)
+    q_idx = rng.integers(0, n_head, size=(b, q)).astype(np.int32)  # all head
+    q_w = rng.integers(1, 120, size=(b, q)).astype(np.float32)
+    # row 0: exactly tail_k tail terms scattered through the width
+    tail_cols = rng.choice(q, size=tail_k, replace=False)
+    q_idx[0, tail_cols] = rng.integers(n_head, t, size=tail_k)
+    q_idx[0, tail_cols[0]] = q_idx[0, tail_cols[1]]      # duplicate tails
+    # row 1: a mix with padding holes
+    q_idx[1, :6] = rng.integers(n_head, t, size=6)
+    q_w[1, 1::3] = 0.0
+    # row 2: zero tail terms (stays all-head)
+
+    ref = np.asarray(_scores_from_matrix(
+        jnp.asarray(matrix), jnp.asarray(q_idx), jnp.asarray(q_w)))
+    got = np.asarray(_taat_split_scores(
+        jnp.asarray(matrix.astype(np.int16)), jnp.asarray(q_idx),
+        jnp.asarray(q_w), n_head, tail_k))
+    np.testing.assert_array_equal(got, ref)
