@@ -33,11 +33,9 @@ def main(argv=None):
     parser.add_argument("--alpha", type=float, default=0.5)
     parser.add_argument("--remove-query", action="store_true")
     parser.add_argument("--impact-backend", default="auto",
-                        choices=["auto", "taat", "taat-split", "matmul"],
+                        choices=["auto", "taat", "matmul"],
                         help="sparse scoring backend (auto = Pallas TAAT "
-                             "kernel on TPU, MXU matmul elsewhere; "
-                             "taat-split = hottest terms via MXU matmul + "
-                             "tail via the kernel)")
+                             "kernel on TPU, MXU matmul elsewhere)")
     parser.add_argument("--fusion-mode", default="host",
                         choices=["host", "device"],
                         help="hybrid fusion route: 'host' = reference-parity "

@@ -107,10 +107,6 @@ class ImpactIndex:
 
     def __init__(self):
         self.hbm_budget_bytes: int = self.DEFAULT_HBM_BUDGET_BYTES
-        # Head width for the 'taat-split' backend (leading matrix rows
-        # scored by MXU matmul instead of per-step kernel DMAs); clamped to
-        # the term count at dispatch. Each value is its own compiled program.
-        self.taat_split_head: int = 0  # 0 = ops.score_programs.SPLIT_HEAD
         self.term_to_idx: Dict[TermKey, int] = {}
         self.doc_ids: List[str] = []
         self._doc_vectors: List[SparseVector] = []
@@ -734,12 +730,6 @@ class ImpactIndex:
           - ``'taat'`` — Pallas term-at-a-time kernel (ops/impact_kernel.py),
             ~1.7× the matmul path on a real chip at COCO scale, bit-identical
             scores. Works single-chip and column-sharded over a mesh.
-          - ``'taat-split'`` — head/tail split: the hottest
-            ``taat_split_head`` terms (the matrix's leading rows, df-ordered)
-            score as one MXU matmul and only tail terms walk the TAAT
-            kernel (ops/score_programs._taat_split_scores). Bit-identical
-            scores for integer-valued weights (always, for quantized
-            impacts). Works single-chip and column-sharded over a mesh.
           - ``'matmul'`` — dense query-table × impact-matrix MXU matmul.
           - ``'auto'`` (default) — TAAT on a real TPU backend, matmul
             elsewhere (the kernel only runs interpreted off-TPU, which is
@@ -856,17 +846,17 @@ class ImpactIndex:
         """Resolve backend + device matrix + chunk budget once per search."""
         if backend == "auto":
             backend = "taat" if jax.default_backend() == "tpu" else "matmul"
-        if backend not in ("taat", "taat-split", "matmul"):
+        if backend not in ("taat", "matmul"):
             raise ValueError(
                 f"unknown impact backend {backend!r}: expected 'auto', "
-                f"'taat', 'taat-split', or 'matmul'")
-        # A shared-row TAAT variant (one DMA per DISTINCT tile term) was
-        # built, measured, and DELETED in round 4: even on its best-case
-        # high-duplication workload (4096 queries from 200 templates,
-        # sorted — 4x fewer row DMAs) it ran 206-258 ms/batch vs plain
-        # taat's 86-92 ms on v5e; the per-(row, query) conditional-FMA
-        # overhead dwarfs the DMA savings at any duplication level.
-        use_taat = backend in ("taat", "taat-split")
+                f"'taat', or 'matmul'")
+        # Two TAAT variants were built, measured, and DELETED: a shared-row
+        # kernel (round 4 — one DMA per DISTINCT tile term; 206-258 ms/batch
+        # vs plain taat's 86-92 even on its best-case high-duplication
+        # workload) and a head/tail split (round 5 — hottest df-ordered rows
+        # via MXU matmul, compacted tail via the kernel; 0.86-0.93x plain
+        # taat at the headline shape). Numbers in BASELINE.md.
+        use_taat = backend == "taat"
         dtype = "i16" if use_taat and self._int16_exact() else "f32"
         dev = self._materialize(mesh, dtype, kernel_layout=use_taat)
         # dev: 2-D [T+1, N] (matmul), 3-D [T+1, s, sub] (single-chip TAAT),
@@ -927,7 +917,7 @@ class ImpactIndex:
         upload with the previous chunk's compute."""
         backend, dev, mesh, k = (plan["backend"], plan["dev"], plan["mesh"],
                                  plan["k"])
-        if backend in ("taat", "taat-split"):
+        if backend == "taat":
             from mllm_sparse_retrieval_tpu.ops.impact_kernel import QUERY_TILE
             b = q_idx.shape[0]
             pad = (-b) % QUERY_TILE
@@ -936,39 +926,14 @@ class ImpactIndex:
                     [q_idx, np.zeros((pad, q_idx.shape[1]), q_idx.dtype)])
                 q_w = np.concatenate(
                     [q_w, np.zeros((pad, q_w.shape[1]), q_w.dtype)])
-            split = backend == "taat-split"
-            if split:
-                from mllm_sparse_retrieval_tpu.ops.score_programs import (
-                    SPLIT_HEAD)
-                n_head = min(self.taat_split_head or SPLIT_HEAD,
-                             len(self.term_to_idx))
-                # Tail census: the device program compacts tail terms left
-                # and walks only tail_k kernel slots — legal only when every
-                # row's tail fits the bucket. Buckets of 16 bound the
-                # compiled-program count; a batch that overflows every
-                # bucket (tail_k >= width) just skips compaction.
-                live_tail = (np.asarray(q_idx) >= n_head) & \
-                    (np.asarray(q_w) > 0)
-                max_tail = int(live_tail.sum(axis=1).max()) if \
-                    q_idx.size else 0
-                tail_k = _round_up(max(max_tail, 8), 16)
-                if tail_k >= q_idx.shape[1]:
-                    tail_k = 0
             if mesh is None:
                 compact = self._compact_queries(q_idx, q_w)
                 if compact is not None:
                     q_idx, q_w = compact
                 q_idx = jax.device_put(q_idx)
                 q_w = jax.device_put(q_w)
-                if split:
-                    return _taat_split_topk(dev, q_idx, q_w, self._n_valid,
-                                            k, n_head, tail_k)
                 return _taat_topk(dev, q_idx, q_w, self._n_valid, k)
             q_idx, q_w = (replicated(mesh, q_idx), replicated(mesh, q_w))
-            if split:
-                return _sharded_taat_split_topk(mesh, dev, q_idx, q_w,
-                                                self._n_valid, k, n_head,
-                                                tail_k)
             return _sharded_taat_topk(mesh, dev, q_idx, q_w,
                                       self._n_valid, k)
         if mesh is None:
@@ -1092,5 +1057,5 @@ class ImpactIndex:
 from mllm_sparse_retrieval_tpu.ops.score_programs import (  # noqa: E402
     _impact_topk, _masked_topk, _pack_results, _query_table, _scatter_block,
     _scores_from_matrix, _sharded_impact_topk, _sharded_merge_topk,
-    _sharded_taat_split_topk, _sharded_taat_topk, _sharded_topk_fn,
-    _taat_scores, _taat_split_topk, _taat_topk, _unpack_results)
+    _sharded_taat_topk, _sharded_topk_fn, _taat_scores, _taat_topk,
+    _unpack_results)

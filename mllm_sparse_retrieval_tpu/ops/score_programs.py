@@ -112,72 +112,15 @@ def _taat_topk(matrix, q_idx, q_w, n_valid, k):
         _taat_scores(matrix, q_idx, q_w), n_valid, k))
 
 
-# Default head width for the taat-split backend (ImpactIndex.taat_split_head
-# overrides per index). Sized so the head matmul stays a few ms at serving
-# batch sizes while Zipf query statistics put most term occurrences inside
-# it: coverage grows only logarithmically past a few hundred rows, but the
-# HIGHEST-precision matmul cost grows linearly with the head width.
-SPLIT_HEAD = 512
-
-
-def _taat_split_scores(matrix, q_idx, q_w, n_head, tail_k=0):
-    """Head/tail split impact scoring (traced context; q_idx = raw ids).
-
-    The impact matrix's leading rows are the highest-DF terms
-    (``ImpactIndex._reorder_terms_by_df``) — the rows that absorb most query
-    term occurrences under Zipf statistics, but also exactly the steps whose
-    per-row DMA issue cost bounds the TAAT kernel. The split sends them to
-    the MXU instead: query terms with matrix row <= n_head accumulate into a
-    dense ``[B, n_head]`` table (the matmul backend's construction, but ~40x
-    narrower) and score as ONE precision-HIGHEST matmul against the matrix's
-    leading rows — sliced in-program from the SAME device matrix, no second
-    HBM copy — while the tail terms mask to the dead row 0, which the kernel
-    skips outright (no DMA, no FMA). Head + tail scores add exactly: impact
-    weights are integer-valued, so the regrouped sums are the same integers
-    (bit-identical to the other backends); for fractional f32 weights the
-    regrouping can differ in the last ulp — the same caveat as
-    matmul-vs-taat accumulation order.
-    """
-    from mllm_sparse_retrieval_tpu.ops.impact_kernel import (
-        _as_kernel_layout, impact_scores_taat)
-
-    safe_idx = jnp.where(q_w > 0, q_idx + 1, 0).astype(jnp.int32)
-    safe_w = jnp.where(q_w > 0, q_w, 0.0).astype(jnp.float32)
-    in_head = safe_idx <= n_head            # row 0 (padding) rides along: w=0
-    tail_idx = jnp.where(in_head, 0, safe_idx)
-    tail_w = jnp.where(in_head, 0.0, safe_w)
-    if tail_k and tail_k < q_idx.shape[1]:
-        # Compact tail entries left so the kernel walks ``tail_k`` slots per
-        # query instead of the full width. This is the split's REAL win on
-        # v5e: the kernel's floor is per-slot scalar-loop cost (measured —
-        # skipping a dead slot's DMA+FMA saves only ~20% of its step), so
-        # fewer slots beat cheaper slots. Stable argsort on the head mask
-        # (False = tail sorts first) preserves slot order; the DISPATCHER
-        # guarantees no row holds more than tail_k tail terms (host-side
-        # census in ImpactIndex._dispatch_encoded picks the bucket).
-        order = jnp.argsort(in_head.astype(jnp.int8), axis=1,
-                            stable=True)[:, :tail_k]
-        tail_idx = jnp.take_along_axis(tail_idx, order, axis=1)
-        tail_w = jnp.take_along_axis(tail_w, order, axis=1)
-    interpret = jax.default_backend() != "tpu"
-    tail = impact_scores_taat(matrix, tail_idx, tail_w, interpret=interpret)
-
-    matrix3, _ = _as_kernel_layout(matrix)
-    head_rows = matrix3[1:n_head + 1].astype(jnp.float32)    # [H, s, sub]
-    table = _query_table(q_idx, jnp.where(in_head, safe_w, 0.0), n_head + 1)
-    head = jnp.einsum("bh,hsn->bsn", table[:, 1:], head_rows,
-                      preferred_element_type=jnp.float32,
-                      precision=lax.Precision.HIGHEST)
-    return tail + head.reshape(tail.shape)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_valid", "k", "n_head", "tail_k"))
-def _taat_split_topk(matrix, q_idx, q_w, n_valid, k, n_head, tail_k=0):
-    q_idx = q_idx.astype(jnp.int32)  # compact int16 upload form supported
-    q_w = q_w.astype(jnp.float32)
-    return _pack_results(*_masked_topk(
-        _taat_split_scores(matrix, q_idx, q_w, n_head, tail_k), n_valid, k))
+# A head/tail split backend ('taat-split': hottest n_head df-ordered rows
+# scored as one MXU matmul, Zipf-tail terms compacted left and walked by the
+# kernel) was built, measured, and DELETED in round 5: at the headline shape
+# (25k docs, Zipf queries, batch 4096) it ran 0.86x plain taat at head 512
+# and 0.93x at head 2048 even though the head absorbed 65-78% of query term
+# slots — the HIGHEST-precision head matmul plus the per-query tail argsort
+# cost more than the kernel slots they removed, and at 200k docs the f32
+# head matmul alone (~140 ms/batch) exceeds the whole kernel's budget.
+# Numbers and analysis in BASELINE.md.
 
 
 def _sharded_merge_topk(scores, base, shard_cols, n_valid, k):
@@ -196,13 +139,11 @@ def _sharded_merge_topk(scores, base, shard_cols, n_valid, k):
 _SHARDED_SCORERS = {
     "matmul": (_scores_from_matrix, (2, 2)),        # q_idx, q_w: [B, Q]
     "taat": (_taat_scores, (2, 2)),                 # idem
-    "taat-split": (_taat_split_scores, (2, 2)),     # idem (+ bound n_head)
 }
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_topk_fn(mesh, shard_cols, n_valid, k, backend, n_head=0,
-                     tail_k=0):
+def _sharded_topk_fn(mesh, shard_cols, n_valid, k, backend):
     """Build-and-cache the jitted shard_map program per (mesh, shapes,
     backend) — a fresh closure per call would retrace every search.
 
@@ -215,9 +156,6 @@ def _sharded_topk_fn(mesh, shard_cols, n_valid, k, backend, n_head=0,
     from jax.sharding import PartitionSpec as P
 
     scores_fn, query_ndims = _SHARDED_SCORERS[backend]
-    if backend == "taat-split":
-        scores_fn = functools.partial(_taat_split_scores, n_head=n_head,
-                                      tail_k=tail_k)
     kernel_layout = backend != "matmul"
 
     def local_fn(m, *query_args):
@@ -251,16 +189,5 @@ def _sharded_taat_topk(mesh, matrix, q_idx, q_w, n_valid, k):
     doc ids are ``d * shard_cols + local column``."""
     shard_cols = matrix.shape[2] * matrix.shape[3]
     fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "taat")
-    return fn(matrix, q_idx, q_w)
-
-
-def _sharded_taat_split_topk(mesh, matrix, q_idx, q_w, n_valid, k, n_head,
-                             tail_k=0):
-    """Column-sharded head/tail split scoring + ICI merge (the taat-split
-    backend under a mesh; same 4-D layout contract as _sharded_taat_topk —
-    each shard slices its own leading head rows locally)."""
-    shard_cols = matrix.shape[2] * matrix.shape[3]
-    fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "taat-split", n_head,
-                          tail_k)
     return fn(matrix, q_idx, q_w)
 

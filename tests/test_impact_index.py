@@ -516,66 +516,14 @@ def _rank_sets(scores, ids):
     return out
 
 
-def test_taat_split_backend_matches_matmul():
-    """taat-split (head rows via MXU matmul, tail via the kernel) must
-    reproduce matmul-backend results exactly, with the head boundary
-    strictly inside the vocabulary so both halves do real work."""
-    rng = np.random.default_rng(23)
-    vocab = np.array([f"t{i}" for i in range(90)])
-    docs = random_docs(rng, 120, vocab, 10)
+def test_unknown_backend_rejected():
+    """The backend surface is 'auto'/'taat'/'matmul'; deleted experimental
+    backends ('taat-shared' r4, 'taat-split' r5 — see BASELINE.md for the
+    measured negative results) must fail loudly, not fall back silently."""
     index = ImpactIndex()
-    index.add_many(docs)
+    index.add("d0", {"a": 3})
     index.finalize()
-    index.taat_split_head = 24          # 24 head rows of ~90 terms
-    queries = [dict(zip(rng.choice(vocab, 8, replace=False).tolist(),
-                        rng.integers(1, 80, 8).tolist())) for _ in range(6)]
-    s_mm, i_mm = index.search(queries, depth=15, backend="matmul")
-    s_sp, i_sp = index.search(queries, depth=15, backend="taat-split")
-    assert s_mm == s_sp
-    assert _rank_sets(s_mm, i_mm) == _rank_sets(s_sp, i_sp)
-    # head wider than the vocabulary clamps (all-head degenerate case)
-    index.taat_split_head = 10_000
-    s_all, i_all = index.search(queries, depth=15, backend="taat-split")
-    assert s_mm == s_all
-    assert _rank_sets(s_mm, i_mm) == _rank_sets(s_all, i_all)
-
-
-def test_taat_split_backend_sharded_matches_single():
-    rng = np.random.default_rng(29)
-    vocab = np.array([f"t{i}" for i in range(70)])
-    docs = random_docs(rng, 150, vocab, 9)
-    index = ImpactIndex()
-    index.add_many(docs)
-    index.finalize()
-    index.taat_split_head = 16
-    queries = [dict(zip(rng.choice(vocab, 6, replace=False).tolist(),
-                        rng.integers(1, 90, 6).tolist())) for _ in range(4)]
-    s_ref, i_ref = index.search(queries, depth=12, backend="matmul")
-    mesh = make_mesh()
-    s_sp, i_sp = index.search(queries, depth=12, mesh=mesh,
-                              backend="taat-split")
-    assert s_ref == s_sp
-    assert _rank_sets(s_ref, i_ref) == _rank_sets(s_sp, i_sp)
-
-
-def test_taat_split_stream_matches_search():
-    rng = np.random.default_rng(31)
-    vocab = np.array([f"t{i}" for i in range(60)])
-    docs = random_docs(rng, 80, vocab, 8)
-    index = ImpactIndex()
-    index.add_many(docs)
-    index.finalize()
-    index.taat_split_head = 12
-    queries = [dict(zip(rng.choice(vocab, 5, replace=False).tolist(),
-                        rng.integers(1, 60, 5).tolist())) for _ in range(9)]
-    enc = index.encode_queries(queries)
-    s_ref, i_ref = index.search_encoded(*enc, depth=10,
-                                        backend="taat-split")
-    batches = [index.encode_queries(queries[i:i + 3]) for i in (0, 3, 6)]
-    got_s, got_i = [], []
-    for s, i in index.search_encoded_stream(batches, depth=10,
-                                            backend="taat-split"):
-        got_s.extend(s)
-        got_i.extend(i)
-    assert got_s == s_ref
-    assert _rank_sets(got_s, got_i) == _rank_sets(s_ref, i_ref)
+    with pytest.raises(ValueError, match="unknown impact backend"):
+        index.search([{"a": 1}], depth=5, backend="taat-split")
+    with pytest.raises(ValueError, match="unknown impact backend"):
+        index.search([{"a": 1}], depth=5, backend="taat-shared")

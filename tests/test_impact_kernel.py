@@ -116,9 +116,9 @@ def test_taat_skips_padding_rows_bitexact():
     v5e (205 vs 179 ms full-width; 262 ms at 24 live terms). The round-5
     kernel re-landed the skip INSIDE the hot-cache branch structure (same
     predicated-region count per step — dead rows simply take neither
-    branch), which is what makes the taat-split backend's head-masked
-    queries cheap; the plain full-live workload compiles to the same
-    step shape as before."""
+    branch), so heavily-padded short queries skip their dead slots' DMA
+    and FMA; the plain full-live workload compiles to the same step shape
+    as before."""
     rng = np.random.default_rng(21)
     t, n, b = 25, 2048, QUERY_TILE
     matrix = np.zeros((t + 1, n), np.float32)
@@ -251,58 +251,7 @@ def test_hot_only_and_cold_only_batches():
                                                        safe_w))
 
 
-def test_taat_split_scores_match_matmul_oracle():
-    """Head/tail split scoring (taat-split backend): head rows via MXU
-    matmul + tail rows via the kernel must reproduce the full matmul
-    oracle bit-exactly for integer weights, across head widths covering
-    all-tail, mixed, and all-head regimes — with duplicates, padding, and
-    terms straddling the head boundary."""
-    from mllm_sparse_retrieval_tpu.ops.score_programs import (
-        _scores_from_matrix, _taat_split_scores)
-
-    rng = np.random.default_rng(41)
-    t, n, b, q = 120, 2048, 2 * QUERY_TILE, 16
-    matrix = np.zeros((t + 1, n), np.float32)
-    matrix[1:] = rng.integers(0, 300, size=(t, n)).astype(np.float32)
-    q_idx = rng.integers(0, t, size=(b, q)).astype(np.int32)
-    q_idx[:, :4] = rng.integers(30, 34, size=(b, 4))     # straddle head=32
-    q_idx[:, 4] = q_idx[:, 5]                            # duplicate terms
-    q_w = rng.integers(-10, 200, size=(b, q)).astype(np.float32)  # padding
-
-    ref = np.asarray(_scores_from_matrix(
-        jnp.asarray(matrix), jnp.asarray(q_idx), jnp.asarray(q_w)))
-    for n_head in (0, 32, t):
-        got = np.asarray(_taat_split_scores(
-            jnp.asarray(matrix.astype(np.int16)), jnp.asarray(q_idx),
-            jnp.asarray(q_w), n_head))
-        np.testing.assert_array_equal(got, ref), n_head
-
-
-def test_taat_split_tail_compaction_matches_oracle():
-    """tail_k compaction (kernel walks tail_k slots instead of the full
-    query width) must be exact, including a row with EXACTLY tail_k tail
-    terms, rows with zero tail terms, duplicates, and interleaved padding."""
-    from mllm_sparse_retrieval_tpu.ops.score_programs import (
-        _scores_from_matrix, _taat_split_scores)
-
-    rng = np.random.default_rng(43)
-    t, n, b, q, n_head, tail_k = 150, 2048, QUERY_TILE, 24, 40, 8
-    matrix = np.zeros((t + 1, n), np.float32)
-    matrix[1:] = rng.integers(0, 250, size=(t, n)).astype(np.float32)
-    q_idx = rng.integers(0, n_head, size=(b, q)).astype(np.int32)  # all head
-    q_w = rng.integers(1, 120, size=(b, q)).astype(np.float32)
-    # row 0: exactly tail_k tail terms scattered through the width
-    tail_cols = rng.choice(q, size=tail_k, replace=False)
-    q_idx[0, tail_cols] = rng.integers(n_head, t, size=tail_k)
-    q_idx[0, tail_cols[0]] = q_idx[0, tail_cols[1]]      # duplicate tails
-    # row 1: a mix with padding holes
-    q_idx[1, :6] = rng.integers(n_head, t, size=6)
-    q_w[1, 1::3] = 0.0
-    # row 2: zero tail terms (stays all-head)
-
-    ref = np.asarray(_scores_from_matrix(
-        jnp.asarray(matrix), jnp.asarray(q_idx), jnp.asarray(q_w)))
-    got = np.asarray(_taat_split_scores(
-        jnp.asarray(matrix.astype(np.int16)), jnp.asarray(q_idx),
-        jnp.asarray(q_w), n_head, tail_k))
-    np.testing.assert_array_equal(got, ref)
+# A head/tail split scorer ('taat-split') and its tail-compaction oracle
+# tests lived here until round 5; the backend measured 0.86-0.93x plain
+# taat on its target workload and was deleted (BASELINE.md records the
+# numbers and the analysis).
