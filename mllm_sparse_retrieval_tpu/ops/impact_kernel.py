@@ -28,8 +28,8 @@ batch naive → the optimized form):
 The query term ids live in SMEM (per-tile BlockSpec), so they are scalar-
 readable for DMA addressing. Padding entries must point at row 0 (the dead
 zero row) with weight 0 — dead steps are skipped outright (no DMA, no FMA),
-which is what makes the taat-split backend's head-masked queries cheap
-(ops/score_programs._taat_split_scores).
+so heavily-padded short queries cost only their live slots (the deleted
+taat-split backend relied on this; the skip itself is free and stays).
 
 Layout note: Mosaic requires HBM slices aligned to the native tile —
 (8, 128) for 4-byte types, (16, 128) for 2-byte — so a term's N-column
@@ -150,12 +150,12 @@ def _taat_kernel(qidx_ref, qw_ref, matrix_ref, out_ref, rowbuf, sems,
         return q, j, qidx_ref[q, j]
 
     def is_cold(row):
-        # Three-way step routing: DEAD rows (0 — query padding, or head
-        # terms masked out by the taat-split backend) are skipped outright
-        # (no DMA, no FMA: the zero row contributes nothing, and under the
-        # split regime half the slots are dead, so their per-step DMA
-        # issue+wait would dominate). HOT rows (1..n_hot) FMA from the
-        # resident VMEM block. COLD rows own a ring DMA.
+        # Three-way step routing: DEAD rows (0 — query padding slots)
+        # are skipped outright (no DMA, no FMA: the zero row contributes
+        # nothing, so a padded slot's per-step DMA issue+wait would be
+        # pure waste — heavily-padded short queries pay only their live
+        # slots). HOT rows (1..n_hot) FMA from the resident VMEM block.
+        # COLD rows own a ring DMA.
         return row > n_hot if n_hot else row > 0
 
     def row_dma(slot, row):
