@@ -447,6 +447,47 @@ def bench_cpu(doc_terms, doc_weights, q_idx, q_w):
     return qps
 
 
+def wait_for_tpu(budget_s=1500, probe_timeout=180, retry_wait=60):
+    """Probe TPU reachability in a SUBPROCESS, retrying until budget expires.
+
+    The relay chip is occasionally unreachable for minutes (observed: a
+    ~20-minute in-process init hang ending in UNAVAILABLE, which also
+    poisons the parent's backend cache — hence the subprocess probe). The
+    driver runs this script unattended at round end; a transient relay
+    outage must degrade, not crash. Returns True when a probe sees the TPU.
+    """
+    import os
+    import subprocess
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        log("JAX_PLATFORMS=cpu set explicitly; skipping TPU probe")
+        return False
+    deadline = time.time() + budget_s
+    code = "import jax; assert jax.default_backend() == 'tpu'"
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=probe_timeout)
+            if r.returncode == 0:
+                if attempt > 1:
+                    log(f"TPU probe succeeded on attempt {attempt}")
+                return True
+            detail = (r.stderr or b"").decode(errors="replace").strip()
+            detail = detail.splitlines()[-1] if detail else "rc != 0"
+        except subprocess.TimeoutExpired:
+            detail = f"probe hung > {probe_timeout}s"
+        if time.time() >= deadline:
+            log(f"TPU unreachable after {attempt} probes ({detail})")
+            return False
+        log(f"TPU probe {attempt} failed ({detail}); "
+            f"retrying in {retry_wait}s ...")
+        time.sleep(max(0.0, min(retry_wait,
+                                deadline - time.time(),
+                                retry_wait - (time.time() - t0))))
+
+
 def main():
     rng = np.random.default_rng(0)
     log(f"corpus: {N_DOCS} docs x {DOC_K} terms, {N_TERMS} vocab, "
@@ -469,7 +510,25 @@ def main():
         np.argpartition(-scores, DEPTH, axis=1)
         cpu_qps = BATCH / (time.time() - t0)
 
-    tpu_backend, tpu_qps = bench_tpu(doc_terms, doc_weights, q_idx, q_w)
+    # Degrade, never crash: the driver needs the one JSON line even when
+    # the relay chip is flaky. A CPU run of the 25k-doc matmul leg would
+    # take ~an hour, so the unreachable-TPU fallback reports the already-
+    # measured CPU baseline under an explicit degraded-metric name.
+    tpu_up = wait_for_tpu()
+    try:
+        if not tpu_up:
+            raise RuntimeError("TPU unreachable (see probe log)")
+        tpu_backend, tpu_qps = bench_tpu(doc_terms, doc_weights, q_idx, q_w)
+    except Exception as e:
+        log(f"TPU leg unavailable ({e}); reporting CPU baseline as a "
+            f"degraded run")
+        print(json.dumps({
+            "metric": "sparse_impact_DEGRADED_cpu_scipy_qps_coco25k_depth10",
+            "value": round(cpu_qps, 1),
+            "unit": "queries/s",
+            "vs_baseline": 1.0,
+        }))
+        return
     try:
         bench_dense_side(rng)
     except Exception as e:
