@@ -45,6 +45,14 @@ DEPTH = 10               # reference sparse/dense-only script depth
                          # (scripts/search_sparse.sh, search_dense.sh)
 ROUNDS = 6
 
+if __import__("os").environ.get("BENCH_SMOKE"):
+    # CI contract check only (tests/test_cli_and_tools.py): tiny shapes so
+    # the driver-facing invariants — exactly ONE JSON line on stdout, rc=0
+    # even with the TPU unreachable — are testable in seconds on CPU.
+    # Never set for real measurements.
+    N_DOCS, N_TERMS, DOC_K, QUERY_TERMS, BATCH, ROUNDS = \
+        512, 256, 16, 8, 64, 2
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)

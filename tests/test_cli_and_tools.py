@@ -245,3 +245,24 @@ def test_train_retrieve_e2e_dry_run():
                    "--epochs", "1", "--batch-size", "8", "--depth", "5",
                    "--min-lift", "-1.0"])
     assert rc == 0
+
+
+def test_bench_driver_contract_degraded():
+    """bench.py's driver contract: EXACTLY one JSON line on stdout with the
+    required keys and rc=0, even when the TPU is unreachable (observed: a
+    relay outage made a pre-r5 bench die rc=1 with empty stdout mid-round).
+    BENCH_SMOKE shrinks shapes; explicit JAX_PLATFORMS=cpu skips the probe
+    so the degraded fallback path runs in seconds."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, BENCH_SMOKE="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "/root/repo/bench.py"],
+                       capture_output=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr.decode(errors="replace")[-2000:]
+    lines = r.stdout.decode().strip().splitlines()
+    assert len(lines) == 1, lines
+    payload = json.loads(lines[0])
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert payload["value"] > 0
+    assert "DEGRADED" in payload["metric"]  # cpu fallback is labeled
