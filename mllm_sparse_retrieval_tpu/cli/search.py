@@ -43,11 +43,14 @@ def main(argv=None):
                              "fused top-k, one packed fetch per chunk "
                              "(fusion run/recall only)")
     parser.add_argument("--dense-dtype", default="float32",
-                        choices=["float32", "bfloat16"],
+                        choices=["float32", "bfloat16", "int8"],
                         help="device dtype for the dense corpus matrix: "
                              "bfloat16 halves HBM + host->device bytes and "
                              "scores on the MXU in one pass (f32 accumulate); "
-                             "float32 is bit-exact FAISS-flat parity")
+                             "int8 is FAISS-SQ8-class scalar quantization "
+                             "(1/4 the bytes, s8 MXU rate, per-row/per-query "
+                             "dequant scales); float32 is bit-exact "
+                             "FAISS-flat parity")
     parser.add_argument("--save-dir", default=None,
                         help="write TREC run files here")
     parser.add_argument("--limit", type=int, default=0)
@@ -77,8 +80,8 @@ def main(argv=None):
         import jax.numpy as jnp
         dense_index = DenseFlatIndex.load(
             args.passage_reps,
-            dtype=jnp.bfloat16 if args.dense_dtype == "bfloat16"
-            else jnp.float32)
+            dtype={"bfloat16": jnp.bfloat16, "int8": jnp.int8}.get(
+                args.dense_dtype, jnp.float32))
         logger.info("dense index: %d vectors", dense_index.size)
     if args.sparse_index:
         timer.phase("load sparse index")

@@ -50,14 +50,10 @@ def mips_topk_packed(queries: jax.Array, corpus: jax.Array, k: int
     return pack_topk(*mips_topk(queries, corpus, k))
 
 
-def _local_then_global_topk(queries, corpus_shard, n_valid, k, k_local):
-    """Per-shard scoring + top-k, then cross-shard merge. Runs inside shard_map."""
-    shard_rows = corpus_shard.shape[0]
-    shard_idx = lax.axis_index(DATA_AXIS)
-    base = shard_idx * shard_rows
-
-    scores = jnp.dot(queries, corpus_shard.T, preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
+def _mask_merge_topk(scores, base, n_valid, k, k_local):
+    """Shared tail of the sharded scorers: mask padding rows, per-shard
+    top-k, ICI candidate all-gather, global re-rank. Runs inside shard_map."""
+    shard_rows = scores.shape[1]
     # Mask padding rows (global row id >= n_valid) to -inf.
     row_ids = base + lax.broadcasted_iota(jnp.int32, (1, shard_rows), 1)
     scores = jnp.where(row_ids < n_valid, scores, -jnp.inf)
@@ -70,6 +66,83 @@ def _local_then_global_topk(queries, corpus_shard, n_valid, k, k_local):
     vals, pos = lax.top_k(all_vals, k)
     gidx = jnp.take_along_axis(all_gidx, pos, axis=1)
     return vals, gidx
+
+
+def _local_then_global_topk(queries, corpus_shard, n_valid, k, k_local):
+    """Per-shard scoring + top-k, then cross-shard merge. Runs inside shard_map."""
+    shard_idx = lax.axis_index(DATA_AXIS)
+    base = shard_idx * corpus_shard.shape[0]
+    scores = jnp.dot(queries, corpus_shard.T, preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+    return _mask_merge_topk(scores, base, n_valid, k, k_local)
+
+
+def _q8_scores(q8, q_scale, corpus8, row_scale):
+    """SQ8 scoring core: s8 x s8 -> s32 matmul on the MXU (2x the bf16
+    rate on v5e, 4x less HBM traffic than f32), dequantized to f32 by the
+    per-query x per-row scale outer product before ranking."""
+    acc = jnp.dot(q8, corpus8.T, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (q_scale[:, None] * row_scale[None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def mips_topk_packed_q8(
+    q8: jax.Array,         # [B, d] int8
+    q_scale: jax.Array,    # [B] f32 (per-query dequant scale)
+    corpus8: jax.Array,    # [N, d] int8
+    row_scale: jax.Array,  # [N] f32 (per-row dequant scale)
+    k: int,
+) -> jax.Array:
+    """Scalar-quantized (SQ8) MIPS, packed single-fetch form.
+
+    The FAISS ``SQ8``-class trade: approximate scores (symmetric int8
+    quantization of both sides, exact int32 accumulation, f32 dequant) for
+    1/4 the HBM footprint + host->device bytes of f32 and an int8-rate MXU
+    pass. Ranking quality is covered by tests/test_dense_index.py; scores
+    are exact whenever both sides' values are integer multiples of their
+    scales (the bit-parity test's construction).
+    """
+    scores = _q8_scores(q8, q_scale, corpus8, row_scale)
+    return pack_topk(*lax.top_k(scores, min(k, corpus8.shape[0])))
+
+
+def _local_then_global_topk_q8(q8, q_scale, corpus8_shard, row_scale_shard,
+                               n_valid, k, k_local):
+    """SQ8 counterpart of _local_then_global_topk (inside shard_map)."""
+    shard_idx = lax.axis_index(DATA_AXIS)
+    base = shard_idx * corpus8_shard.shape[0]
+    scores = _q8_scores(q8, q_scale, corpus8_shard, row_scale_shard)
+    return _mask_merge_topk(scores, base, n_valid, k, k_local)
+
+
+def sharded_mips_topk_q8(
+    mesh: Mesh,
+    q8: jax.Array,              # [B, d] int8, replicated
+    q_scale: jax.Array,         # [B] f32, replicated
+    corpus8_sharded: jax.Array, # [N_padded, d] int8, row-sharded (data axis)
+    row_scale_sharded: jax.Array,  # [N_padded] f32, row-sharded alike
+    n_valid: int,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """SQ8 MIPS over a row-sharded corpus with ICI candidate merge (the
+    int8 form of ``sharded_mips_topk``; same padding/n_valid contract)."""
+    n_shards = mesh.shape[DATA_AXIS]
+    n_padded = corpus8_sharded.shape[0]
+    assert n_padded % n_shards == 0, "corpus must be padded to shard multiple"
+    shard_rows = n_padded // n_shards
+    k = min(k, n_valid)
+    k_local = min(k, shard_rows)
+
+    fn = shard_map(
+        functools.partial(
+            _local_then_global_topk_q8, n_valid=n_valid, k=k,
+            k_local=k_local),
+        mesh=mesh,
+        in_specs=(P(None, None), P(None), P(DATA_AXIS, None), P(DATA_AXIS)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(q8, q_scale, corpus8_sharded, row_scale_sharded)
 
 
 def sharded_mips_topk(

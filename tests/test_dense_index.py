@@ -185,3 +185,111 @@ def test_bf16_index_on_mesh_matches_single_chip():
     for r in range(q.shape[0]):
         assert sorted(np.asarray(s_m)[r].tolist()) == \
             sorted(np.asarray(s_s)[r].tolist())
+
+
+# ---- int8 (SQ8) device-dtype mode -------------------------------------------
+# dtype=jnp.int8 quarters HBM + upload bytes vs f32 and scores as an
+# s8 x s8 -> s32 MXU matmul; per-row corpus scales and per-query query
+# scales dequantize the accumulator to f32 before top-k (ops/mips.py
+# mips_topk_packed_q8). The reference's FAISS index is flat f32
+# (/root/reference/src/search.py:227-270); SQ8 is the FAISS scalar-
+# quantizer capability class, an extension.
+
+
+def _q8_exact_reps(rng, shape):
+    """Rows with absmax exactly 127 and integer entries: the per-row scale
+    becomes 1.0 and symmetric int8 quantization is lossless, so the SQ8
+    index must match the f32 index bit-for-bit (s32 accumulation is exact;
+    sums stay far below 2^24)."""
+    x = rng.integers(-127, 128, size=shape).astype(np.float32)
+    x[:, 0] = 127.0 * np.sign(x[:, 0] + 0.5)
+    return x
+
+
+def test_q8_index_bit_exact_on_integer_reps():
+    rng = np.random.default_rng(11)
+    c = _q8_exact_reps(rng, (60, 16))
+    q = _q8_exact_reps(rng, (9, 16))
+    ids = [f"d{i}" for i in range(60)]
+    f32 = DenseFlatIndex()
+    f32.add(c, ids)
+    q8 = DenseFlatIndex(dtype=jnp.int8)
+    q8.add(c, ids)
+    s32, _ = f32.search(q, depth=8)
+    s8, _ = q8.search(q, depth=8)
+    for r in range(q.shape[0]):
+        assert sorted(np.asarray(s32)[r].tolist()) == \
+            sorted(np.asarray(s8)[r].tolist())
+
+
+def test_q8_index_rank_overlap_on_gaussian_reps():
+    """On realistic normalized reps int8 rounding may swap near-ties but
+    the top-k SET should stay close to the f32 index's."""
+    rng = np.random.default_rng(12)
+    c = rng.normal(size=(2000, 64)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    q = rng.normal(size=(32, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ids = [str(i) for i in range(2000)]
+    f32 = DenseFlatIndex()
+    f32.add(c, ids)
+    q8 = DenseFlatIndex(dtype="int8")    # string spelling also accepted
+    q8.add(c, ids)
+    _, i32 = f32.search(q, depth=10)
+    _, i8 = q8.search(q, depth=10)
+    overlap = np.mean([
+        len(set(np.asarray(i32)[r]) & set(np.asarray(i8)[r])) / 10.0
+        for r in range(q.shape[0])])
+    assert overlap >= 0.85, f"int8 top-10 overlap {overlap:.3f} < 0.85"
+
+
+def test_q8_index_on_mesh_matches_single_chip():
+    """int8 corpus + scales row-sharded over the data axis: per-shard s8
+    matmul + dequant + ICI merge must equal the single-replica SQ8 result."""
+    rng = np.random.default_rng(13)
+    c = _q8_exact_reps(rng, (52, 16))
+    ids = [str(i) for i in range(52)]
+    q = _q8_exact_reps(rng, (5, 16))
+    from mllm_sparse_retrieval_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    index = DenseFlatIndex(dtype=jnp.int8)
+    index.add(c, ids)
+    s_m, _ = index.search(q, depth=7, mesh=mesh)
+    index2 = DenseFlatIndex(dtype=jnp.int8)
+    index2.add(c, ids)
+    s_s, _ = index2.search(q, depth=7)
+    for r in range(q.shape[0]):
+        assert sorted(np.asarray(s_m)[r].tolist()) == \
+            sorted(np.asarray(s_s)[r].tolist())
+
+
+def test_q8_artifact_stays_float32(tmp_path):
+    rng = np.random.default_rng(14)
+    index = DenseFlatIndex(dtype=jnp.int8)
+    index.add(rng.normal(size=(10, 8)).astype(np.float32), list(range(10)))
+    path = tmp_path / "corpus_0.pkl"
+    index.save_shard(str(path))
+    import pickle
+    with open(path, "rb") as f:
+        reps, _ = pickle.load(f)
+    assert reps.dtype == np.float32  # reference-compatible artifact
+    # and a reload with dtype="int8" still searches
+    again = DenseFlatIndex.load(str(path), dtype="int8")
+    s, i = again.search(rng.normal(size=(3, 8)).astype(np.float32), depth=4)
+    assert np.asarray(s).shape == (3, 4)
+
+
+def test_q8_zero_rows_are_harmless():
+    """All-zero corpus rows and all-zero queries must not produce NaN/inf
+    (zero-scale guard) and zero queries must score 0 everywhere."""
+    c = np.zeros((6, 8), np.float32)
+    c[0] = 1.0
+    index = DenseFlatIndex(dtype=jnp.int8)
+    index.add(c, [str(i) for i in range(6)])
+    q = np.zeros((2, 8), np.float32)
+    q[1, 0] = 2.0
+    s, i = index.search(q, depth=3)
+    s = np.asarray(s)
+    assert np.isfinite(s).all()
+    assert s[0].tolist() == [0.0, 0.0, 0.0]
+    assert s[1, 0] == 2.0  # q[1] . c[0]

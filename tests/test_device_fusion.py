@@ -246,3 +246,45 @@ def test_device_fusion_with_bf16_dense_index():
         np.testing.assert_allclose(a, b, atol=1e-5)
     for a, b in zip(i_bf, i_32):
         assert set(a) == set(b)
+
+
+def test_device_fusion_with_q8_dense_index():
+    """The fused program composes with an int8 (SQ8) dense corpus: reps
+    crafted with per-row absmax 127 and integer entries quantize losslessly
+    (per-row scale 1.0), so fused scores must match the f32 dense index's
+    fusion to f32 rounding."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    n_docs, dim, n_terms = 40, 8, 30
+    doc_ids = [f"d{i}" for i in range(n_docs)]
+    impact = ImpactIndex()
+    for d in doc_ids:
+        terms = rng.choice(n_terms, size=4, replace=False)
+        impact.add(d, {f"t{t}": int(rng.integers(1, 20)) for t in terms})
+    impact.finalize()
+
+    reps = rng.integers(-127, 128, size=(n_docs, dim)).astype(np.float32)
+    reps[:, 0] = 127.0 * np.sign(reps[:, 0] + 0.5)
+    dense = DenseFlatIndex(dtype=jnp.int8)
+    dense.add(reps, doc_ids)
+    dense_f32 = DenseFlatIndex()
+    dense_f32.add(reps, doc_ids)
+
+    q_reps = rng.integers(-127, 128, size=(6, dim)).astype(np.float32)
+    q_reps[:, 0] = 127.0 * np.sign(q_reps[:, 0] + 0.5)
+    q_dicts = [{f"t{t}": int(rng.integers(1, 8))
+                for t in rng.choice(n_terms, size=3, replace=False)}
+               for _ in range(6)]
+    qids = [f"q{i}" for i in range(6)]
+    depth = 15
+
+    q_idx, q_w = impact.encode_queries(q_dicts)
+    q8 = FusedHybridSearcher(dense, impact, alpha=ALPHA)
+    f32 = FusedHybridSearcher(dense_f32, impact, alpha=ALPHA)
+    s_q8, i_q8 = q8.search_encoded(q_reps, q_idx, q_w, depth)
+    s_32, i_32 = f32.search_encoded(q_reps, q_idx, q_w, depth)
+    for a, b in zip(s_q8, s_32):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    for a, b in zip(i_q8, i_32):
+        assert set(a) == set(b)

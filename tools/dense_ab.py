@@ -1,4 +1,4 @@
-"""Interleaved A/B: f32 vs bf16 dense MIPS serving (index/dense.py dtype mode).
+"""Interleaved A/B/C: f32 vs bf16 vs int8 dense MIPS serving (dtype modes).
 
 Measures, in ONE process with alternating reps (cancels relay drift), at
 COCO scale (25k docs x 4096-d, the LLaVA hidden size; depth 10 per the
@@ -6,11 +6,13 @@ dense-only script /root/reference/scripts/search_dense.sh):
   A) DenseFlatIndex(dtype=float32)  — FAISS-flat-parity scoring
      (f32-HIGHEST multi-pass on the MXU);
   B) DenseFlatIndex(dtype=bfloat16) — half the HBM + host->device bytes,
-     single-pass MXU matmul with f32 accumulation.
+     single-pass MXU matmul with f32 accumulation;
+  C) DenseFlatIndex(dtype=int8)     — FAISS-SQ8-class scalar quantization:
+     1/4 the bytes, s8 x s8 -> s32 MXU pass, per-row/per-query dequant.
 
 Reports, for each: HBM placement time, device-compute ms/batch (queries
 pre-staged), e2e batch_search ms/batch (upload-bound through the relay),
-and the bf16-vs-f32 top-k overlap on the same data.
+and each mode's top-k overlap vs f32 on the same data.
 
 Usage:  python tools/dense_ab.py [--docs 25010] [--dim 4096] [--reps 4]
 """
@@ -69,7 +71,8 @@ def main():
 
     checksum = jax.jit(lambda c: jnp.sum(c.astype(jnp.float32)))
     indexes = {}
-    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16),
+                        ("int8", jnp.int8)):
         idx = DenseFlatIndex(dtype=dtype)
         idx.add(corpus, ids)
         t0 = time.time()
@@ -85,12 +88,26 @@ def main():
 
     # Device-compute leg: queries pre-staged in the index dtype, timed with
     # block_until_ready — isolates MXU throughput from the relay links.
-    q_dev = {name: jax.device_put(
-                 np.ascontiguousarray(np.asarray(queries, dtype=idx.dtype)))
-             for name, idx in indexes.items()}
-    fn = jax.jit(lambda q, c: mips_topk(q, c, args.depth))
-    for name, idx in indexes.items():
-        fn(q_dev[name], idx._corpus_dev)[0].block_until_ready()  # compile
+    # int8 pre-stages the quantized queries + scales and runs the packed
+    # SQ8 program (its production form); f32/bf16 run the unpacked topk.
+    from mllm_sparse_retrieval_tpu.ops.mips import mips_topk_packed_q8
+    fn_f = jax.jit(lambda q, c: mips_topk(q, c, args.depth)[0])
+
+    def make_runner(name, idx):
+        if getattr(idx, "q8", False):
+            q8, qs = idx._quantize_rows(queries)
+            q8_dev, qs_dev = jax.device_put(q8), jax.device_put(qs)
+            return lambda: mips_topk_packed_q8(
+                q8_dev, qs_dev, idx._corpus_dev, idx._row_scale_dev,
+                args.depth)
+        q_dev = jax.device_put(
+            np.ascontiguousarray(np.asarray(queries, dtype=idx.dtype)))
+        return lambda: fn_f(q_dev, idx._corpus_dev)
+
+    runners = {name: make_runner(name, idx)
+               for name, idx in indexes.items()}
+    for run in runners.values():
+        run().block_until_ready()  # compile
 
     # Pipelined throughput: k back-to-back dispatches, one host sync on the
     # LAST result's scores (np.asarray forces a real device->host read —
@@ -100,10 +117,10 @@ def main():
     k_pipe = 8
     best = {}
     for r in range(args.reps):
-        for name, idx in indexes.items():
+        for name, run in runners.items():
             t0 = time.time()
             for _ in range(k_pipe):
-                out = fn(q_dev[name], idx._corpus_dev)[0]
+                out = run()
             np.asarray(out)
             t = (time.time() - t0) / k_pipe
             best[name] = min(best.get(name, t), t)
@@ -111,9 +128,10 @@ def main():
         print(f"[{name}] device compute: {t * 1e3:.2f} ms/batch -> "
               f"{args.batch / t:.0f} QPS ({flops / t / 1e12:.1f} TFLOP/s)",
               flush=True)
-    if "f32" in best and "bf16" in best:
-        print(f"bf16 device-compute speedup: "
-              f"{best['f32'] / best['bf16']:.2f}x", flush=True)
+    for name in ("bf16", "int8"):
+        if "f32" in best and name in best:
+            print(f"{name} device-compute speedup: "
+                  f"{best['f32'] / best[name]:.2f}x", flush=True)
 
     # E2e leg through DenseFlatIndex.batch_search (includes the query
     # upload — halved bytes for bf16 — and the packed result fetch).
@@ -129,20 +147,25 @@ def main():
     for name, t in e2e.items():
         print(f"[{name}] e2e batch_search: {t * 1e3:.1f} ms/batch -> "
               f"{args.batch / t:.0f} QPS", flush=True)
-    if "f32" in e2e and "bf16" in e2e:
-        print(f"bf16 e2e speedup: {e2e['f32'] / e2e['bf16']:.2f}x",
-              flush=True)
+    for name in ("bf16", "int8"):
+        if "f32" in e2e and name in e2e:
+            print(f"{name} e2e speedup: {e2e['f32'] / e2e[name]:.2f}x",
+                  flush=True)
 
     # Rank agreement on this data (Gaussian reps — the adversarial case for
-    # bf16 rounding; real caption embeddings separate further).
+    # low-precision rounding; real caption embeddings separate further).
     _, i32 = indexes["f32"].search(queries[:256], args.depth)
-    _, i16 = indexes["bf16"].search(queries[:256], args.depth)
-    i32, i16 = np.asarray(i32), np.asarray(i16)
-    overlap = np.mean([len(set(i32[r]) & set(i16[r])) / args.depth
-                       for r in range(i32.shape[0])])
-    top1 = float(np.mean(i32[:, 0] == i16[:, 0]))
-    print(f"bf16 vs f32 top-{args.depth} overlap: {overlap:.4f}; "
-          f"top-1 agreement: {top1:.4f}", flush=True)
+    i32 = np.asarray(i32)
+    for name in ("bf16", "int8"):
+        if name not in indexes:
+            continue
+        _, i_lo = indexes[name].search(queries[:256], args.depth)
+        i_lo = np.asarray(i_lo)
+        overlap = np.mean([len(set(i32[r]) & set(i_lo[r])) / args.depth
+                           for r in range(i32.shape[0])])
+        top1 = float(np.mean(i32[:, 0] == i_lo[:, 0]))
+        print(f"{name} vs f32 top-{args.depth} overlap: {overlap:.4f}; "
+              f"top-1 agreement: {top1:.4f}", flush=True)
 
 
 if __name__ == "__main__":
