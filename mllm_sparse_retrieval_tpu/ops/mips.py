@@ -115,6 +115,34 @@ def _local_then_global_topk_q8(q8, q_scale, corpus8_shard, row_scale_shard,
     return _mask_merge_topk(scores, base, n_valid, k, k_local)
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_mips_fn(mesh: Mesh, n_valid: int, k: int, k_local: int,
+                     q8: bool):
+    """Build-and-cache the jitted shard_map MIPS program per (mesh, static
+    params) — a fresh closure per call would retrace on EVERY chunk of a
+    mesh batch_search (jax.jit caches on function identity; same pattern
+    as ops/score_programs._sharded_topk_fn)."""
+    local = _local_then_global_topk_q8 if q8 else _local_then_global_topk
+    in_specs = (P(None, None), P(None), P(DATA_AXIS, None), P(DATA_AXIS)) \
+        if q8 else (P(None, None), P(DATA_AXIS, None))
+    fn = shard_map(
+        functools.partial(local, n_valid=n_valid, k=k, k_local=k_local),
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _sharded_statics(mesh, n_padded, n_valid, k):
+    n_shards = mesh.shape[DATA_AXIS]
+    assert n_padded % n_shards == 0, "corpus must be padded to shard multiple"
+    shard_rows = n_padded // n_shards
+    k = min(k, n_valid)
+    return k, min(k, shard_rows)
+
+
 def sharded_mips_topk_q8(
     mesh: Mesh,
     q8: jax.Array,              # [B, d] int8, replicated
@@ -126,23 +154,9 @@ def sharded_mips_topk_q8(
 ) -> Tuple[jax.Array, jax.Array]:
     """SQ8 MIPS over a row-sharded corpus with ICI candidate merge (the
     int8 form of ``sharded_mips_topk``; same padding/n_valid contract)."""
-    n_shards = mesh.shape[DATA_AXIS]
-    n_padded = corpus8_sharded.shape[0]
-    assert n_padded % n_shards == 0, "corpus must be padded to shard multiple"
-    shard_rows = n_padded // n_shards
-    k = min(k, n_valid)
-    k_local = min(k, shard_rows)
-
-    fn = shard_map(
-        functools.partial(
-            _local_then_global_topk_q8, n_valid=n_valid, k=k,
-            k_local=k_local),
-        mesh=mesh,
-        in_specs=(P(None, None), P(None), P(DATA_AXIS, None), P(DATA_AXIS)),
-        out_specs=(P(None, None), P(None, None)),
-        check_vma=False,
-    )
-    return jax.jit(fn)(q8, q_scale, corpus8_sharded, row_scale_sharded)
+    k, k_local = _sharded_statics(mesh, corpus8_sharded.shape[0], n_valid, k)
+    fn = _sharded_mips_fn(mesh, n_valid, k, k_local, True)
+    return fn(q8, q_scale, corpus8_sharded, row_scale_sharded)
 
 
 def sharded_mips_topk(
@@ -158,19 +172,6 @@ def sharded_mips_topk(
     are excluded via ``n_valid``. Equivalent capability to FAISS's sharded GPU
     clone (/root/reference/src/search.py:266-270), re-designed as mesh SPMD.
     """
-    n_shards = mesh.shape[DATA_AXIS]
-    n_padded = corpus_sharded.shape[0]
-    assert n_padded % n_shards == 0, "corpus must be padded to shard multiple"
-    shard_rows = n_padded // n_shards
-    k = min(k, n_valid)
-    k_local = min(k, shard_rows)
-
-    fn = shard_map(
-        functools.partial(
-            _local_then_global_topk, n_valid=n_valid, k=k, k_local=k_local),
-        mesh=mesh,
-        in_specs=(P(None, None), P(DATA_AXIS, None)),
-        out_specs=(P(None, None), P(None, None)),
-        check_vma=False,
-    )
-    return jax.jit(fn)(queries, corpus_sharded)
+    k, k_local = _sharded_statics(mesh, corpus_sharded.shape[0], n_valid, k)
+    fn = _sharded_mips_fn(mesh, n_valid, k, k_local, False)
+    return fn(queries, corpus_sharded)
