@@ -135,6 +135,36 @@ def check_device_fusion():
           f"entries)", flush=True)
 
 
+def check_q8_dense():
+    """int8 (SQ8) dense scoring ON CHIP: the s8 x s8 -> s32 MXU dot and the
+    f32 dequant must reproduce the f32 index on losslessly-quantizable reps
+    (per-row absmax 127, integer entries -> scale 1.0). Guards the int8
+    dot lowering + scale broadcast the CPU tests can't vouch for."""
+    import jax.numpy as jnp
+
+    from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
+
+    rng = np.random.default_rng(5)
+    n_docs, dim, depth = 512, 128, 10
+    reps = rng.integers(-127, 128, size=(n_docs, dim)).astype(np.float32)
+    reps[:, 0] = 127.0 * np.sign(reps[:, 0] + 0.5)
+    q = rng.integers(-127, 128, size=(32, dim)).astype(np.float32)
+    q[:, 0] = 127.0 * np.sign(q[:, 0] + 0.5)
+    ids = [str(i) for i in range(n_docs)]
+
+    f32 = DenseFlatIndex()
+    f32.add(reps, ids)
+    q8 = DenseFlatIndex(dtype=jnp.int8)
+    q8.add(reps, ids)
+    s32, _ = f32.search(q, depth=depth)
+    s8, _ = q8.search(q, depth=depth)
+    np.testing.assert_array_equal(np.sort(np.asarray(s32), axis=1),
+                                  np.sort(np.asarray(s8), axis=1))
+    assert q8._corpus_dev.dtype == jnp.int8
+    print("OK int8 (SQ8) dense scoring bit-matches f32 on chip "
+          f"({n_docs}x{dim}, depth {depth})", flush=True)
+
+
 def check_flash_layer():
     from mllm_sparse_retrieval_tpu.models import layers as L
 
@@ -254,6 +284,7 @@ def main():
     check_packing_roundtrip()
     check_impact_backends()
     check_device_fusion()
+    check_q8_dense()
     check_flash_layer()
     check_flash_shard_map()
     check_decoder_flash()
