@@ -19,6 +19,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <stdint.h>
 #include <string.h>
 
 /* build_runs(qids, batch_scores, batch_rankings, remove_query,
@@ -200,11 +201,96 @@ stack_rows(PyObject *self, PyObject *args)
     return PyBool_FromLong(ok);
 }
 
+/* encode_terms(rows, attr_ids, attr_w, lut, width, out_idx, out_w) -> bool
+ *
+ * Fused id-keyed query encode (ImpactIndex.encode_query_terms, equal-width
+ * fast path with no canonical_map): one pass per row maps token id ->
+ * compact term idx through the int32 lut (-1 = not indexed), drops
+ * out-of-range/OOV/non-positive-weight slots to the dead (0, 0.0) padding
+ * pair, and zero-fills the [width, q_m) pad columns. Replaces stack_rows +
+ * the numpy lut gather + two np.where passes + two np.zeros allocations —
+ * the encode is GIL-serialized with the serving dispatch loop, so every
+ * millisecond here is pipeline headroom. Returns False (caller falls back,
+ * buffers may be partially written) unless every row attribute exposes a
+ * C-contiguous int32 buffer of exactly `width` elements. */
+static PyObject *
+encode_terms(PyObject *self, PyObject *args)
+{
+    PyObject *rows, *attr_i, *attr_w;
+    Py_buffer lut, out_i, out_w;
+    Py_ssize_t width;
+    if (!PyArg_ParseTuple(args, "O!UUy*nw*w*", &PyList_Type, &rows,
+                          &attr_i, &attr_w, &lut, &width, &out_i, &out_w))
+        return NULL;
+    Py_ssize_t b = PyList_GET_SIZE(rows);
+    int ok = 0;
+    if (b > 0 && width > 0 && lut.len % 4 == 0 &&
+        out_i.len == out_w.len && out_i.len % (Py_ssize_t)(4 * b) == 0) {
+        Py_ssize_t q_m = out_i.len / (4 * b);
+        const int32_t *lut_p = (const int32_t *)lut.buf;
+        Py_ssize_t vocab = lut.len / 4;
+        ok = (q_m >= width);
+        for (Py_ssize_t i = 0; ok && i < b; i++) {
+            PyObject *row = PyList_GET_ITEM(rows, i);
+            PyObject *ids_o = PyObject_GetAttr(row, attr_i);
+            if (!ids_o) { ok = -1; break; }
+            PyObject *w_o = PyObject_GetAttr(row, attr_w);
+            if (!w_o) { Py_DECREF(ids_o); ok = -1; break; }
+            Py_buffer ids_v, w_v;
+            if (PyObject_GetBuffer(ids_o, &ids_v,
+                                   PyBUF_FORMAT | PyBUF_ND) < 0) {
+                PyErr_Clear(); Py_DECREF(ids_o); Py_DECREF(w_o);
+                ok = 0; break;
+            }
+            if (PyObject_GetBuffer(w_o, &w_v, PyBUF_FORMAT | PyBUF_ND) < 0) {
+                PyErr_Clear(); PyBuffer_Release(&ids_v);
+                Py_DECREF(ids_o); Py_DECREF(w_o);
+                ok = 0; break;
+            }
+            ok = ids_v.len == width * 4 && w_v.len == width * 4 &&
+                 ids_v.itemsize == 4 && w_v.itemsize == 4 &&
+                 ids_v.format && ids_v.format[0] == 'i' &&
+                 ids_v.format[1] == '\0' &&
+                 w_v.format && w_v.format[0] == 'i' &&
+                 w_v.format[1] == '\0' &&
+                 PyBuffer_IsContiguous(&ids_v, 'C') &&
+                 PyBuffer_IsContiguous(&w_v, 'C');
+            if (ok) {
+                const int32_t *tp = (const int32_t *)ids_v.buf;
+                const int32_t *wp = (const int32_t *)w_v.buf;
+                int32_t *oi = (int32_t *)out_i.buf + i * q_m;
+                float *ow = (float *)out_w.buf + i * q_m;
+                for (Py_ssize_t j = 0; j < width; j++) {
+                    int32_t t = tp[j], wv = wp[j];
+                    int32_t idx = (t >= 0 && t < vocab) ? lut_p[t] : -1;
+                    int live = idx >= 0 && wv > 0;
+                    oi[j] = live ? idx : 0;
+                    ow[j] = live ? (float)wv : 0.0f;
+                }
+                memset(oi + width, 0, (size_t)(q_m - width) * 4);
+                memset(ow + width, 0, (size_t)(q_m - width) * 4);
+            }
+            PyBuffer_Release(&ids_v);
+            PyBuffer_Release(&w_v);
+            Py_DECREF(ids_o);
+            Py_DECREF(w_o);
+        }
+    }
+    PyBuffer_Release(&lut);
+    PyBuffer_Release(&out_i);
+    PyBuffer_Release(&out_w);
+    if (ok < 0)
+        return NULL;
+    return PyBool_FromLong(ok);
+}
+
 static PyMethodDef methods[] = {
     {"build_runs", build_runs, METH_VARARGS,
      "Assemble a run dict (make_run semantics) at C speed."},
     {"stack_rows", stack_rows, METH_VARARGS,
      "Fill [B, W] int32 buffers from per-row array attributes."},
+    {"encode_terms", encode_terms, METH_VARARGS,
+     "Fused id-keyed query encode into padded [B, q_m] (idx, weight)."},
     {NULL, NULL, 0, NULL},
 };
 

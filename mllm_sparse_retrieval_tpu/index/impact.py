@@ -569,6 +569,19 @@ class ImpactIndex:
         if equal:
             flat_t = flat_w = None
             native = _hostops.get()
+            if native is not None and canonical_map is None:
+                # Fully fused C encode: stack + lut gather + OOV/weight
+                # masking + pad-fill in ONE pass over the row buffers
+                # (hostops.c encode_terms) — the whole equal-width encode
+                # below collapses to this call. False = some row isn't a
+                # contiguous int32 buffer; fall through to the numpy path.
+                q_m = _round_up(max(int(q_max), first_w, 1),
+                                _QUERY_WIDTH_PAD)
+                out_idx = np.empty((b, q_m), np.int32)
+                out_w = np.empty((b, q_m), np.float32)
+                if native.encode_terms(terms_list, "token_ids", "weights",
+                                       lut, first_w, out_idx, out_w):
+                    return out_idx, out_w
             if native is not None:
                 # C fill of the [B, W] arrays straight from the row
                 # buffers — the np.stack listcomp below was ~5 ms per

@@ -137,3 +137,41 @@ def test_encode_query_terms_native_path_bit_identical():
         impact_mod._hostops = real
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
+
+
+@needs_native
+def test_encode_terms_fused_qmax_and_canonical_parity():
+    """The fused C encode (hostops.encode_terms) must be bit-identical to
+    the numpy path under q_max pad widening, and a canonical_map must
+    bypass it (the C op doesn't implement the merge) while staying
+    bit-identical end to end."""
+    from mllm_sparse_retrieval_tpu.index import impact as impact_mod
+    from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+    from mllm_sparse_retrieval_tpu.sparse import SelectedTerms
+
+    rng = np.random.default_rng(3)
+    terms = 150
+    idx = ImpactIndex.from_packed_arrays(
+        rng.integers(0, terms, (25, 6)).astype(np.int32),
+        rng.integers(1, 30, (25, 6)).astype(np.float32),
+        term_keys=range(terms))
+    rows = [SelectedTerms(rng.integers(-5, terms + 40, 10).astype(np.int32),
+                          rng.integers(-2, 25, 10).astype(np.int32))
+            for _ in range(12)]
+    canon = np.arange(terms + 40, dtype=np.int64)
+    canon[terms // 2] = terms // 3      # fold one id into another
+
+    real = impact_mod._hostops
+    stub = type("stub", (), {"get": staticmethod(lambda: None)})
+    for kwargs in ({"q_max": 130}, {"canonical_map": canon},
+                   {"q_max": 130, "canonical_map": canon}):
+        got = idx.encode_query_terms(rows, **kwargs)
+        try:
+            impact_mod._hostops = stub
+            want = idx.encode_query_terms(rows, **kwargs)
+        finally:
+            impact_mod._hostops = real
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+        if "q_max" in kwargs:
+            assert got[0].shape[1] >= 130 and got[0].shape[1] % 64 == 0
