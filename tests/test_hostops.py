@@ -175,3 +175,44 @@ def test_encode_terms_fused_qmax_and_canonical_parity():
         np.testing.assert_array_equal(got[1], want[1])
         if "q_max" in kwargs:
             assert got[0].shape[1] >= 130 and got[0].shape[1] % 64 == 0
+
+
+@needs_native
+def test_encode_terms_adversarial_inputs():
+    """Edge cases straight at the C op: extreme/negative token ids vs a
+    tiny lut (bounds check), pad-region zero fill over poisoned buffers,
+    wrong-width rows / int64 rows / too-small outputs -> False (fallback),
+    missing attribute -> AttributeError."""
+    native = hostops.get()
+
+    class Row:
+        def __init__(self, i, w):
+            self.token_ids, self.weights = i, w
+
+    lut = np.array([3], np.int32)
+    rows = [Row(np.array([0, -1, 2**31 - 1, 5], np.int32),
+                np.array([1, 1, 1, 0], np.int32))]
+    oi = np.full((1, 64), -9, np.int32)
+    ow = np.full((1, 64), -9.0, np.float32)
+    assert native.encode_terms(rows, "token_ids", "weights", lut, 4, oi, ow)
+    assert oi[0, :4].tolist() == [3, 0, 0, 0]
+    assert ow[0, :4].tolist() == [1.0, 0.0, 0.0, 0.0]
+    assert (oi[0, 4:] == 0).all() and (ow[0, 4:] == 0).all()
+
+    bad = [Row(np.array([0], np.int32), np.array([1], np.int32))]
+    assert not native.encode_terms(bad, "token_ids", "weights", lut, 4,
+                                   oi, ow)
+    r64 = [Row(np.arange(4, dtype=np.int64), np.ones(4, np.int64))]
+    assert not native.encode_terms(r64, "token_ids", "weights", lut, 4,
+                                   oi, ow)
+    small_i = np.zeros((1, 2), np.int32)
+    small_w = np.zeros((1, 2), np.float32)
+    assert not native.encode_terms(rows, "token_ids", "weights", lut, 4,
+                                   small_i, small_w)
+
+    class NoAttr:
+        pass
+
+    with pytest.raises(AttributeError):
+        native.encode_terms([NoAttr()], "token_ids", "weights", lut, 4,
+                            oi, ow)
