@@ -284,6 +284,136 @@ encode_terms(PyObject *self, PyObject *args)
     return PyBool_FromLong(ok);
 }
 
+/* fuse_runs(runs, weights) -> {qid: {doc: fused}}
+ *
+ * Exact semantics (and accumulation ORDER — the doubles must stay
+ * bit-identical) of search.fusion.fuse: per query, per doc,
+ * sum_i weight_i * (score_i - min_i) / max(max_i - min_i, 1e-9) over the
+ * runs that contain (qid, doc); a qid or doc missing from a run
+ * contributes 0. `runs` is a list of {qid: {"docs": {...}, "min_score": m,
+ * "max_score": M}} dicts, `weights` a list of floats. Any shape surprise
+ * raises (TypeError/KeyError); the Python caller falls back. */
+static PyObject *
+fuse_runs(PyObject *self, PyObject *args)
+{
+    PyObject *runs, *weights;
+    if (!PyArg_ParseTuple(args, "O!O!", &PyList_Type, &runs,
+                          &PyList_Type, &weights))
+        return NULL;
+    Py_ssize_t n_runs = PyList_GET_SIZE(runs);
+    if (PyList_GET_SIZE(weights) < n_runs) {
+        PyErr_SetString(PyExc_ValueError, "fuse: weights shorter than runs");
+        return NULL;
+    }
+    double *w = (double *)PyMem_Malloc((size_t)(n_runs ? n_runs : 1) *
+                                       3 * sizeof(double));
+    PyObject **docs_i = (PyObject **)
+        PyMem_Malloc((size_t)(n_runs ? n_runs : 1) * sizeof(PyObject *));
+    if (!w || !docs_i) {
+        PyMem_Free(w); PyMem_Free(docs_i);
+        return PyErr_NoMemory();
+    }
+    double *lo = w + n_runs, *denom = w + 2 * n_runs;
+    PyObject *fused = NULL;
+    for (Py_ssize_t i = 0; i < n_runs; i++) {
+        w[i] = PyFloat_AsDouble(PyList_GET_ITEM(weights, i));
+        if (w[i] == -1.0 && PyErr_Occurred())
+            goto fail;
+        if (!PyDict_Check(PyList_GET_ITEM(runs, i))) {
+            PyErr_SetString(PyExc_TypeError, "fuse: runs must be dicts");
+            goto fail;
+        }
+    }
+    fused = PyDict_New();
+    if (!fused)
+        goto fail;
+
+    /* Union of qids in run order (doc/qid insertion order then matches the
+     * reference's per-run iteration; values are order-independent). */
+    for (Py_ssize_t r = 0; r < n_runs; r++) {
+        PyObject *run = PyList_GET_ITEM(runs, r);
+        PyObject *qid, *entry;
+        Py_ssize_t pos = 0;
+        while (PyDict_Next(run, &pos, &qid, &entry)) {
+            if (PyDict_Contains(fused, qid))
+                continue;
+            /* per-run (docs, lo, denom) for this qid */
+            for (Py_ssize_t i = 0; i < n_runs; i++) {
+                PyObject *e = PyDict_GetItem(PyList_GET_ITEM(runs, i), qid);
+                docs_i[i] = NULL;
+                if (!e)
+                    continue;
+                if (!PyDict_Check(e)) {
+                    PyErr_SetString(PyExc_TypeError,
+                                    "fuse: run entries must be dicts");
+                    goto fail;
+                }
+                PyObject *docs = PyDict_GetItemString(e, "docs");
+                PyObject *mn = PyDict_GetItemString(e, "min_score");
+                PyObject *mx = PyDict_GetItemString(e, "max_score");
+                if (!docs || !PyDict_Check(docs) || !mn || !mx) {
+                    PyErr_SetString(PyExc_TypeError,
+                                    "fuse: entry missing docs/min/max");
+                    goto fail;
+                }
+                double lo_v = PyFloat_AsDouble(mn);
+                double hi_v = PyFloat_AsDouble(mx);
+                if (PyErr_Occurred())
+                    goto fail;
+                double d = hi_v - lo_v;
+                docs_i[i] = docs;
+                lo[i] = lo_v;
+                denom[i] = d > 1e-9 ? d : 1e-9;
+            }
+            PyObject *out_docs = PyDict_New();
+            if (!out_docs || PyDict_SetItem(fused, qid, out_docs) < 0) {
+                Py_XDECREF(out_docs);
+                goto fail;
+            }
+            for (Py_ssize_t i = 0; i < n_runs; i++) {
+                if (!docs_i[i])
+                    continue;
+                PyObject *doc, *sv;
+                Py_ssize_t dpos = 0;
+                while (PyDict_Next(docs_i[i], &dpos, &doc, &sv)) {
+                    int has = PyDict_Contains(out_docs, doc);
+                    if (has < 0) { Py_DECREF(out_docs); goto fail; }
+                    if (has)
+                        continue;
+                    double score = 0.0;
+                    for (Py_ssize_t j = 0; j < n_runs; j++) {
+                        if (!docs_i[j])
+                            continue;
+                        PyObject *s = PyDict_GetItem(docs_i[j], doc);
+                        if (!s)
+                            continue;
+                        double sd = PyFloat_AsDouble(s);
+                        if (sd == -1.0 && PyErr_Occurred()) {
+                            Py_DECREF(out_docs);
+                            goto fail;
+                        }
+                        score += w[j] * ((sd - lo[j]) / denom[j]);
+                    }
+                    PyObject *sf = PyFloat_FromDouble(score);
+                    int rc = sf ? PyDict_SetItem(out_docs, doc, sf) : -1;
+                    Py_XDECREF(sf);
+                    if (rc < 0) { Py_DECREF(out_docs); goto fail; }
+                }
+            }
+            Py_DECREF(out_docs);
+        }
+    }
+    PyMem_Free(w);
+    PyMem_Free(docs_i);
+    return fused;
+
+fail:
+    PyMem_Free(w);
+    PyMem_Free(docs_i);
+    Py_XDECREF(fused);
+    return NULL;
+}
+
 static PyMethodDef methods[] = {
     {"build_runs", build_runs, METH_VARARGS,
      "Assemble a run dict (make_run semantics) at C speed."},
@@ -291,6 +421,8 @@ static PyMethodDef methods[] = {
      "Fill [B, W] int32 buffers from per-row array attributes."},
     {"encode_terms", encode_terms, METH_VARARGS,
      "Fused id-keyed query encode into padded [B, q_m] (idx, weight)."},
+    {"fuse_runs", fuse_runs, METH_VARARGS,
+     "Weighted min-max run fusion (search.fusion.fuse semantics)."},
     {NULL, NULL, 0, NULL},
 };
 

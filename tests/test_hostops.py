@@ -216,3 +216,79 @@ def test_encode_terms_adversarial_inputs():
     with pytest.raises(AttributeError):
         native.encode_terms([NoAttr()], "token_ids", "weights", lut, 4,
                             oi, ow)
+
+
+def test_fuse_runs_native_bit_parity():
+    """hostops.fuse_runs must produce BIT-identical doubles to the Python
+    fuse() body across: overlapping/disjoint docs, asymmetric qids, int
+    scores, zero-range runs (denominator floor), negative weights, and >2
+    runs. Also: surprising entry shapes raise TypeError inside C and fall
+    back to Python transparently via fuse()."""
+    import random
+
+    from mllm_sparse_retrieval_tpu.search import fusion as fusion_mod
+    from mllm_sparse_retrieval_tpu.search.fusion import fuse
+
+    rng = random.Random(7)
+
+    def rand_run(n_q, present=1.0, int_scores=False, flat=False):
+        run = {}
+        for q in range(n_q):
+            if rng.random() > present:
+                continue
+            docs = {}
+            for d in rng.sample(range(40), rng.randint(0, 12)):
+                s = rng.randint(0, 500) if int_scores else \
+                    rng.uniform(-3, 9)
+                docs[f"d{d}"] = s
+            vals = list(docs.values())
+            if flat and vals:          # zero-range -> 1e-9 denominator
+                docs = {k: vals[0] for k in docs}
+                vals = list(docs.values())
+            run[f"q{q}"] = {
+                "docs": docs,
+                "min_score": float(min(vals)) if vals else 0.0,
+                "max_score": float(max(vals)) if vals else 0.0,
+            }
+        return run
+
+    cases = [
+        ([rand_run(10), rand_run(10)], [0.3, 0.7]),
+        ([rand_run(8, present=0.6), rand_run(8, present=0.7)], [0.5, 0.5]),
+        ([rand_run(6, int_scores=True), rand_run(6)], [1.0, -0.25]),
+        ([rand_run(5, flat=True), rand_run(5)], [0.4, 0.6]),
+        ([rand_run(4), rand_run(4), rand_run(4, present=0.5)],
+         [0.2, 0.3, 0.5]),
+        ([rand_run(3), {}], [0.9, 0.1]),
+    ]
+    real = hostops.get()
+    assert real is not None
+    stub = type("stub", (), {"get": staticmethod(lambda: None)})
+    for runs, weights in cases:
+        got = fuse(runs, weights)
+        try:
+            fusion_mod._hostops = stub
+            want = fuse(runs, weights)
+        finally:
+            fusion_mod._hostops = hostops
+        assert set(got) == set(want)
+        for qid in want:
+            assert got[qid] == want[qid], f"fused values differ for {qid}"
+
+    # malformed entry -> C raises TypeError -> fuse() falls back silently
+    bad = [{"q0": {"docs": "not-a-dict", "min_score": 0.0,
+                   "max_score": 1.0}}]
+    try:
+        fusion_mod._hostops = stub
+        want_err = None
+        try:
+            fuse(bad, [1.0])
+        except Exception as e:
+            want_err = type(e)
+    finally:
+        fusion_mod._hostops = hostops
+    if want_err is None:
+        fuse(bad, [1.0])     # must not raise if Python path doesn't
+    else:
+        with pytest.raises(want_err):
+            fuse(bad, [1.0])
