@@ -13,11 +13,14 @@ Semantics match /root/reference/src/hybrid.py:
 
 from __future__ import annotations
 
+import operator
 from dataclasses import dataclass
 from typing import Dict, List, Sequence
 
 from mllm_sparse_retrieval_tpu import hostops as _hostops
 from mllm_sparse_retrieval_tpu.search.runs import Run
+
+_SCORE = operator.itemgetter(1)  # C-speed sort key for depth-1000 rows
 
 
 @dataclass
@@ -45,7 +48,7 @@ def write_trec_run(run: Run, path: str, name: str = "fusion") -> None:
             doc_score = run[qid]
             if isinstance(doc_score, dict) and "docs" in doc_score:
                 doc_score = doc_score["docs"]
-            ordered = sorted(doc_score.items(), key=lambda kv: kv[1], reverse=True)
+            ordered = sorted(doc_score.items(), key=_SCORE, reverse=True)
             for i, (doc, score) in enumerate(ordered):
                 f.write(f"{qid} Q0 {doc} {i + 1} {score} {name}\n")
 
