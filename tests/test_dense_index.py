@@ -293,3 +293,24 @@ def test_q8_zero_rows_are_harmless():
     assert np.isfinite(s).all()
     assert s[0].tolist() == [0.0, 0.0, 0.0]
     assert s[1, 0] == 2.0  # q[1] . c[0]
+
+
+def test_q8_program_lowers_to_int8_dot():
+    """The SQ8 scoring program must keep the matmul as an s8 x s8 -> s32
+    dot_general — an upcast to f32 would silently forfeit the int8 MXU
+    rate (and the HBM-traffic claim) on TPU. Checked on the lowered
+    StableHLO, which is backend-independent."""
+    import jax
+
+    from mllm_sparse_retrieval_tpu.ops.mips import mips_topk_packed_q8
+
+    q8 = jnp.zeros((16, 64), jnp.int8)
+    qs = jnp.zeros((16,), jnp.float32)
+    c8 = jnp.zeros((128, 64), jnp.int8)
+    rs = jnp.zeros((128,), jnp.float32)
+    txt = jax.jit(mips_topk_packed_q8, static_argnames=("k",)).lower(
+        q8, qs, c8, rs, k=5).as_text()
+    dots = [l for l in txt.splitlines() if "dot_general" in l]
+    assert dots, "no dot_general in the SQ8 program"
+    assert any("i8" in d and "i32" in d for d in dots), \
+        f"int8 dot upcast detected: {dots}"
