@@ -6,5 +6,7 @@ from mllm_sparse_retrieval_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
 )
+from mllm_sparse_retrieval_tpu.parallel.pp import PIPE_AXIS, make_pp_mesh
 
-__all__ = ["DATA_AXIS", "MODEL_AXIS", "make_mesh", "shard_batch"]
+__all__ = ["DATA_AXIS", "MODEL_AXIS", "PIPE_AXIS", "make_mesh",
+           "make_pp_mesh", "shard_batch"]

@@ -1,0 +1,231 @@
+"""GPipe-style pipeline parallelism over stacked homogeneous decoder blocks.
+
+TPU-native pipelining: the decoder's blocks are stacked along a leading
+layer axis and sharded over a ``pipe`` mesh axis, so each device holds a
+contiguous stage of ``n_layers / n_stages`` blocks. A ``shard_map`` runs the
+classic GPipe schedule — ``n_microbatches + n_stages - 1`` ticks of
+(compute stage, ``ppermute`` activations one stage forward) inside a single
+``lax.scan`` — and XLA lowers the shifts onto ICI. The whole schedule is
+differentiable (``ppermute`` transposes to the reverse shift), so one
+``jax.grad`` gives pipelined backprop with the same bubble structure.
+
+The reference outsources pipelining to DeepSpeed's engine (its ds_configs
+use ZeRO only, so this exceeds reference parity); the capability slot it
+fills is ``/root/reference/ds_configs`` + ``src/train.py:41-57`` scale-out.
+Composes with the data axis (microbatches shard over ``data``, stages over
+``pipe``): see ``make_pp_mesh`` and the dp x pp leg in
+``__graft_entry__.dryrun_multichip``.
+
+Design notes
+------------
+- Stage order == layer order: a ``P('pipe')`` sharding of the stacked
+  ``[L, ...]`` leaves gives device ``s`` rows ``[s*L/S, (s+1)*L/S)``.
+- Garbage lanes: at tick ``t`` stage ``s`` computes microbatch ``t - s``;
+  out-of-range lanes compute on stale data but their outputs never reach
+  the last stage inside the valid output window ``[S-1, S-1+M)``, so they
+  only cost bubble FLOPs (the standard GPipe bubble ``(S-1)/(M+S-1)``).
+- Per-microbatch constants (attention masks, per-sample RoPE tables) are
+  indexed by the *local* microbatch id ``clip(t - stage, 0, M-1)`` so each
+  stage applies the mask belonging to the activation it holds.
+- The flash-attention kernel is not used inside the schedule (its own
+  shard_map cannot nest here); training microbatches are short, so the
+  masked XLA attention is the right tool anyway.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
+
+PIPE_AXIS = "pipe"
+
+
+def make_pp_mesh(
+    pipeline_parallel: int,
+    data_parallel: int = -1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-D ``(data, pipe)`` mesh; ``data_parallel=-1`` takes the rest."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if pipeline_parallel <= 0:
+        raise ValueError("pipeline_parallel must be >= 1")
+    if data_parallel == -1:
+        if n % pipeline_parallel != 0:
+            raise ValueError(f"{n} devices not divisible by "
+                             f"pipeline_parallel={pipeline_parallel}")
+        data_parallel = n // pipeline_parallel
+    if data_parallel * pipeline_parallel != n:
+        raise ValueError(
+            f"data_parallel*pipeline_parallel = "
+            f"{data_parallel * pipeline_parallel} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data_parallel, pipeline_parallel)
+    return Mesh(dev_array, (DATA_AXIS, PIPE_AXIS))
+
+
+def stack_block_params(blocks: Sequence[Dict]) -> Dict:
+    """Stack a homogeneous per-layer param list into ``[L, ...]`` leaves."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def unstack_block_params(stacked: Dict, n_layers: int) -> list:
+    """Inverse of :func:`stack_block_params`."""
+    return [jax.tree_util.tree_map(lambda x, i=i: x[i], stacked)
+            for i in range(n_layers)]
+
+
+def pipeline_apply(
+    stacked_blocks: Any,
+    x_mb: jax.Array,               # [M, mb, ...] microbatched activations
+    mb_consts: Any,                # pytree with leading [M, ...] per leaf
+    block_fn: Callable,            # (x, blk, consts_m) -> x
+    mesh: Mesh,
+    *,
+    consts_batched: Any = None,    # pytree of bool: leaf axis 1 is batch
+    check_divisible: bool = True,
+) -> jax.Array:
+    """Run the GPipe schedule; returns activations shaped like ``x_mb``.
+
+    ``stacked_blocks``: block params stacked ``[L, ...]`` (layer-major).
+    ``mb_consts``: per-microbatch constants (masks, RoPE tables) carried
+    alongside — every leaf's axis 0 is the microbatch axis ``M``; leaves
+    that are shared across microbatches should be broadcast by the caller.
+    ``block_fn(x, blk, consts_m)`` applies ONE block (leaves of ``blk`` have
+    the layer axis stripped).
+    """
+    n_stages = mesh.shape[PIPE_AXIS]
+    n_micro = x_mb.shape[0]
+    layer_leaves = jax.tree_util.tree_leaves(stacked_blocks)
+    n_layers = layer_leaves[0].shape[0]
+    if check_divisible and n_layers % n_stages != 0:
+        raise ValueError(f"{n_layers} layers not divisible by "
+                         f"{n_stages} pipeline stages")
+
+    blocks_spec = jax.tree_util.tree_map(lambda _: P(PIPE_AXIS),
+                                         stacked_blocks)
+    data_ok = x_mb.shape[1] % mesh.shape[DATA_AXIS] == 0
+    data_ax = DATA_AXIS if (mesh.shape[DATA_AXIS] > 1 and data_ok) else None
+    x_spec = P(None, data_ax)
+    if consts_batched is None:
+        # default: a const leaf rides the data axis iff its axis 1 is the
+        # microbatch dim — callers with ambiguous shapes pass the map
+        consts_batched = jax.tree_util.tree_map(
+            lambda c: np.ndim(c) >= 2 and c.shape[1] == x_mb.shape[1],
+            mb_consts)
+    consts_spec = jax.tree_util.tree_map(
+        lambda batched: P(None, data_ax) if batched else P(),
+        consts_batched)
+
+    def _mapped(blocks_local, x_local, consts_local):
+        stage = lax.axis_index(PIPE_AXIS)
+
+        def stage_fn(x, m):
+            consts_m = jax.tree_util.tree_map(
+                lambda c: lax.dynamic_index_in_dim(c, m, 0, keepdims=False),
+                consts_local)
+
+            def body(carry, blk):
+                return block_fn(carry, blk, consts_m), None
+
+            x, _ = lax.scan(body, x, blocks_local)
+            return x
+
+        def tick(carry, t):
+            x = carry
+            m = jnp.clip(t - stage, 0, n_micro - 1)
+            y = stage_fn(x, m)
+            if n_stages > 1:
+                y_next = lax.ppermute(
+                    y, PIPE_AXIS, [(i, i + 1) for i in range(n_stages - 1)])
+            else:
+                y_next = y
+            feed = lax.dynamic_index_in_dim(
+                x_local, jnp.clip(t + 1, 0, n_micro - 1), 0, keepdims=False)
+            x_new = jnp.where(stage == 0, feed, y_next)
+            return x_new, y
+
+        ticks = jnp.arange(n_micro + n_stages - 1)
+        _, ys = lax.scan(tick, x_local[0], ticks)
+        out = ys[n_stages - 1:n_stages - 1 + n_micro]
+        if n_stages > 1:
+            # broadcast the last stage's outputs to every pipe rank
+            out = lax.psum(jnp.where(stage == n_stages - 1, out, 0.0),
+                           PIPE_AXIS)
+        return out
+
+    from jax import shard_map
+    fn = shard_map(_mapped, mesh=mesh,
+                   in_specs=(blocks_spec, x_spec, consts_spec),
+                   out_specs=x_spec, check_vma=False)
+    return fn(stacked_blocks, x_mb, mb_consts)
+
+
+def apply_pipelined(
+    params: Dict,
+    inputs_embeds: jax.Array,      # [B, T, H]
+    attention_mask: jax.Array,     # [B, T]
+    cfg,                           # models.llama.LlamaConfig
+    mesh: Mesh,
+    n_microbatches: int,
+    lora: Optional[Dict] = None,
+    stacked: Optional[Dict] = None,
+    lora_stacked: Optional[Dict] = None,
+) -> jax.Array:
+    """Pipelined equivalent of ``models.llama.apply`` (standard RoPE path).
+
+    ``B`` must divide into ``n_microbatches`` equal microbatches whose size
+    divides the mesh's data axis. Pass ``stacked``/``lora_stacked`` (from
+    :func:`stack_block_params`) to differentiate w.r.t. the stacked leaves
+    directly — e.g. the full-finetune pipeline training step in
+    ``__graft_entry__.dryrun_multichip``; otherwise the per-layer lists in
+    ``params['blocks']`` / ``lora['blocks']`` are stacked here.
+    """
+    from mllm_sparse_retrieval_tpu.models import layers as L
+    from mllm_sparse_retrieval_tpu.models import llama
+
+    b, t, _ = inputs_embeds.shape
+    if b % n_microbatches != 0:
+        raise ValueError(f"batch {b} not divisible by "
+                         f"n_microbatches={n_microbatches}")
+    mb = b // n_microbatches
+    cos, sin = llama.rope_tables(cfg, t)
+
+    if stacked is None:
+        stacked = stack_block_params(params["blocks"])
+    if lora_stacked is None and lora is not None and lora.get("blocks"):
+        blist = lora["blocks"]
+        if all(bl for bl in blist):
+            lora_stacked = stack_block_params(blist)
+
+    mask = L.causal_padding_mask(attention_mask)
+    mask_mb = mask.reshape((n_microbatches, mb) + mask.shape[1:])
+    x_mb = inputs_embeds.reshape(n_microbatches, mb, t, -1)
+    consts = {"mask": mask_mb,
+              "cos": jnp.broadcast_to(cos, (n_microbatches,) + cos.shape),
+              "sin": jnp.broadcast_to(sin, (n_microbatches,) + sin.shape)}
+
+    if lora_stacked is not None:
+        blocks_in = {"p": stacked, "lora": lora_stacked}
+
+        def block_fn(x, blk, c):
+            return llama._block(x, blk["p"], cfg, c["mask"], c["cos"],
+                                c["sin"], blk["lora"])
+    else:
+        blocks_in = stacked
+
+        def block_fn(x, blk, c):
+            return llama._block(x, blk, cfg, c["mask"], c["cos"], c["sin"])
+
+    y_mb = pipeline_apply(blocks_in, x_mb, consts, block_fn, mesh,
+                          consts_batched={"mask": True, "cos": False,
+                                          "sin": False})
+    y = y_mb.reshape(b, t, -1)
+    return L.rmsnorm(y, params["final_norm"], cfg.rms_eps)
