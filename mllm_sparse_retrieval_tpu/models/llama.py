@@ -80,7 +80,11 @@ def init_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Dict:
 
 def _block(x, p, cfg: LlamaConfig, mask, cos, sin,
            lora: Optional[Dict] = None, flash_mask=None, lora_rng=None,
-           *, lora_dropout: float = 0.0, flash_mesh=None):
+           *, lora_dropout: float = 0.0, flash_mesh=None, attn_impl=None):
+    """One decoder block. ``attn_impl(q, k, v) -> [B, T, Hq, Dh]`` overrides
+    the attention computation (sequence-parallel ring attention passes the
+    collective form here, parallel/sp.py); ``mask``/``flash_mask`` are then
+    unused — the impl owns masking."""
     b, t, h = x.shape
     dh = cfg.head_dim
     lget = (lambda name: lora.get(name) if lora else None)
@@ -101,7 +105,9 @@ def _block(x, p, cfg: LlamaConfig, mask, cos, sin,
     v = ld(y, "v", "v").reshape(b, t, cfg.num_kv_heads, dh)
     q = L.apply_rope(q, cos, sin)
     k = L.apply_rope(k, cos, sin)
-    if flash_mask is not None:
+    if attn_impl is not None:
+        attn = attn_impl(q, k, v)
+    elif flash_mask is not None:
         attn = L.flash_causal_attention(q, k, v, flash_mask,
                                         mesh=flash_mesh)
     else:
