@@ -349,6 +349,25 @@ def bench_hybrid_leg(doc_terms, doc_weights, q_idx, q_w):
         f"x{host_ms / full_ms:.1f}); out_depth {out_k}: {trunc_ms:.0f} "
         f"ms/batch ({batch / trunc_ms * 1e3:.0f} QPS, "
         f"x{host_ms / trunc_ms:.1f})")
+
+    # sparse-only deep-depth wire A/B: at depth 1000 the packed [B, 2k]
+    # i32 result is 8 MB/batch — the fetch, not compute, bounds this leg
+    # on thin links; the opt-in compact48 wire ships 6 MB (ops/packing.py)
+    sparse_batches = [(np.roll(qi, r, axis=0), np.roll(qw, r, axis=0))
+                      for r in range(rounds)]
+
+    def run_sparse(wire):
+        for _ in impact.search_encoded_stream(sparse_batches, depth,
+                                              backend="taat", wire=wire):
+            pass
+
+    for wire in ("i32", "compact48"):
+        run_sparse(wire)                         # warm / compile
+        t0 = time.time()
+        run_sparse(wire)
+        ms = (time.time() - t0) / rounds * 1e3
+        log(f"  sparse depth-{depth} wire={wire}: {ms:.0f} ms/batch "
+            f"({batch / ms * 1e3:.0f} QPS)")
     impact.drop_device_cache()
 
 

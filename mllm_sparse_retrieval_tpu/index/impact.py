@@ -759,16 +759,24 @@ class ImpactIndex:
         depth: int,
         mesh=None,
         backend: str = "auto",
+        wire: str = "i32",
     ) -> Tuple[List[List[float]], List[List[str]]]:
         """Search pre-encoded padded query arrays (see ``encode_queries``).
 
         The low-level entry used by the engine and the benchmark; term ids
         are this index's compact ids (column of ``doc_terms``), padding
         entries have weight 0.
+
+        ``wire='compact48'`` opts into the 6-byte/result device->host
+        format (``ops.packing.pack_topk48``): 25% fewer fetch bytes, the
+        dominant cost of deep-depth searches on thin links. Requires
+        integer doc AND query weights (scores stay in the same < 2^24
+        envelope f32 exactness already needs); single-chip only.
         """
         from mllm_sparse_retrieval_tpu.ops.stream import pipeline_dispatch
 
-        plan = self._search_plan(mesh, backend, depth)
+        plan = self._search_plan(mesh, backend, depth, wire)
+        self._check_wire(plan, q_w)
         out_s: List[List[float]] = []
         out_i: List[List[str]] = []
 
@@ -778,7 +786,7 @@ class ImpactIndex:
 
         def resolve(handle):
             packed, take = handle
-            s_c, i_c = self._resolve_encoded(packed, take)
+            s_c, i_c = self._resolve_encoded(packed, take, plan["wire"])
             out_s.extend(s_c)
             out_i.extend(i_c)
 
@@ -796,9 +804,11 @@ class ImpactIndex:
         mesh=None,
         backend: str = "auto",
         lookahead: int = 3,
+        wire: str = "i32",
     ):
         """Pipelined batch search: yields one ``(scores, ids)`` pair per
-        input batch (same semantics as ``search_encoded``), keeping up to
+        input batch (same semantics as ``search_encoded``, including the
+        opt-in ``wire='compact48'`` fetch format), keeping up to
         ``lookahead`` device programs in flight ahead of the consumer.
 
         JAX dispatch is asynchronous, so while the device scores batch r the
@@ -810,11 +820,12 @@ class ImpactIndex:
         """
         from mllm_sparse_retrieval_tpu.ops.stream import pipeline_dispatch
 
-        plan = self._search_plan(mesh, backend, depth)
+        plan = self._search_plan(mesh, backend, depth, wire)
 
         def submit():
             seq = 0
             for q_idx, q_w in batches:
+                self._check_wire(plan, q_w)
                 chunks = list(self._chunk_queries(plan, q_idx, q_w))
                 for ci, (chunk_i, chunk_w, take) in enumerate(chunks):
                     yield (chunk_i, chunk_w, take, ci == len(chunks) - 1,
@@ -843,7 +854,7 @@ class ImpactIndex:
                 f"stream resolved chunk {seq} out of order "
                 f"(expected {expect_seq})")
             expect_seq += 1
-            s_c, i_c = self._resolve_encoded(packed, take)
+            s_c, i_c = self._resolve_encoded(packed, take, plan["wire"])
             out_s.extend(s_c)
             out_i.extend(i_c)
             if last:
@@ -855,7 +866,8 @@ class ImpactIndex:
         yield from pipeline_dispatch(submit(), dispatch, resolve, lookahead)
 
     # ---- search internals (plan / dispatch / resolve) ------------------------
-    def _search_plan(self, mesh, backend: str, depth: int) -> dict:
+    def _search_plan(self, mesh, backend: str, depth: int,
+                     wire: str = "i32") -> dict:
         """Resolve backend + device matrix + chunk budget once per search."""
         if backend == "auto":
             backend = "taat" if jax.default_backend() == "tpu" else "matmul"
@@ -863,6 +875,16 @@ class ImpactIndex:
             raise ValueError(
                 f"unknown impact backend {backend!r}: expected 'auto', "
                 f"'taat', or 'matmul'")
+        if wire not in ("i32", "compact48"):
+            raise ValueError(f"unknown wire {wire!r}: 'i32' or 'compact48'")
+        if wire == "compact48":
+            if mesh is not None:
+                raise ValueError("wire='compact48' is single-chip only "
+                                 "(the sharded programs keep the i32 wire)")
+            if not self._int16_exact():
+                raise ValueError(
+                    "wire='compact48' needs integer doc weights < 2^15 "
+                    "(scores must be integers for the 24-bit lane)")
         # Two TAAT variants were built, measured, and DELETED: a shared-row
         # kernel (round 4 — one DMA per DISTINCT tile term; 206-258 ms/batch
         # vs plain taat's 86-92 even on its best-case high-duplication
@@ -887,7 +909,16 @@ class ImpactIndex:
         per_query = (n_pad // shards) * 4 * 6
         max_b = max(8, int(score_budget // max(per_query, 1)) // 8 * 8)
         return dict(backend=backend, dev=dev, mesh=mesh, max_b=max_b,
-                    k=min(depth, self._n_valid))
+                    k=min(depth, self._n_valid), wire=wire)
+
+    def _check_wire(self, plan, q_w) -> None:
+        """compact48 wire precondition on the query side: integer weights
+        (integer x integer scores land on the 24-bit score lane exactly)."""
+        if plan["wire"] != "compact48" or q_w.size == 0:
+            return
+        if not np.all(q_w == np.rint(q_w)):
+            raise ValueError("wire='compact48' needs integer query weights "
+                             "(got fractional values)")
 
     def _chunk_queries(self, plan, q_idx, q_w):
         """Split a batch into dispatchable chunks: (chunk_i, chunk_w, take)
@@ -945,7 +976,9 @@ class ImpactIndex:
                     q_idx, q_w = compact
                 q_idx = jax.device_put(q_idx)
                 q_w = jax.device_put(q_w)
-                return _taat_topk(dev, q_idx, q_w, self._n_valid, k)
+                fn = _taat_topk48 if plan["wire"] == "compact48" \
+                    else _taat_topk
+                return fn(dev, q_idx, q_w, self._n_valid, k)
             q_idx, q_w = (replicated(mesh, q_idx), replicated(mesh, q_w))
             return _sharded_taat_topk(mesh, dev, q_idx, q_w,
                                       self._n_valid, k)
@@ -955,11 +988,13 @@ class ImpactIndex:
                 q_idx, q_w = compact
             q_idx = jax.device_put(q_idx)
             q_w = jax.device_put(q_w)
-            return _impact_topk(dev, q_idx, q_w, self._n_valid, k)
+            fn = _impact_topk48 if plan["wire"] == "compact48" \
+                else _impact_topk
+            return fn(dev, q_idx, q_w, self._n_valid, k)
         q_idx, q_w = (replicated(mesh, q_idx), replicated(mesh, q_w))
         return _sharded_impact_topk(mesh, dev, q_idx, q_w, self._n_valid, k)
 
-    def _resolve_encoded(self, packed_dev, b
+    def _resolve_encoded(self, packed_dev, b, wire: str = "i32"
                          ) -> Tuple[List[List[float]], List[List[str]]]:
         """Host sync + ragged conversion (zero-score docs dropped).
 
@@ -969,7 +1004,8 @@ class ImpactIndex:
         more than the kernel itself). Fancy-indexing a cached doc-id array
         and trimming only rows that actually contain zero scores keeps it
         ~5 ms."""
-        scores, idx = _unpack_results(np.asarray(packed_dev)[:b])
+        unpack = _unpack_results48 if wire == "compact48" else _unpack_results
+        scores, idx = unpack(np.asarray(packed_dev)[:b])
         # cache keyed on the list OBJECT (invalidated explicitly in add()):
         # a same-length replacement of the public ``doc_ids`` must not serve
         # stale ids. ``doc_ids`` is immutable after the first search —
@@ -1068,7 +1104,9 @@ class ImpactIndex:
 # Jitted device programs live in ops/score_programs (a stable leaf module:
 # line shifts HERE must not re-key the minutes-long Pallas compiles there).
 from mllm_sparse_retrieval_tpu.ops.score_programs import (  # noqa: E402
-    _impact_topk, _masked_topk, _pack_results, _query_table, _scatter_block,
-    _scores_from_matrix, _sharded_impact_topk, _sharded_merge_topk,
-    _sharded_taat_topk, _sharded_topk_fn, _taat_scores, _taat_topk,
-    _unpack_results)
+    _impact_topk, _impact_topk48, _masked_topk, _pack_results, _query_table,
+    _scatter_block, _scores_from_matrix, _sharded_impact_topk,
+    _sharded_merge_topk, _sharded_taat_topk, _sharded_topk_fn, _taat_scores,
+    _taat_topk, _taat_topk48, _unpack_results)
+from mllm_sparse_retrieval_tpu.ops.packing import (  # noqa: E402
+    unpack_topk48 as _unpack_results48)

@@ -191,3 +191,31 @@ def _sharded_taat_topk(mesh, matrix, q_idx, q_w, n_valid, k):
     fn = _sharded_topk_fn(mesh, shard_cols, n_valid, k, "taat")
     return fn(matrix, q_idx, q_w)
 
+
+
+# ---- compact wire variants (round 6) ----------------------------------------
+# Appended AFTER the existing programs on purpose: the jit-traced op
+# locations of the functions above feed the persistent-compile-cache key,
+# and keeping their line numbers stable keeps the already-compiled taat /
+# matmul programs warm on the relay (see CLAUDE.md on Mosaic compile cost).
+from mllm_sparse_retrieval_tpu.ops.packing import (  # noqa: E402
+    pack_topk48 as _pack_results48)
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "k"))
+def _impact_topk48(matrix, q_idx, q_w, n_valid, k):
+    """`_impact_topk` with the 6-byte/result compact wire (integer scores
+    only — see ops.packing.pack_topk48)."""
+    q_idx = q_idx.astype(jnp.int32)
+    q_w = q_w.astype(jnp.float32)
+    return _pack_results48(*_masked_topk(
+        _scores_from_matrix(matrix, q_idx, q_w), n_valid, k))
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "k"))
+def _taat_topk48(matrix, q_idx, q_w, n_valid, k):
+    """`_taat_topk` with the 6-byte/result compact wire."""
+    q_idx = q_idx.astype(jnp.int32)
+    q_w = q_w.astype(jnp.float32)
+    return _pack_results48(*_masked_topk(
+        _taat_scores(matrix, q_idx, q_w), n_valid, k))

@@ -527,3 +527,69 @@ def test_unknown_backend_rejected():
         index.search([{"a": 1}], depth=5, backend="taat-split")
     with pytest.raises(ValueError, match="unknown impact backend"):
         index.search([{"a": 1}], depth=5, backend="taat-shared")
+
+
+def test_compact48_wire_matches_i32():
+    """Opt-in compact wire: identical (score, id) results vs the i32 wire,
+    including rows with fewer valid docs than depth, scores > 2^16, and a
+    corpus large enough to exercise the idx hi lane (> 2^16 docs)."""
+    rng = np.random.default_rng(11)
+    n_docs, n_terms, k_terms = 70_000, 40, 4
+    doc_t = rng.integers(0, n_terms, size=(n_docs, k_terms)).astype(np.int32)
+    doc_w = rng.integers(1, 300, size=(n_docs, k_terms)).astype(np.float32)
+    index = ImpactIndex.from_packed_arrays(doc_t, doc_w,
+                                           term_keys=range(n_terms))
+    q_i = rng.integers(0, n_terms, size=(32, 6)).astype(np.int32)
+    q_w = rng.integers(1, 300, size=(32, 6)).astype(np.float32)
+    q_w[3, 1:] = 0                   # short query
+    s_a, i_a = index.search_encoded(q_i, q_w, 25, backend="matmul")
+    s_b, i_b = index.search_encoded(q_i, q_w, 25, backend="matmul",
+                                    wire="compact48")
+    assert s_a == s_b
+    for ra, rb, sa in zip(i_a, i_b, s_a):
+        # ties may reorder within equal scores; compare (score, id) sets
+        assert sorted(zip(sa, ra)) == sorted(zip(sa, rb))
+    # scores actually exercised the hi lane
+    assert max(max(r) for r in s_a) > 65536
+    # idx hi lane exercised: some returned doc position >= 2^16
+    assert any(int(d) >= 65536 for row in i_b for d in row)
+
+
+def test_compact48_wire_guards():
+    rng = np.random.default_rng(12)
+    doc_t = rng.integers(0, 20, size=(50, 3)).astype(np.int32)
+    doc_w = rng.integers(1, 90, size=(50, 3)).astype(np.float32)
+    index = ImpactIndex.from_packed_arrays(doc_t, doc_w, term_keys=range(20))
+    q_i = rng.integers(0, 20, size=(4, 3)).astype(np.int32)
+    q_w = rng.integers(1, 50, size=(4, 3)).astype(np.float32)
+    with pytest.raises(ValueError):   # fractional query weights
+        index.search_encoded(q_i, q_w + 0.5, 5, backend="matmul",
+                              wire="compact48")
+    with pytest.raises(ValueError):   # unknown wire name
+        index.search_encoded(q_i, q_w, 5, backend="matmul", wire="zstd")
+    # fractional DOC weights: index rejects the compact wire outright
+    frac = ImpactIndex.from_packed_arrays(doc_t, doc_w + 0.5,
+                                          term_keys=range(20))
+    with pytest.raises(ValueError):
+        frac.search_encoded(q_i, q_w, 5, backend="matmul", wire="compact48")
+
+
+def test_compact48_wire_stream():
+    rng = np.random.default_rng(13)
+    doc_t = rng.integers(0, 30, size=(200, 4)).astype(np.int32)
+    doc_w = rng.integers(1, 200, size=(200, 4)).astype(np.float32)
+    index = ImpactIndex.from_packed_arrays(doc_t, doc_w, term_keys=range(30))
+    batches = []
+    for _ in range(3):
+        q_i = rng.integers(0, 30, size=(16, 5)).astype(np.int32)
+        q_w = rng.integers(1, 200, size=(16, 5)).astype(np.float32)
+        batches.append((q_i, q_w))
+    ref = [index.search_encoded(qi, qw, 7, backend="matmul")
+           for qi, qw in batches]
+    got = list(index.search_encoded_stream(iter(batches), 7,
+                                           backend="matmul",
+                                           wire="compact48"))
+    for (rs, ri), (gs, gi) in zip(ref, got):
+        assert rs == gs
+        for sa, ra, rb in zip(rs, ri, gi):
+            assert sorted(zip(sa, ra)) == sorted(zip(sa, rb))
