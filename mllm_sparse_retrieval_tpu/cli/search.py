@@ -36,6 +36,12 @@ def main(argv=None):
                         choices=["auto", "taat", "matmul"],
                         help="sparse scoring backend (auto = Pallas TAAT "
                              "kernel on TPU, MXU matmul elsewhere)")
+    parser.add_argument("--impact-wire", default="i32",
+                        choices=["i32", "compact48"],
+                        help="sparse result fetch format: 'compact48' ships "
+                             "6 bytes per (score, id) pair instead of 8 "
+                             "(integer weights only; wins on thin "
+                             "device->host links at deep depths)")
     parser.add_argument("--fusion-mode", default="host",
                         choices=["host", "device"],
                         help="hybrid fusion route: 'host' = reference-parity "
@@ -104,6 +110,7 @@ def main(argv=None):
             impact_index=impact_index, reps_loc=RepsLoc(args.reps_loc),
             batch_size=args.batch_size, mesh=mesh, lora=lora,
             impact_backend=args.impact_backend,
+            impact_wire=args.impact_wire,
             fusion_mode=args.fusion_mode,
             get_target=lambda qid: corpus.get_target(qid, args.query_type))
     timer.close()

@@ -629,6 +629,7 @@ class ImpactIndex:
         canonical_map: Optional[np.ndarray] = None,
         mesh=None,
         backend: str = "auto",
+        wire: str = "i32",
     ) -> Tuple[List[List[float]], List[List[str]]]:
         """Batch impact search straight from SelectedTerms (id-keyed fast
         path; same result contract as ``search``). Scores are bit-identical
@@ -636,7 +637,7 @@ class ImpactIndex:
         the same ``canonical_map``."""
         q_idx, q_w = self.encode_query_terms(terms_list, canonical_map)
         return self.search_encoded(q_idx, q_w, depth, mesh=mesh,
-                                   backend=backend)
+                                   backend=backend, wire=wire)
 
     def search_terms_stream(
         self,
@@ -646,6 +647,7 @@ class ImpactIndex:
         mesh=None,
         backend: str = "auto",
         lookahead: int = 3,
+        wire: str = "i32",
     ):
         """Pipelined serving loop over SelectedTerms batches: yields one
         ``(scores, ids)`` pair per input batch, with the numpy query
@@ -662,7 +664,7 @@ class ImpactIndex:
                    for batch in term_batches)
         yield from self.search_encoded_stream(encoded, depth, mesh=mesh,
                                               backend=backend,
-                                              lookahead=lookahead)
+                                              lookahead=lookahead, wire=wire)
 
     @classmethod
     def from_selected_terms(
@@ -732,6 +734,7 @@ class ImpactIndex:
         depth: int,
         mesh=None,
         backend: str = "auto",
+        wire: str = "i32",
     ) -> Tuple[List[List[float]], List[List[str]]]:
         """Batch impact search. Returns (score lists, ranked doc-id lists),
         one (possibly short) ragged row per query.
@@ -750,7 +753,7 @@ class ImpactIndex:
         """
         q_idx, q_w = self.encode_queries(query_vectors)
         return self.search_encoded(q_idx, q_w, depth, mesh=mesh,
-                                   backend=backend)
+                                   backend=backend, wire=wire)
 
     def search_encoded(
         self,

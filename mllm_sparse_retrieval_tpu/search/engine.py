@@ -72,12 +72,17 @@ def run_search(
     get_target: Optional[Callable[[str], object]] = None,
     ks: Sequence[int] = DEFAULT_KS,
     impact_backend: str = "auto",
+    impact_wire: str = "i32",
     fusion_mode: str = "host",
 ) -> SearchOutput:
     """Encode queries live and search the given indexes.
 
     ``get_target`` enables recall computation (ground truth per query id);
     omit it to get runs only.
+
+    ``impact_wire='compact48'`` opts the sparse leg into the 6-byte/result
+    device->host format (25% fewer fetch bytes at deep depths; integer
+    weights only — see ``ImpactIndex.search_encoded``).
 
     ``fusion_mode`` selects the hybrid route when both indexes are given:
 
@@ -143,11 +148,11 @@ def run_search(
                                     sparse_cfg.is_filtered)
             s_scores, s_ids = impact_index.search_terms(
                 enc.selected_terms, search_cfg.depth, canonical_map=cmap,
-                mesh=mesh, backend=impact_backend)
+                mesh=mesh, backend=impact_backend, wire=impact_wire)
         else:
             s_scores, s_ids = impact_index.search(
                 enc.query_weights, search_cfg.depth, mesh=mesh,
-                backend=impact_backend)
+                backend=impact_backend, wire=impact_wire)
         out.sparse_run = make_run(enc.ids, s_scores, s_ids,
                                   remove_query=search_cfg.remove_query,
                                   scores_sorted=True)

@@ -271,3 +271,31 @@ def test_t2i_pipeline_runs_with_ground_truth(setup):
     r = recall_at_k(out.dense_run,
                     lambda q: corpus.get_target(q, "text"), ks=(20,))
     assert r[20] == 1.0
+
+
+@needs_data
+def test_engine_compact48_wire_matches_i32(setup):
+    """run_search(impact_wire='compact48') reproduces the i32 wire's sparse
+    run (score, id) content exactly through the product path."""
+    from mllm_sparse_retrieval_tpu.sparse import canonical_id_map
+
+    corpus, params, arch, tok, template = setup
+    examples = corpus.examples_single()[:16]
+    scfg = SparseConfig()
+    res = encode_examples(examples, params, arch, tok, template,
+                          encode_type="image", sparse_cfg=scfg, batch_size=8)
+    cmap = canonical_id_map(tok.get_vocab(), scfg.is_filtered)
+    imp = ImpactIndex.from_selected_terms(res.ids, res.selected_terms, cmap)
+
+    kw = dict(query_type="image", sparse_cfg=scfg,
+              search_cfg=SearchConfig(depth=40), batch_size=8)
+    a = run_search(examples, params, arch, tok, template, impact_index=imp,
+                   **kw)
+    b = run_search(examples, params, arch, tok, template, impact_index=imp,
+                   impact_wire="compact48", **kw)
+    for qid, row in a.sparse_run.items():
+        # rows are {'docs': {docid: score}, 'min_score', 'max_score'};
+        # the docs maps must be identical (dict equality is order-free)
+        assert row["docs"] == b.sparse_run[qid]["docs"]
+        assert row["min_score"] == b.sparse_run[qid]["min_score"]
+        assert row["max_score"] == b.sparse_run[qid]["max_score"]
