@@ -28,8 +28,9 @@ def get() -> Optional[object]:
     if _failed:
         return None
     try:
-        subprocess.run(["make", "-C", _DIR], check=True,
-                       capture_output=True, timeout=120)
+        import sys
+        subprocess.run(["make", "-C", _DIR, f"PYTHON={sys.executable}"],
+                       check=True, capture_output=True, timeout=120)
     except Exception:
         if not os.path.exists(_SO):
             _failed = True

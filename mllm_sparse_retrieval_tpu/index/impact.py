@@ -915,13 +915,29 @@ class ImpactIndex:
                     k=min(depth, self._n_valid), wire=wire)
 
     def _check_wire(self, plan, q_w) -> None:
-        """compact48 wire precondition on the query side: integer weights
-        (integer x integer scores land on the 24-bit score lane exactly)."""
+        """compact48 wire preconditions on the query side: integer weights
+        (integer x integer scores land on the 24-bit score lane exactly),
+        and a proof that no score can reach 2^24 — the pack would otherwise
+        clamp, silently collapsing the top of the ranking to tie order.
+        The bound is (max doc weight) x (max per-query weight sum):
+        conservative (attained only if one doc held every query term at the
+        corpus-max weight) but exact and O(batch)."""
         if plan["wire"] != "compact48" or q_w.size == 0:
             return
         if not np.all(q_w == np.rint(q_w)):
             raise ValueError("wire='compact48' needs integer query weights "
                              "(got fractional values)")
+        if getattr(self, "_max_doc_w_src", None) is not self.doc_weights:
+            self._max_doc_w = float(self.doc_weights.max()) \
+                if self.doc_weights.size else 0.0
+            self._max_doc_w_src = self.doc_weights
+        bound = float(np.maximum(q_w, 0).sum(axis=1).max()) * self._max_doc_w
+        if bound >= 2 ** 24:
+            raise ValueError(
+                f"wire='compact48' cannot prove scores < 2^24 for this "
+                f"batch (worst-case bound {bound:.4g}); use the i32 wire — "
+                f"scores that large are also outside the f32 integer-"
+                f"exactness envelope")
 
     def _chunk_queries(self, plan, q_idx, q_w):
         """Split a batch into dispatchable chunks: (chunk_i, chunk_w, take)

@@ -204,6 +204,15 @@ def apply_pipelined(
         blist = lora["blocks"]
         if all(bl for bl in blist):
             lora_stacked = stack_block_params(blist)
+        else:
+            # partial-layer adapters can't stack into a homogeneous [L, ...]
+            # tree; dropping them silently would train/eval the bare base
+            # model — fail loudly instead (sequential llama.apply and
+            # parallel/sp.py support per-block adapters if needed)
+            raise ValueError(
+                "apply_pipelined needs LoRA adapters on EVERY block "
+                "(homogeneous stages); got adapters on "
+                f"{sum(bool(bl) for bl in blist)}/{len(blist)} blocks")
 
     mask = L.causal_padding_mask(attention_mask)
     mask_mb = mask.reshape((n_microbatches, mb) + mask.shape[1:])

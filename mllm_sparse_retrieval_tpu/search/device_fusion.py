@@ -24,7 +24,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
 from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
@@ -75,6 +74,21 @@ class FusedHybridSearcher:
         self._lookup_arr = np.asarray(dense_index.lookup)
         self._w_dense = np.float32(self.alpha)
         self._w_sparse = np.float32(1.0 - self.alpha)
+        # the perm/lookup caches above are built once per (dense, impact)
+        # pair; growing either index afterwards would silently resolve new
+        # docs through stale arrays — snapshot membership and refuse later
+        self._n_dense = len(dense_index.lookup)
+        self._n_impact = len(impact_index.doc_ids)
+
+    def _check_fresh(self) -> None:
+        if (len(self.dense.lookup) != self._n_dense
+                or len(self.impact.doc_ids) != self._n_impact):
+            raise RuntimeError(
+                "index membership changed after FusedHybridSearcher "
+                "construction (dense "
+                f"{self._n_dense}->{len(self.dense.lookup)}, impact "
+                f"{self._n_impact}->{len(self.impact.doc_ids)}); build a "
+                "fresh searcher — the doc permutation is cached at init")
 
     # ---- internals -----------------------------------------------------------
     def _self_indices(self, qids: Optional[Sequence[str]], n: int
@@ -168,6 +182,7 @@ class FusedHybridSearcher:
         element supplies per-batch qids for self-hit removal."""
         from mllm_sparse_retrieval_tpu.ops import stream as stream_mod
 
+        self._check_fresh()
         plan, out_k = self._prep(depth, out_depth)
 
         def submit():

@@ -46,8 +46,12 @@ def make_run(
             return native.build_runs(batch_ids, batch_scores,
                                      batch_rankings, bool(remove_query),
                                      bool(scores_sorted))
-        except TypeError:
-            pass        # non-list rows etc. — the Python path handles them
+        except (TypeError, ValueError):
+            # non-list rows, length-mismatched inputs etc.: route to the
+            # Python body so behavior is identical with and without the
+            # compiled extension (it zip-truncates mismatched lengths, the
+            # historical semantics callers may rely on)
+            pass
     run: Run = {}
     for qid, scores, rankings in zip(batch_ids, batch_scores, batch_rankings):
         # bulk dict build (C-level zip/map) — this runs once per serving

@@ -288,3 +288,26 @@ def test_device_fusion_with_q8_dense_index():
         np.testing.assert_allclose(a, b, atol=1e-5)
     for a, b in zip(i_q8, i_32):
         assert set(a) == set(b)
+
+
+def test_searcher_rejects_index_mutation():
+    """Growing either index after construction must raise — the doc
+    permutation and id lookup are cached at init (stale caches would
+    resolve new docs to old ids silently)."""
+    import pytest
+
+    rng = np.random.default_rng(5)
+    n, dim = 12, 8
+    doc_t = rng.integers(0, 10, size=(n, 3)).astype(np.int32)
+    doc_w = rng.integers(1, 50, size=(n, 3)).astype(np.float32)
+    impact = ImpactIndex.from_packed_arrays(doc_t, doc_w, term_keys=range(10))
+    dense = DenseFlatIndex()
+    reps = rng.normal(size=(n, dim)).astype(np.float32)
+    dense.add(reps, impact.doc_ids)
+    f = FusedHybridSearcher(dense, impact, alpha=0.5, backend="matmul")
+    q_i = rng.integers(0, 10, size=(2, 3)).astype(np.int32)
+    q_w = rng.integers(1, 20, size=(2, 3)).astype(np.float32)
+    f.search_encoded(reps[:2], q_i, q_w, 4)            # fresh: fine
+    dense.add(rng.normal(size=(2, dim)).astype(np.float32), ["zz0", "zz1"])
+    with pytest.raises(RuntimeError, match="membership changed"):
+        f.search_encoded(reps[:2], q_i, q_w, 4)

@@ -495,28 +495,6 @@ def test_chunked_placement_searches_correctly(monkeypatch):
 
 
 def test_unknown_backend_rejected():
-    """'taat-shared' was deleted in round 4 (measured 2.4x slower than
-    'taat' even on its best-case high-duplication workload); unknown
-    backends must fail loudly instead of silently misrouting."""
-    index = ImpactIndex()
-    index.add("a", {"x": 5})
-    index.finalize()
-    with pytest.raises(ValueError, match="unknown impact backend"):
-        index.search([{"x": 1}], depth=1, backend="taat-shared")
-
-
-def _rank_sets(scores, ids):
-    """(score -> id set) maps per query — tie order is backend-free."""
-    out = []
-    for sa, ia in zip(scores, ids):
-        d = {}
-        for s, i in zip(sa, ia):
-            d.setdefault(s, set()).add(i)
-        out.append(d)
-    return out
-
-
-def test_unknown_backend_rejected():
     """The backend surface is 'auto'/'taat'/'matmul'; deleted experimental
     backends ('taat-shared' r4, 'taat-split' r5 — see BASELINE.md for the
     measured negative results) must fail loudly, not fall back silently."""
@@ -593,3 +571,22 @@ def test_compact48_wire_stream():
         assert rs == gs
         for sa, ra, rb in zip(rs, ri, gi):
             assert sorted(zip(sa, ra)) == sorted(zip(sa, rb))
+
+
+def test_compact48_wire_overflow_guard():
+    """Scores that could reach 2^24 must be rejected, not silently clamped
+    (the 24-bit lane would collapse the top of the ranking to tie order)."""
+    rng = np.random.default_rng(14)
+    doc_t = rng.integers(0, 20, size=(50, 3)).astype(np.int32)
+    doc_w = np.full((50, 3), 30000.0, np.float32)      # near the int16 cap
+    index = ImpactIndex.from_packed_arrays(doc_t, doc_w, term_keys=range(20))
+    q_i = rng.integers(0, 20, size=(4, 3)).astype(np.int32)
+    q_w = np.full((4, 3), 30000.0, np.float32)         # bound ~2.7e12 >> 2^24
+    with pytest.raises(ValueError, match="2\\^24"):
+        index.search_encoded(q_i, q_w, 5, backend="matmul",
+                             wire="compact48")
+    # small weights on the same index pass the guard
+    ok_w = np.full((4, 3), 2.0, np.float32)            # bound 1.8e5 < 2^24
+    s, _ = index.search_encoded(q_i, ok_w, 5, backend="matmul",
+                                wire="compact48")
+    assert s and s[0]

@@ -191,3 +191,20 @@ def test_errors():
     mesh4 = pp.make_pp_mesh(pipeline_parallel=4, data_parallel=2)
     with pytest.raises(ValueError):                   # batch 4, 3 microbatches
         pp.apply_pipelined(params, x, mask, cfg, mesh4, n_microbatches=3)
+
+
+def test_partial_layer_lora_rejected():
+    """Adapters on only some blocks can't ride the homogeneous pipeline —
+    must raise rather than silently run the bare base model."""
+    from mllm_sparse_retrieval_tpu.models import layers as L
+
+    cfg, params, x, mask = _tiny()
+    mesh = pp.make_pp_mesh(pipeline_parallel=4, data_parallel=2)
+    h = cfg.hidden_size
+    partial = {"blocks": [
+        {"q": L.lora_init(jax.random.PRNGKey(0), h,
+                          cfg.num_heads * cfg.head_dim, 2, 4.0)},
+        {}, {}, {}]}
+    with pytest.raises(ValueError, match="EVERY block"):
+        pp.apply_pipelined(params, x, mask, cfg, mesh, n_microbatches=2,
+                           lora=partial)
