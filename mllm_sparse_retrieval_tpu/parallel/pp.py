@@ -178,8 +178,14 @@ def apply_pipelined(
     lora: Optional[Dict] = None,
     stacked: Optional[Dict] = None,
     lora_stacked: Optional[Dict] = None,
+    position_ids: Optional[jax.Array] = None,  # [B,T] or [3,B,T] (M-RoPE)
 ) -> jax.Array:
-    """Pipelined equivalent of ``models.llama.apply`` (standard RoPE path).
+    """Pipelined equivalent of ``models.llama.apply``.
+
+    ``position_ids`` follows ``llama.apply``'s contract (explicit per-sample
+    positions, or 3-D multimodal M-RoPE ids with ``cfg.mrope_section``) —
+    the resulting per-sample RoPE tables ride the per-microbatch consts, so
+    every family's decoder (incl. Qwen2.5-VL) can pipeline.
 
     ``B`` must divide into ``n_microbatches`` equal microbatches whose size
     divides the mesh's data axis. Pass ``stacked``/``lora_stacked`` (from
@@ -196,7 +202,7 @@ def apply_pipelined(
         raise ValueError(f"batch {b} not divisible by "
                          f"n_microbatches={n_microbatches}")
     mb = b // n_microbatches
-    cos, sin = llama.rope_tables(cfg, t)
+    cos, sin = llama.rope_tables(cfg, t, position_ids)
 
     if stacked is None:
         stacked = stack_block_params(params["blocks"])
@@ -217,9 +223,17 @@ def apply_pipelined(
     mask = L.causal_padding_mask(attention_mask)
     mask_mb = mask.reshape((n_microbatches, mb) + mask.shape[1:])
     x_mb = inputs_embeds.reshape(n_microbatches, mb, t, -1)
-    consts = {"mask": mask_mb,
-              "cos": jnp.broadcast_to(cos, (n_microbatches,) + cos.shape),
-              "sin": jnp.broadcast_to(sin, (n_microbatches,) + sin.shape)}
+    if cos.ndim == 3:
+        # per-sample tables ([B, T, hd/2], explicit/M-RoPE positions):
+        # microbatch them so each stage applies its activation's own table
+        cos_mb = cos.reshape((n_microbatches, mb) + cos.shape[1:])
+        sin_mb = sin.reshape((n_microbatches, mb) + sin.shape[1:])
+        cos_batched = True
+    else:
+        cos_mb = jnp.broadcast_to(cos, (n_microbatches,) + cos.shape)
+        sin_mb = jnp.broadcast_to(sin, (n_microbatches,) + sin.shape)
+        cos_batched = False
+    consts = {"mask": mask_mb, "cos": cos_mb, "sin": sin_mb}
 
     if lora_stacked is not None:
         blocks_in = {"p": stacked, "lora": lora_stacked}
@@ -234,7 +248,7 @@ def apply_pipelined(
             return llama._block(x, blk, cfg, c["mask"], c["cos"], c["sin"])
 
     y_mb = pipeline_apply(blocks_in, x_mb, consts, block_fn, mesh,
-                          consts_batched={"mask": True, "cos": False,
-                                          "sin": False})
+                          consts_batched={"mask": True, "cos": cos_batched,
+                                          "sin": cos_batched})
     y = y_mb.reshape(b, t, -1)
     return L.rmsnorm(y, params["final_norm"], cfg.rms_eps)

@@ -97,6 +97,7 @@ def apply_sequence_parallel(
     cfg,                           # models.llama.LlamaConfig
     mesh: Mesh,
     lora: Optional[Dict] = None,
+    position_ids: Optional[jax.Array] = None,  # [B,T] or [3,B,T] (M-RoPE)
 ) -> jax.Array:
     """Sequence-parallel equivalent of ``models.llama.apply``.
 
@@ -104,8 +105,9 @@ def apply_sequence_parallel(
     divisible. Params (and LoRA adapters) are replicated — this is pure
     activation sharding, the right trade for long-context *encode* where a
     ~3k-token anyres batch's activations dominate HBM, and it composes with
-    the data axis the encode pipeline already shards. Standard-RoPE prompts
-    only (M-RoPE's per-sample 3-D tables shard the same way if ever needed).
+    the data axis the encode pipeline already shards. ``position_ids``
+    follows ``llama.apply``'s contract (per-sample or 3-D M-RoPE): the
+    [B, T, hd/2] tables shard over (data, model) like the activations.
     """
     from mllm_sparse_retrieval_tpu.models import layers as L
     from mllm_sparse_retrieval_tpu.models import llama
@@ -116,7 +118,8 @@ def apply_sequence_parallel(
         raise ValueError(f"seq len {t} not divisible by model axis {n_sp}")
     n_data = mesh.shape[DATA_AXIS]
     data_ax = DATA_AXIS if (n_data > 1 and b % n_data == 0) else None
-    cos, sin = llama.rope_tables(cfg, t)
+    cos, sin = llama.rope_tables(cfg, t, position_ids)
+    cos_spec = P(data_ax, MODEL_AXIS) if cos.ndim == 3 else P(MODEL_AXIS)
 
     has_lora = lora is not None and lora.get("blocks")
 
@@ -141,7 +144,7 @@ def apply_sequence_parallel(
                   lora_spec,
                   P(data_ax, MODEL_AXIS),
                   P(data_ax, MODEL_AXIS),
-                  P(MODEL_AXIS), P(MODEL_AXIS)),
+                  cos_spec, cos_spec),
         out_specs=P(data_ax, MODEL_AXIS),
         check_vma=False)
     return fn(params, lora_in, inputs_embeds, attention_mask, cos, sin)

@@ -208,3 +208,23 @@ def test_partial_layer_lora_rejected():
     with pytest.raises(ValueError, match="EVERY block"):
         pp.apply_pipelined(params, x, mask, cfg, mesh, n_microbatches=2,
                            lora=partial)
+
+
+def test_mrope_position_ids_parity():
+    """Qwen2.5-VL-style 3-D M-RoPE position ids through the pipeline."""
+    cfg = llama.LlamaConfig(vocab_size=97, hidden_size=32, num_layers=4,
+                            num_heads=4, num_kv_heads=2,
+                            intermediate_size=64, qkv_bias=True,
+                            mrope_section=(2, 1, 1))
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(4)
+    B, T = 4, 16
+    x = jnp.asarray(rng.normal(size=(B, T, 32)).astype(np.float32))
+    mask = jnp.ones((B, T), jnp.int32)
+    pos = jnp.asarray(rng.integers(0, T, size=(3, B, T)).astype(np.int32))
+    ref = llama.apply(params, x, mask, cfg, position_ids=pos,
+                      allow_flash=False)
+    mesh = pp.make_pp_mesh(pipeline_parallel=4, data_parallel=2)
+    out = pp.apply_pipelined(params, x, mask, cfg, mesh, n_microbatches=2,
+                             position_ids=pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

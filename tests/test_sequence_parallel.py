@@ -115,3 +115,26 @@ def test_seq_not_divisible_raises():
     with pytest.raises(ValueError):
         sp.apply_sequence_parallel(params, x[:, :30], mask[:, :30], cfg,
                                    mesh)
+
+
+def test_mrope_position_ids_parity():
+    """3-D M-RoPE per-sample tables shard over (data, model) like the
+    activations; ring decoder must match the sequential one."""
+    cfg = llama.LlamaConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                            num_heads=4, num_kv_heads=2,
+                            intermediate_size=64, qkv_bias=True,
+                            mrope_section=(2, 1, 1))
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    B, T = 4, 32
+    x = jnp.asarray(rng.normal(size=(B, T, 32)).astype(np.float32))
+    mask = np.ones((B, T), np.int32)
+    mask[2, 25:] = 0
+    mask = jnp.asarray(mask)
+    pos = jnp.asarray(rng.integers(0, T, size=(3, B, T)).astype(np.int32))
+    ref = llama.apply(params, x, mask, cfg, position_ids=pos,
+                      allow_flash=False)
+    mesh = make_mesh(data_parallel=2, model_parallel=4)
+    out = sp.apply_sequence_parallel(params, x, mask, cfg, mesh,
+                                     position_ids=pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)

@@ -77,6 +77,17 @@ def check_impact_backends():
         assert results[b][0] == ref_scores, f"{b} scores != matmul on chip"
     print("OK impact backends bit-identical on chip "
           f"(taat dtype=i16, {n_docs} docs)")
+    # compact48 wire: identical (score, id) multisets vs the i32 wire ON
+    # CHIP for both backends (the uint16 lanes ride a different copy path
+    # than int32 — same class of hazard as the f32 denormal flush above)
+    for b in ("matmul", "taat"):
+        s48, i48 = index.search(q, depth=20, backend=b, wire="compact48")
+        ref_s, ref_i = results[b]
+        assert s48 == ref_s, f"{b} compact48 scores != i32 on chip"
+        for sa, ra, rb in zip(ref_s, ref_i, i48):
+            assert sorted(zip(sa, ra)) == sorted(zip(sa, rb)), \
+                f"{b} compact48 ids != i32 on chip"
+    print("OK compact48 wire == i32 wire on chip (both backends)")
 
 
 def check_device_fusion():
