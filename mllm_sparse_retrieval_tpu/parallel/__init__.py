@@ -6,11 +6,16 @@ from mllm_sparse_retrieval_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
 )
-from mllm_sparse_retrieval_tpu.parallel.pp import PIPE_AXIS, make_pp_mesh
+from mllm_sparse_retrieval_tpu.parallel.pp import (
+    PIPE_AXIS,
+    make_pp3_mesh,
+    make_pp_mesh,
+)
 from mllm_sparse_retrieval_tpu.parallel.sp import (
     apply_sequence_parallel,
     ring_attention,
 )
 
 __all__ = ["DATA_AXIS", "MODEL_AXIS", "PIPE_AXIS", "apply_sequence_parallel",
-           "make_mesh", "make_pp_mesh", "ring_attention", "shard_batch"]
+           "make_mesh", "make_pp3_mesh", "make_pp_mesh", "ring_attention",
+           "shard_batch"]

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
 
@@ -166,6 +166,143 @@ def pipeline_apply(
                    in_specs=(blocks_spec, x_spec, consts_spec),
                    out_specs=x_spec, check_vma=False)
     return fn(stacked_blocks, x_mb, mb_consts)
+
+
+def make_pp3_mesh(
+    data_parallel: int,
+    pipeline_parallel: int,
+    model_parallel: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """3-D ``(data, pipe, model)`` mesh for combined dp x pp x tp."""
+    if devices is None:
+        devices = jax.devices()
+    n = data_parallel * pipeline_parallel * model_parallel
+    if n != len(devices):
+        raise ValueError(f"dp*pp*tp = {n} != {len(devices)} devices")
+    from mllm_sparse_retrieval_tpu.parallel.mesh import MODEL_AXIS
+    dev = np.asarray(devices).reshape(data_parallel, pipeline_parallel,
+                                      model_parallel)
+    return Mesh(dev, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
+
+
+_COL_SHARDED = {"q", "k", "v", "gate", "up", "qkv", "fc1"}   # [in, out@model]
+_ROW_SHARDED = {"o", "down", "out", "fc2"}                    # [in@model, out]
+
+
+def stacked_tp_shardings(stacked: Dict, mesh: Mesh):
+    """NamedShardings for STACKED block leaves ``[L, ...]``: layer axis over
+    ``pipe``, megatron column/row layout over ``model`` (same name sets as
+    parallel/tp.py, which handles the unstacked per-layer tree)."""
+    from mllm_sparse_retrieval_tpu.parallel.mesh import MODEL_AXIS
+
+    n_pipe = mesh.shape.get(PIPE_AXIS, 1)
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+
+    def make(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        spec = [PIPE_AXIS if leaf.shape[0] % n_pipe == 0 else None]
+        if leaf.ndim == 3 and names and names[-1] == "w":
+            proj = names[-2] if len(names) >= 2 else ""
+            if proj in _COL_SHARDED and leaf.shape[2] % n_model == 0:
+                spec += [None, MODEL_AXIS]
+            elif proj in _ROW_SHARDED and leaf.shape[1] % n_model == 0:
+                spec += [MODEL_AXIS, None]
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(make, stacked)
+
+
+def apply_pipelined_gspmd(
+    params: Dict,
+    inputs_embeds: jax.Array,      # [B, T, H]
+    attention_mask: jax.Array,     # [B, T]
+    cfg,                           # models.llama.LlamaConfig
+    mesh: Mesh,
+    n_microbatches: int,
+    stacked: Optional[Dict] = None,
+    position_ids: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Circular-pipeline decoder in PURE GSPMD — composes with TP for free.
+
+    The shard_map formulation (:func:`pipeline_apply`) owns its collectives,
+    so tensor parallelism inside a stage would need hand-written megatron
+    psums. This variant expresses the SAME schedule inside plain ``jit``:
+    the per-stage state is a ``[S, mb, T, H]`` tensor sharded ``P('pipe',
+    'data')``, every tick vmaps the stage computation over the stage axis
+    (GSPMD keeps stage s's compute on its devices), and the stage shift is
+    ``jnp.roll`` along the sharded axis — XLA lowers it to a
+    ``collective-permute`` on ICI. Because the block compute is ordinary
+    traced code, stacked params carrying megatron column/row shardings over
+    the ``model`` axis (:func:`stacked_tp_shardings`) get their TP
+    all-reduces inserted by GSPMD exactly as in the unpipelined TP path —
+    dp x pp x tp on a 3-D mesh with no manual collectives anywhere.
+    (This is the scaling-book / MaxText circular-pipeline idiom.)
+    """
+    from mllm_sparse_retrieval_tpu.models import layers as L
+    from mllm_sparse_retrieval_tpu.models import llama
+
+    b, t, _ = inputs_embeds.shape
+    if b % n_microbatches != 0:
+        raise ValueError(f"batch {b} not divisible by "
+                         f"n_microbatches={n_microbatches}")
+    n_stages = mesh.shape[PIPE_AXIS]
+    mb = b // n_microbatches
+    if stacked is None:
+        stacked = stack_block_params(params["blocks"])
+    n_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    if n_layers % n_stages != 0:
+        raise ValueError(f"{n_layers} layers not divisible by "
+                         f"{n_stages} pipeline stages")
+    lp = n_layers // n_stages
+    stacked_st = jax.tree_util.tree_map(
+        lambda a: a.reshape((n_stages, lp) + a.shape[1:]), stacked)
+
+    cos, sin = llama.rope_tables(cfg, t, position_ids)
+    mask = L.causal_padding_mask(attention_mask)
+    mask_mb = mask.reshape((n_microbatches, mb) + mask.shape[1:])
+    x_mb = inputs_embeds.reshape(n_microbatches, mb, t, -1)
+    if cos.ndim == 3:
+        cos_mb = cos.reshape((n_microbatches, mb) + cos.shape[1:])
+        sin_mb = sin.reshape((n_microbatches, mb) + sin.shape[1:])
+    else:
+        cos_mb = jnp.broadcast_to(cos, (n_microbatches,) + cos.shape)
+        sin_mb = jnp.broadcast_to(sin, (n_microbatches,) + sin.shape)
+
+    data_ax = DATA_AXIS if (mesh.shape[DATA_AXIS] > 1
+                            and mb % mesh.shape[DATA_AXIS] == 0) else None
+    state_sharding = NamedSharding(mesh, P(PIPE_AXIS, data_ax))
+
+    def one_stage(blk, x, mask_m, cos_m, sin_m):
+        def body(c, blk_l):
+            return llama._block(c, blk_l, cfg, mask_m, cos_m, sin_m), None
+
+        y, _ = lax.scan(body, x, blk)
+        return y
+
+    vstage = jax.vmap(one_stage)
+    stage_ids = jnp.arange(n_stages)
+
+    def tick(state, t_idx):
+        m = jnp.clip(t_idx - stage_ids, 0, n_microbatches - 1)   # [S]
+        y = vstage(stacked_st, state, mask_mb[m], cos_mb[m], sin_mb[m])
+        out_t = y[n_stages - 1]
+        shifted = jnp.roll(y, 1, axis=0)      # collective-permute over pipe
+        feed = lax.dynamic_index_in_dim(
+            x_mb, jnp.clip(t_idx + 1, 0, n_microbatches - 1), 0,
+            keepdims=False)
+        state = shifted.at[0].set(feed)
+        state = jax.lax.with_sharding_constraint(state, state_sharding)
+        return state, out_t
+
+    state0 = jnp.broadcast_to(x_mb[0], (n_stages, mb, t,
+                                        inputs_embeds.shape[-1]))
+    state0 = jax.lax.with_sharding_constraint(state0, state_sharding)
+    ticks = jnp.arange(n_microbatches + n_stages - 1)
+    _, ys = lax.scan(tick, state0, ticks)
+    out = ys[n_stages - 1:n_stages - 1 + n_microbatches]
+    y = out.reshape(b, t, -1)
+    return L.rmsnorm(y, params["final_norm"], cfg.rms_eps)
 
 
 def apply_pipelined(
