@@ -901,6 +901,12 @@ class ImpactIndex:
         # or 4-D [D, T+1, s, shard/s] (mesh TAAT)
         n_pad = dev.shape[0] * dev.shape[2] * dev.shape[3] if dev.ndim == 4 \
             else int(np.prod(dev.shape[1:]))
+        if wire == "compact48" and n_pad >= 2 ** 23:
+            # the wire's doc-position lane is 23 bits; a low-term-count
+            # corpus can exceed that under the HBM budget
+            raise ValueError(
+                f"wire='compact48' supports < 2^23 doc columns "
+                f"(padded corpus has {n_pad}); use the i32 wire")
 
         # The [B, N_pad] f32 score tensor (plus ~2x top_k scratch) must fit
         # beside the matrix; wide corpora chunk the query batch.

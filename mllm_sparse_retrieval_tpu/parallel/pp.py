@@ -222,8 +222,14 @@ def apply_pipelined_gspmd(
     n_microbatches: int,
     stacked: Optional[Dict] = None,
     position_ids: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Circular-pipeline decoder in PURE GSPMD — composes with TP for free.
+
+    ``remat=True`` checkpoints each stage's tick (activations recomputed in
+    the backward pass) — with pipelining this bounds live activations to
+    one microbatch per stage regardless of tick count, the standard memory
+    recipe for deep pipelined training.
 
     The shard_map formulation (:func:`pipeline_apply`) owns its collectives,
     so tensor parallelism inside a stage would need hand-written megatron
@@ -280,6 +286,8 @@ def apply_pipelined_gspmd(
         y, _ = lax.scan(body, x, blk)
         return y
 
+    if remat:
+        one_stage = jax.checkpoint(one_stage)
     vstage = jax.vmap(one_stage)
     stage_ids = jnp.arange(n_stages)
 

@@ -590,3 +590,32 @@ def test_compact48_wire_overflow_guard():
     s, _ = index.search_encoded(q_i, ok_w, 5, backend="matmul",
                                 wire="compact48")
     assert s and s[0]
+
+
+def test_compact48_wire_doc_position_guard():
+    """n_pad >= 2^23 doc columns cannot ride the 23-bit position lane."""
+    rng = np.random.default_rng(15)
+    doc_t = rng.integers(0, 20, size=(50, 3)).astype(np.int32)
+    doc_w = rng.integers(1, 90, size=(50, 3)).astype(np.float32)
+    index = ImpactIndex.from_packed_arrays(doc_t, doc_w, term_keys=range(20))
+    q_i = rng.integers(0, 20, size=(4, 3)).astype(np.int32)
+    q_w = rng.integers(1, 50, size=(4, 3)).astype(np.float32)
+    # force the guard without allocating 2^23 docs: fake a plan through the
+    # public API by monkeypatching the padded width the plan computes
+    plan = index._search_plan(None, "matmul", 5, "compact48")
+    assert plan["wire"] == "compact48"          # 50 docs: fine
+    import mllm_sparse_retrieval_tpu.index.impact as imp
+    big = np.zeros((21, 2 ** 23), np.float32)   # [T+1, N] >= 2^23 columns
+
+    class _FakeDev:
+        ndim = 2
+        shape = big.shape
+        nbytes = 0
+
+    orig = index._materialize
+    index._materialize = lambda *a, **k: _FakeDev()
+    try:
+        with pytest.raises(ValueError, match="2\\^23"):
+            index._search_plan(None, "matmul", 5, "compact48")
+    finally:
+        index._materialize = orig

@@ -339,3 +339,27 @@ class TestGspmd3D:
                 losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
+
+
+def test_gspmd_remat_grad_parity():
+    """remat=True recomputes stage activations in backward — gradients
+    must be identical (to f32 noise) to the non-remat pipeline."""
+    cfg, params, _, _ = _tiny()
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(8, 16, 32)).astype(np.float32))
+    mask = jnp.ones((8, 16), jnp.int32)
+    mesh = pp.make_pp3_mesh(2, 2, 2)
+    stacked = pp.stack_block_params(params["blocks"])
+    stacked = jax.device_put(stacked, pp.stacked_tp_shardings(stacked, mesh))
+    probe = jnp.asarray(rng.normal(size=(8, 16, 32)).astype(np.float32))
+
+    def loss(st, rm):
+        return jnp.sum(pp.apply_pipelined_gspmd(
+            params, x, mask, cfg, mesh, 2, stacked=st, remat=rm) * probe)
+
+    with mesh:
+        g_plain = jax.jit(jax.grad(lambda s: loss(s, False)))(stacked)
+        g_remat = jax.jit(jax.grad(lambda s: loss(s, True)))(stacked)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5), g_plain, g_remat)
