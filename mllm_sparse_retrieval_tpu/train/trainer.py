@@ -15,6 +15,17 @@ The TPU re-design of the reference's HF ``Trainer`` + DeepSpeed ZeRO stack
 - checkpoints via Orbax (adapters + optimizer state + step), replacing
   final-only ``save_pretrained`` (/root/reference/src/train.py:240) with real
   resume support.
+
+Scale story: dp (+ global-negative collectives) x ZeRO-1, FSDP/ZeRO-3
+(``shard_params_data_axis``), and megatron TP (parallel/tp.py) — which
+covers the reference's 7-8B family sizes. Pipeline and sequence
+parallelism exist as library-level transforms with working *training-step*
+patterns (parallel/pp.py GPipe + GSPMD dp x pp x tp circular pipeline,
+parallel/sp.py ring attention; see tests/test_pipeline_parallel.py and
+__graft_entry__.dryrun_multichip); they are deliberately NOT wired into
+this trainer — stage-placed optimizer state and a stacked checkpoint
+layout would buy nothing at the model sizes this product trains, and the
+FSDP path already fits them.
 """
 
 from __future__ import annotations
