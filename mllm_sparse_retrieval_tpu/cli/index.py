@@ -28,8 +28,10 @@ def main(argv=None):
                         help="force the pure-Python builder")
     parser.add_argument("--hbm-warm", action="store_true",
                         help="also place the scoring matrix in device HBM "
-                             "and report placement time (the search-time "
-                             "cost, paid here instead)")
+                             "(the exact dtype/layout the auto search "
+                             "backend uses) and report placement time — a "
+                             "build-time measurement of the placement cost "
+                             "each serving process pays at first search")
     args = parser.parse_args(argv)
 
     logger = get_logger("index")
@@ -51,9 +53,10 @@ def main(argv=None):
     if args.hbm_warm:
         import jax
         t0 = time.time()
-        dtype = "i16" if index._int16_exact() else "f32"
-        dev = index._materialize(
-            None, dtype, kernel_layout=jax.default_backend() == "tpu")
+        # materialize exactly the (dtype, layout) the auto search backend
+        # will key — the plan owns that choice (taat/i16 on TPU, matmul/f32
+        # elsewhere), so timing anything else measures an unused matrix
+        dev = index._search_plan(None, "auto", 10)["dev"]
         jax.block_until_ready(dev)
         logger.info("metric hbm_placement_seconds=%.2f bytes=%d "
                     "(CSR triples uploaded, scattered on device)",

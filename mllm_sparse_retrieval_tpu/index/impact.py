@@ -93,6 +93,17 @@ def _flatten_term_rows(terms_list):
     return flat_t, flat_w, row
 
 
+def _apply_canonical(flat_t, canonical_map):
+    """Fold token ids through the canonical (lowercase/filter collision)
+    map; out-of-range ids become -1 (dropped downstream). ONE definition so
+    the query and doc paths can never diverge."""
+    in_rng = (flat_t >= 0) & (flat_t < canonical_map.size)
+    return np.where(
+        in_rng,
+        canonical_map[np.clip(flat_t, 0, canonical_map.size - 1)],
+        -1)
+
+
 class ImpactIndex:
     """Impact-ordered inverted index with TPU batch scoring."""
 
@@ -120,6 +131,11 @@ class ImpactIndex:
         self._mesh = None
         self._n_valid = 0
         self._i16_ok = None  # cached _int16_exact() result
+        # True iff this index's term ids were canonicalized at build
+        # (from_selected_terms with a canonical_map): queries must then be
+        # folded through the SAME map, and must NOT be otherwise — the
+        # engine consults this instead of guessing (review r6 finding)
+        self.query_canonical: bool = False
 
     # ---- build ---------------------------------------------------------------
     def add(self, doc_id: str, vector: SparseVector) -> None:
@@ -605,11 +621,7 @@ class ImpactIndex:
         else:
             flat_t, flat_w, row = _flatten_term_rows(terms_list)
         if canonical_map is not None:
-            in_rng = (flat_t >= 0) & (flat_t < canonical_map.size)
-            flat_t = np.where(
-                in_rng,
-                canonical_map[np.clip(flat_t, 0, canonical_map.size - 1)],
-                -1)
+            flat_t = _apply_canonical(flat_t, canonical_map)
         in_lut = (flat_t >= 0) & (flat_t < lut.size)
         idx = np.where(in_lut, lut[np.clip(flat_t, 0, lut.size - 1)], -1)
         if equal:
@@ -684,11 +696,7 @@ class ImpactIndex:
         n = len(terms_list)
         flat_t, flat_w, row = _flatten_term_rows(terms_list)
         if canonical_map is not None:
-            in_rng = (flat_t >= 0) & (flat_t < canonical_map.size)
-            flat_t = np.where(
-                in_rng,
-                canonical_map[np.clip(flat_t, 0, canonical_map.size - 1)],
-                -1)
+            flat_t = _apply_canonical(flat_t, canonical_map)
         keep = flat_t >= 0
         flat_t, flat_w, row = flat_t[keep], flat_w[keep], row[keep]
         # last-write-wins per (doc, term): stable-sort by key with original
@@ -725,6 +733,7 @@ class ImpactIndex:
             doc_terms, doc_weights, doc_ids=doc_ids,
             term_keys=[int(u) for u in uniq])
         index._reorder_terms_by_df()  # hot-first ids for the TAAT cache
+        index.query_canonical = canonical_map is not None
         return index
 
     # ---- search -----------------------------------------------------------------
@@ -1055,7 +1064,8 @@ class ImpactIndex:
         os.makedirs(directory, exist_ok=True)
         keys = list(self.term_to_idx.keys())
         with open(os.path.join(directory, "terms.json"), "w") as f:
-            json.dump({"keys": keys, "doc_ids": self.doc_ids}, f)
+            json.dump({"keys": keys, "doc_ids": self.doc_ids,
+                       "query_canonical": self.query_canonical}, f)
         np.savez(
             os.path.join(directory, "index.npz"),
             doc_terms=self.doc_terms,
@@ -1072,6 +1082,7 @@ class ImpactIndex:
             meta = json.load(f)
         index.term_to_idx = {k: i for i, k in enumerate(meta["keys"])}
         index.doc_ids = [str(d) for d in meta["doc_ids"]]
+        index.query_canonical = bool(meta.get("query_canonical", False))
         data = np.load(os.path.join(directory, "index.npz"))
         index.doc_terms = data["doc_terms"]
         index.doc_weights = data["doc_weights"]

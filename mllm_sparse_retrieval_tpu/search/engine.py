@@ -40,14 +40,48 @@ class SearchOutput:
         return "\n".join(lines)
 
 
+
+_CMAP_CACHE = None   # WeakKeyDictionary: tokenizer -> {is_filtered: map}
+
+
+def _canonical_map_for(tokenizer, is_filtered: bool):
+    """canonical_id_map cached per (tokenizer, is_filtered) — it is an
+    O(vocab) Python pass (~100 ms on a 150k-token vocab), constant for a
+    tokenizer, and was being rebuilt on every run_search call."""
+    global _CMAP_CACHE
+    from mllm_sparse_retrieval_tpu.sparse import canonical_id_map
+
+    import weakref
+    if _CMAP_CACHE is None:
+        _CMAP_CACHE = weakref.WeakKeyDictionary()
+    try:
+        per = _CMAP_CACHE.setdefault(tokenizer, {})
+    except TypeError:               # non-weakref-able tokenizer
+        return canonical_id_map(tokenizer.get_vocab(), is_filtered)
+    if is_filtered not in per:
+        per[is_filtered] = canonical_id_map(tokenizer.get_vocab(),
+                                            is_filtered)
+    return per[is_filtered]
+
+
+def _query_cmap(impact_index, tokenizer, sparse_cfg):
+    """The canonical map QUERIES must use for this index: the index records
+    at build time whether its ids were canonicalized (``query_canonical``).
+    Applying a map to an index built WITHOUT one would silently mis-score
+    case-colliding ids; not applying one to an index built WITH one would
+    miss its collision merges."""
+    if getattr(impact_index, "query_canonical", False):
+        return _canonical_map_for(tokenizer, sparse_cfg.is_filtered)
+    return None
+
+
 def _encode_sparse_queries(impact_index, enc, tokenizer, sparse_cfg):
     """Encoded (term_idx, weight) query arrays for the device fusion path —
     the id-keyed route when available (no string round trip), else the
     string-dict route; both bit-match what ``search_terms``/``search`` feed
     the scoring program."""
     if impact_index.int_keyed and enc.selected_terms:
-        from mllm_sparse_retrieval_tpu.sparse import canonical_id_map
-        cmap = canonical_id_map(tokenizer.get_vocab(), sparse_cfg.is_filtered)
+        cmap = _query_cmap(impact_index, tokenizer, sparse_cfg)
         return impact_index.encode_query_terms(enc.selected_terms, cmap)
     return impact_index.encode_queries(enc.query_weights)
 
@@ -141,11 +175,9 @@ def run_search(
             # id-keyed fast path: SelectedTerms arrays go straight to the
             # device — no token-id -> string -> term-idx round trip (~0.5M
             # dict ops per 4096-query batch on the string path, VERDICT r3
-            # #1). canonical_id_map reproduces the string path's
-            # lowercase/filter collision merges bit-exactly.
-            from mllm_sparse_retrieval_tpu.sparse import canonical_id_map
-            cmap = canonical_id_map(tokenizer.get_vocab(),
-                                    sparse_cfg.is_filtered)
+            # #1). The canonical map (lowercase/filter collision merges) is
+            # applied iff the index was BUILT with one (query_canonical).
+            cmap = _query_cmap(impact_index, tokenizer, sparse_cfg)
             s_scores, s_ids = impact_index.search_terms(
                 enc.selected_terms, search_cfg.depth, canonical_map=cmap,
                 mesh=mesh, backend=impact_backend, wire=impact_wire)

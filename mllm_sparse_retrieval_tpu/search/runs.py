@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import Dict, Iterable, Sequence
 
+import numpy as np
+
 from mllm_sparse_retrieval_tpu import hostops as _hostops
 
 
@@ -59,6 +61,10 @@ def make_run(
         # 4096-query batch at depth 10. The library's resolve paths hand
         # native str/float lists (ndarray .tolist()), so the per-element
         # coercions are usually skippable entirely.
+        if isinstance(rankings, np.ndarray):   # raw batch_search output
+            rankings = rankings.tolist()
+        if isinstance(scores, np.ndarray):
+            scores = scores.tolist()
         keys = rankings if (not rankings or type(rankings[0]) is str) \
             else map(str, rankings)
         vals = scores if (not scores or type(scores[0]) is float) \

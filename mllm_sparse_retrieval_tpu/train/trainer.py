@@ -407,8 +407,17 @@ class ContrastiveTrainer:
                         self.save_checkpoint(checkpoint_dir)
         finally:
             # async steps append device scalars; the documented List[float]
-            # invariant must hold even on an early exit (ADVICE r3)
-            self.loss_history = [float(x) for x in self.loss_history]
+            # invariant must hold even on an early exit (ADVICE r3). A
+            # poisoned in-flight scalar (device OOM / link failure) raises
+            # on float() — convert per element so the ORIGINAL exception
+            # propagates instead of a secondary one from this finally.
+            coerced = []
+            for x in self.loss_history:
+                try:
+                    coerced.append(float(x))
+                except Exception:
+                    coerced.append(float("nan"))
+            self.loss_history = coerced
         if checkpoint_dir:
             self.save_checkpoint(checkpoint_dir)
         return self.loss_history

@@ -299,3 +299,43 @@ def test_engine_compact48_wire_matches_i32(setup):
         assert row["docs"] == b.sparse_run[qid]["docs"]
         assert row["min_score"] == b.sparse_run[qid]["min_score"]
         assert row["max_score"] == b.sparse_run[qid]["max_score"]
+
+
+@needs_data
+def test_engine_respects_canonical_provenance(setup):
+    """run_search must NOT fold queries through a canonical map when the
+    index was built without one (review r6: a tokenizer with case-colliding
+    ids would silently mis-score), and the map decision is recorded on the
+    index and survives save/load."""
+    import tempfile
+
+    corpus, params, arch, tok, template = setup
+    examples = corpus.examples_single()[:12]
+    scfg = SparseConfig()
+    res = encode_examples(examples, params, arch, tok, template,
+                          encode_type="image", sparse_cfg=scfg, batch_size=8)
+    # built WITHOUT a canonical map: queries must go through unmapped
+    imp_raw = ImpactIndex.from_selected_terms(res.ids, res.selected_terms)
+    assert imp_raw.query_canonical is False
+    kw = dict(query_type="image", sparse_cfg=scfg,
+              search_cfg=SearchConfig(depth=30), batch_size=8)
+    out = run_search(examples, params, arch, tok, template,
+                     impact_index=imp_raw, **kw)
+    ref_s, ref_i = imp_raw.search_terms(res.selected_terms, 30,
+                                        canonical_map=None)
+    want = {qid: dict(zip(ids_row, s_row))
+            for qid, s_row, ids_row in zip(res.ids, ref_s, ref_i)}
+    got = {qid: row["docs"] for qid, row in out.sparse_run.items()}
+    assert got == want
+
+    # built WITH a map: flag recorded and persisted
+    from mllm_sparse_retrieval_tpu.sparse import canonical_id_map
+    cmap = canonical_id_map(tok.get_vocab(), scfg.is_filtered)
+    imp_map = ImpactIndex.from_selected_terms(res.ids, res.selected_terms,
+                                              cmap)
+    assert imp_map.query_canonical is True
+    with tempfile.TemporaryDirectory() as d:
+        imp_map.save(d)
+        assert ImpactIndex.load(d).query_canonical is True
+        imp_raw.save(d)
+        assert ImpactIndex.load(d).query_canonical is False

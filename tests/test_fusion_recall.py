@@ -127,3 +127,17 @@ def test_fuse_tolerates_asymmetric_runs():
     tagged = fuse_statistic([dense, sparse], [0.5, 0.5])
     assert tagged["q2"]["c"].type == "dense"
     assert tagged["q1"]["a"].type == "fuse"
+
+
+def test_make_run_accepts_numpy_rows():
+    """Raw batch_search output (2-D numpy arrays) must work — the
+    pre-hostops body accepted it via per-element coercion (review r6)."""
+    import numpy as np
+
+    from mllm_sparse_retrieval_tpu.search.runs import make_run
+
+    scores = np.array([[3.0, 2.0], [5.0, 1.0]])
+    ids = np.array([["a", "b"], ["c", "d"]])
+    run = make_run(["q1", "q2"], scores, ids)
+    assert run["q1"]["docs"] == {"a": 3.0, "b": 2.0}
+    assert run["q2"]["max_score"] == 5.0 and run["q2"]["min_score"] == 1.0
