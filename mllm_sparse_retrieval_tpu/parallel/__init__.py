@@ -6,6 +6,11 @@ from mllm_sparse_retrieval_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
 )
+from mllm_sparse_retrieval_tpu.parallel.ep import (
+    MoEConfig,
+    moe_ffn,
+    shard_moe_params,
+)
 from mllm_sparse_retrieval_tpu.parallel.pp import (
     PIPE_AXIS,
     make_pp3_mesh,
@@ -16,6 +21,7 @@ from mllm_sparse_retrieval_tpu.parallel.sp import (
     ring_attention,
 )
 
-__all__ = ["DATA_AXIS", "MODEL_AXIS", "PIPE_AXIS", "apply_sequence_parallel",
-           "make_mesh", "make_pp3_mesh", "make_pp_mesh", "ring_attention",
-           "shard_batch"]
+__all__ = ["DATA_AXIS", "MODEL_AXIS", "MoEConfig", "PIPE_AXIS",
+           "apply_sequence_parallel", "make_mesh", "make_pp3_mesh",
+           "make_pp_mesh", "moe_ffn", "ring_attention", "shard_batch",
+           "shard_moe_params"]
