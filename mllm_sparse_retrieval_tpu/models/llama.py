@@ -38,6 +38,10 @@ class LlamaConfig:
     # M-RoPE (Qwen2.5-VL): per-frequency-band section sizes over head_dim/2
     # for (temporal, height, width) position components; None = standard RoPE.
     mrope_section: Optional[Tuple[int, ...]] = None
+    # Mixture-of-Experts FFN (Qwen-MoE / Mixtral-class backbones): replaces
+    # the dense SwiGLU with parallel/ep.py's capacity-bucketed expert layer;
+    # ``apply`` then returns ``(hidden, aux_loss)``. None = dense FFN.
+    moe: Optional["MoEConfig"] = None  # noqa: F821 (parallel.ep.MoEConfig)
 
     @property
     def head_dim(self) -> int:
@@ -66,10 +70,18 @@ def init_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Dict:
             "v": L.dense_init(bk[2], h, cfg.num_kv_heads * dh, dtype=dtype),
             "o": L.dense_init(bk[3], cfg.num_heads * dh, h, dtype=dtype),
             "mlp_norm": L.rmsnorm_init(h, dtype),
-            "gate": L.dense_init(bk[4], h, cfg.intermediate_size, dtype=dtype),
-            "up": L.dense_init(bk[5], h, cfg.intermediate_size, dtype=dtype),
-            "down": L.dense_init(bk[6], cfg.intermediate_size, h, dtype=dtype),
         }
+        if cfg.moe is not None:
+            from mllm_sparse_retrieval_tpu.parallel import ep
+            blk["moe"] = ep.moe_init(bk[4], h, cfg.intermediate_size,
+                                     cfg.moe, dtype)
+        else:
+            blk["gate"] = L.dense_init(bk[4], h, cfg.intermediate_size,
+                                       dtype=dtype)
+            blk["up"] = L.dense_init(bk[5], h, cfg.intermediate_size,
+                                     dtype=dtype)
+            blk["down"] = L.dense_init(bk[6], cfg.intermediate_size, h,
+                                       dtype=dtype)
         if cfg.qkv_bias:
             blk["q"]["b"] = jnp.zeros((cfg.num_heads * dh,), dtype)
             blk["k"]["b"] = jnp.zeros((cfg.num_kv_heads * dh,), dtype)
@@ -116,6 +128,12 @@ def _block(x, p, cfg: LlamaConfig, mask, cos, sin,
     x = x + ld(attn, "o", "o")
 
     y = L.rmsnorm(x, p["mlp_norm"], cfg.rms_eps)
+    if cfg.moe is not None:
+        # MoE FFN (parallel/ep.py): experts are not LoRA targets; the block
+        # additionally returns the Switch load-balance aux loss.
+        from mllm_sparse_retrieval_tpu.parallel import ep
+        ffn, aux = ep.moe_ffn(y, p["moe"], cfg.moe)
+        return x + ffn, aux
     gated = jax.nn.silu(ld(y, "gate", "gate")) * ld(y, "up", "up")
     x = x + ld(gated, "down", "down")
     return x
@@ -163,7 +181,10 @@ def apply(
     lora_rng: Optional[jax.Array] = None,
     lora_dropout: float = 0.0,
 ) -> jax.Array:
-    """Run the decoder stack; returns final-norm hidden states [B, T, H].
+    """Run the decoder stack; returns final-norm hidden states [B, T, H] —
+    or ``(hidden, moe_aux_loss)`` when ``cfg.moe`` is set (the summed Switch
+    load-balance loss across blocks, for the trainer to weight with
+    ``cfg.moe.aux_loss_coef``).
 
     ``remat=True`` checkpoints each block (recompute activations on the
     backward pass) — the standard memory/FLOPs trade for full-finetuning
@@ -195,13 +216,20 @@ def apply(
     if remat:
         block_fn = jax.checkpoint(block_fn, static_argnums=(2,))
     x = inputs_embeds
+    moe_aux = jnp.zeros((), jnp.float32) if cfg.moe is not None else None
     for i, blk in enumerate(params["blocks"]):
         blora = None
         if lora is not None and "blocks" in lora and lora["blocks"][i]:
             blora = lora["blocks"][i]
         brng = jax.random.fold_in(lora_rng, i) if dropout_on else None
         x = block_fn(x, blk, cfg, mask, cos, sin, blora, flash_mask, brng)
-    return L.rmsnorm(x, params["final_norm"], cfg.rms_eps)
+        if cfg.moe is not None:
+            x, aux = x
+            moe_aux = moe_aux + aux
+    out = L.rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    if cfg.moe is not None:
+        return out, moe_aux
+    return out
 
 
 def embed_tokens(params: Dict, input_ids: jax.Array) -> jax.Array:

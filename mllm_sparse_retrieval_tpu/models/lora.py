@@ -54,8 +54,9 @@ def init_lora(
     for blk in params["text"]["blocks"]:
         entry = {}
         for name in TEXT_TARGETS:
-            entry[name] = make(tkeys[ki], blk[name]["w"])
-            ki += 1
+            if name in blk:   # MoE blocks have no dense gate/up/down —
+                entry[name] = make(tkeys[ki], blk[name]["w"])
+            ki += 1           # experts are not LoRA targets (attn only)
         text_blocks.append(entry)
     lora["text"] = {"blocks": text_blocks}
 

@@ -150,6 +150,14 @@ def forward_hidden(
     ``lora_rng``/``lora_dropout`` apply to the DECODER adapters (the text
     targets the reference recipe trains); vision/projector adapters, when
     enabled, train without dropout — a documented deviation (configs.py)."""
+    if cfg.text.moe is not None:
+        # all four product families are dense-FFN; MoE backbones plug in at
+        # the models.llama / parallel.ep layer, where apply() returns the
+        # (hidden, aux_loss) pair this wrapper's single-array contract
+        # cannot carry.
+        raise ValueError("MLLM wrapper does not support MoE text configs; "
+                         "use models.llama.apply directly (returns "
+                         "(hidden, moe_aux_loss))")
     lget = (lambda name: lora.get(name) if lora else None)
     embeds = llama.embed_tokens(params["text"], input_ids)
     if pixel_values is not None:

@@ -248,6 +248,11 @@ def apply_pipelined_gspmd(
     from mllm_sparse_retrieval_tpu.models import layers as L
     from mllm_sparse_retrieval_tpu.models import llama
 
+    if getattr(cfg, "moe", None) is not None:
+        raise ValueError("pipeline parallelism supports dense-FFN decoders "
+                         "only; MoE blocks return (x, aux) which the "
+                         "stacked-stage scan does not carry — compose "
+                         "parallel/ep.py with dp x tp instead")
     b, t, _ = inputs_embeds.shape
     if b % n_microbatches != 0:
         raise ValueError(f"batch {b} not divisible by "
@@ -342,6 +347,11 @@ def apply_pipelined(
     from mllm_sparse_retrieval_tpu.models import layers as L
     from mllm_sparse_retrieval_tpu.models import llama
 
+    if getattr(cfg, "moe", None) is not None:
+        raise ValueError("pipeline parallelism supports dense-FFN decoders "
+                         "only; MoE blocks return (x, aux) which the "
+                         "stacked-stage scan does not carry — compose "
+                         "parallel/ep.py with dp x tp instead")
     b, t, _ = inputs_embeds.shape
     if b % n_microbatches != 0:
         raise ValueError(f"batch {b} not divisible by "

@@ -112,6 +112,10 @@ def apply_sequence_parallel(
     from mllm_sparse_retrieval_tpu.models import layers as L
     from mllm_sparse_retrieval_tpu.models import llama
 
+    if cfg.moe is not None:
+        raise ValueError("sequence parallelism supports dense-FFN decoders "
+                         "only; MoE blocks return (x, aux) — compose "
+                         "parallel/ep.py with dp x tp instead")
     b, t, _ = inputs_embeds.shape
     n_sp = mesh.shape[MODEL_AXIS]
     if t % n_sp != 0:

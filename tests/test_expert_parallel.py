@@ -200,3 +200,123 @@ def test_sharded_parity_and_divisibility():
                     devices=jax.devices()[:3])
     with pytest.raises(ValueError, match="not divisible"):
         ep.shard_moe_params(p, bad, axis="model")
+
+
+# ---- MoE decoder integration (models/llama.py cfg.moe) ----------------
+
+
+def _moe_decoder(num_experts=4, top_k=2):
+    from mllm_sparse_retrieval_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                            num_heads=4, num_kv_heads=2,
+                            intermediate_size=48,
+                            moe=ep.MoEConfig(num_experts=num_experts,
+                                             top_k=top_k))
+    params = llama.init_params(jax.random.PRNGKey(7), cfg)
+    return cfg, params
+
+
+def test_moe_decoder_forward_contract():
+    from mllm_sparse_retrieval_tpu.models import llama
+
+    cfg, params = _moe_decoder()
+    for blk in params["blocks"]:
+        assert "moe" in blk and "gate" not in blk
+    rng = np.random.default_rng(8)
+    ids = rng.integers(1, cfg.vocab_size, size=(4, 16)).astype(np.int32)
+    mask = jnp.ones((4, 16), jnp.int32)
+    emb = llama.embed_tokens(params, jnp.asarray(ids))
+    hidden, aux = llama.apply(params, emb, mask, cfg, allow_flash=False)
+    assert hidden.shape == (4, 16, 32)
+    assert np.isfinite(float(aux)) and float(aux) > 0
+    # remat path carries the (hidden, aux) pair identically
+    h2, a2 = llama.apply(params, emb, mask, cfg, allow_flash=False,
+                         remat=True)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(hidden),
+                               atol=1e-6)
+    assert float(a2) == pytest.approx(float(aux), abs=1e-6)
+
+
+def test_moe_decoder_trains():
+    """Full-finetune contrastive steps on a tiny MoE decoder: total loss
+    (InfoNCE + weighted aux) decreases and stays finite."""
+    import optax
+
+    from mllm_sparse_retrieval_tpu.models import llama
+    from mllm_sparse_retrieval_tpu.train.contrastive import info_nce_loss
+
+    cfg, params = _moe_decoder()
+    rng = np.random.default_rng(9)
+    a_ids = rng.integers(1, cfg.vocab_size, size=(8, 12)).astype(np.int32)
+    b_ids = np.roll(a_ids, 1, axis=1)
+    mask = jnp.ones((8, 12), jnp.int32)
+
+    def loss_fn(p):
+        ha, aux_a = llama.apply(p, llama.embed_tokens(p, jnp.asarray(a_ids)),
+                                mask, cfg, allow_flash=False)
+        hb, aux_b = llama.apply(p, llama.embed_tokens(p, jnp.asarray(b_ids)),
+                                mask, cfg, allow_flash=False)
+        nce = info_nce_loss(ha.mean(axis=1), hb.mean(axis=1), tau=0.1)
+        return nce + cfg.moe.aux_loss_coef * (aux_a + aux_b)
+
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, opt):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        upd, opt = tx.update(g, opt, p)
+        return optax.apply_updates(p, upd), opt, l
+
+    losses = []
+    for _ in range(25):
+        params, opt, l = step(params, opt)
+        losses.append(float(l))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] - 0.1, losses[:3] + losses[-3:]
+
+
+def test_moe_unsupported_surfaces_raise():
+    from mllm_sparse_retrieval_tpu.parallel import sp
+
+    cfg, params = _moe_decoder()
+    emb = jnp.zeros((4, 16, 32), jnp.float32)
+    mask = jnp.ones((4, 16), jnp.int32)
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    with pytest.raises(ValueError, match="dense-FFN"):
+        sp.apply_sequence_parallel(params, emb, mask, cfg, mesh)
+
+    from mllm_sparse_retrieval_tpu.parallel import pp
+
+    pmesh = pp.make_pp_mesh(pipeline_parallel=2, data_parallel=4)
+    with pytest.raises(ValueError, match="dense-FFN"):
+        pp.apply_pipelined(params, emb, mask, cfg, pmesh, 2)
+    with pytest.raises(ValueError, match="dense-FFN"):
+        pp.apply_pipelined_gspmd(params, emb, mask, cfg, pmesh, 2)
+
+    from mllm_sparse_retrieval_tpu.models import mllm, vit
+
+    arch = mllm.MLLMConfig(
+        vision=vit.ViTConfig(image_size=32, patch_size=16, hidden_size=16,
+                             num_layers=1, num_heads=2),
+        text=cfg, image_token_id=4)
+    with pytest.raises(ValueError, match="MoE"):
+        mllm.forward_hidden({"text": params}, arch,
+                            jnp.zeros((2, 8), jnp.int32), mask[:2, :8])
+
+
+def test_init_lora_skips_moe_ffn_targets():
+    """LoRA on a MoE decoder adapts attention projections only."""
+    from mllm_sparse_retrieval_tpu.models import lora as lora_lib
+    from mllm_sparse_retrieval_tpu.models import mllm, vit
+
+    cfg, params = _moe_decoder()
+    arch = mllm.MLLMConfig(
+        vision=vit.ViTConfig(image_size=32, patch_size=16, hidden_size=16,
+                             num_layers=1, num_heads=2),
+        text=cfg, image_token_id=4)
+    full = {"text": params, "vision": None, "projector": None}
+    lora = lora_lib.init_lora(jax.random.PRNGKey(0), full, arch, rank=2)
+    for entry in lora["text"]["blocks"]:
+        assert set(entry) == {"q", "k", "v", "o"}
