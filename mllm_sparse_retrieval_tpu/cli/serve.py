@@ -1,0 +1,118 @@
+"""Serve prebuilt indexes over HTTP with micro-batched device calls.
+
+The online counterpart of ``cli/search.py`` (which runs an offline dataset
+through the indexes and exits — /root/reference/src/search.py's shape):
+load the same artifacts, then take queries over HTTP and coalesce them
+into device-sized batches (serving/). A warm-up batch per configured depth
+level compiles every program before the first request.
+
+    python -m mllm_sparse_retrieval_tpu.cli.serve \
+        --sparse-index indexes/sparse --passage-reps indexes/dense \
+        --port 8080 --depths 10,100,1000
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from mllm_sparse_retrieval_tpu.cli.common import get_logger
+
+
+def _warm(service, logger) -> None:
+    """One query per depth level: compiles (and persistently caches) every
+    program the server can hit, so first real requests are fast."""
+    import numpy as np
+
+    for depth in service.depth_levels:
+        terms = None
+        dense = None
+        if service.impact_index is not None:
+            key = next(iter(service.impact_index.term_to_idx))
+            terms = {key: 1.0}
+        if service.dense_index is not None:
+            dense = np.zeros(service.dense_index.dim, np.float32)
+            dense[0] = 1.0
+        service.search(terms=terms, dense=dense,
+                       depth=min(depth, service.depth_levels[-1]),
+                       timeout=None)
+        logger.info("warmed depth=%d", depth)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--passage-reps", default=None,
+                        help="dense corpus dir (corpus_*.pkl)")
+    parser.add_argument("--sparse-index", default=None,
+                        help="impact index dir")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--alpha", type=float, default=0.5)
+    parser.add_argument("--depths", default="10,100,1000",
+                        help="comma-separated servable depth levels (one "
+                             "compiled program each)")
+    parser.add_argument("--default-depth", type=int, default=10)
+    parser.add_argument("--max-batch", type=int, default=256)
+    parser.add_argument("--max-wait-ms", type=float, default=4.0)
+    parser.add_argument("--impact-backend", default="auto",
+                        choices=["auto", "taat", "matmul"])
+    parser.add_argument("--impact-wire", default="i32",
+                        choices=["i32", "compact48"])
+    parser.add_argument("--dense-dtype", default="float32",
+                        choices=["float32", "bfloat16", "int8"])
+    parser.add_argument("--no-warm", action="store_true",
+                        help="skip the per-depth warm-up batch")
+    parser.add_argument("--verbose", action="store_true",
+                        help="log every HTTP request")
+    args = parser.parse_args(argv)
+
+    if args.passage_reps is None and args.sparse_index is None:
+        parser.error("need --passage-reps and/or --sparse-index")
+
+    logger = get_logger("serve")
+    from mllm_sparse_retrieval_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
+
+    dense_index = None
+    impact_index = None
+    if args.passage_reps:
+        import jax.numpy as jnp
+
+        from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
+        dense_index = DenseFlatIndex.load(
+            args.passage_reps,
+            dtype={"bfloat16": jnp.bfloat16, "int8": jnp.int8}.get(
+                args.dense_dtype, jnp.float32))
+        logger.info("dense index: %d vectors", dense_index.size)
+    if args.sparse_index:
+        from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+        impact_index = ImpactIndex.load(args.sparse_index)
+        logger.info("impact index: %d docs / %d terms",
+                    impact_index.num_docs, impact_index.num_terms)
+
+    from mllm_sparse_retrieval_tpu.serving import RetrievalService
+    from mllm_sparse_retrieval_tpu.serving.http import make_server
+
+    service = RetrievalService(
+        dense_index, impact_index, alpha=args.alpha,
+        depth_levels=[int(d) for d in args.depths.split(",")],
+        default_depth=args.default_depth, backend=args.impact_backend,
+        wire=args.impact_wire, max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms)
+    if not args.no_warm:
+        _warm(service, logger)
+
+    server = make_server(service, args.host, args.port,
+                         verbose=args.verbose)
+    logger.info("serving mode=%s on http://%s:%d", service.mode,
+                *server.server_address[:2])
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+    finally:
+        server.server_close()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Micro-batcher: coalesce concurrent requests into device-sized batches.
+
+TPU retrieval programs are compiled for large static batch shapes and pay a
+fixed dispatch + fetch cost per program call (~30 ms round trip on a relay
+link); serving one query per call would be ~100× off the pipelined batch
+numbers in BASELINE.md. The batcher runs ONE dispatcher thread that drains
+a queue: the first item opens a batch, then up to ``max_batch - 1`` more
+items are collected until ``max_wait_ms`` elapses, and the whole batch runs
+through ``run_batch`` — so a lone request pays at most ``max_wait_ms``
+extra latency while a burst rides one program call.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, Dict, List, Sequence
+
+
+class MicroBatcher:
+    """Single-consumer request coalescer.
+
+    ``run_batch(items) -> results`` is called on the dispatcher thread with
+    1..max_batch items and must return exactly one result per item (an
+    exception fails every future in the batch). ``submit`` is thread-safe
+    and returns a ``concurrent.futures.Future``.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(
+        self,
+        run_batch: Callable[[List[Any]], Sequence[Any]],
+        max_batch: int = 256,
+        max_wait_ms: float = 4.0,
+        name: str = "microbatcher",
+    ):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self._run_batch = run_batch
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._lock = threading.Lock()
+        self.n_batches = 0
+        self.n_items = 0
+        self._thread = threading.Thread(target=self._loop, name=name,
+                                        daemon=True)
+        self._thread.start()
+
+    def submit(self, item: Any) -> Future:
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        fut: Future = Future()
+        self._q.put((item, fut))
+        return fut
+
+    def close(self, timeout: float = 10.0) -> None:
+        """Drain in-flight work and stop the dispatcher thread."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+        self._q.put(self._SENTINEL)
+        self._thread.join(timeout)
+
+    def stats(self) -> Dict[str, float]:
+        b, i = self.n_batches, self.n_items
+        return {"batches": b, "items": i,
+                "mean_batch_size": (i / b) if b else 0.0}
+
+    # ---- dispatcher thread --------------------------------------------------
+
+    def _loop(self) -> None:
+        while True:
+            first = self._q.get()
+            if first is self._SENTINEL:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            stop = False
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is self._SENTINEL:
+                    stop = True
+                    break
+                batch.append(nxt)
+            self._dispatch(batch)
+            if stop:
+                return
+
+    def _dispatch(self, batch) -> None:
+        items = [item for item, _ in batch]
+        try:
+            results = self._run_batch(items)
+            if len(results) != len(items):
+                raise RuntimeError(
+                    f"run_batch returned {len(results)} results for "
+                    f"{len(items)} items")
+        except BaseException as e:  # noqa: BLE001 — fail the futures, keep serving
+            for _, fut in batch:
+                fut.set_exception(e)
+            return
+        self.n_batches += 1
+        self.n_items += len(items)
+        for (_, fut), res in zip(batch, results):
+            fut.set_result(res)

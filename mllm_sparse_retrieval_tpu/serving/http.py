@@ -1,0 +1,104 @@
+"""HTTP front end for :class:`RetrievalService` — stdlib only.
+
+One POST /search call may carry many queries; each query is submitted to
+the service's micro-batcher INDIVIDUALLY, so queries from concurrent HTTP
+connections coalesce into the same device batch (the threading server gives
+each connection its own thread; the batcher's single dispatcher thread owns
+the device). Endpoints:
+
+- ``POST /search``  body ``{"queries": [{"terms": {"17": 2.0} | [[17, 2.0],
+  ...], "dense": [...], "depth": 10}, ...]}`` (or one query object) ->
+  ``{"results": [[[doc_id, score], ...], ...]}`` score-descending.
+- ``GET /healthz``  -> ``{"ok": true, "mode": ...}``
+- ``GET /stats``    -> micro-batcher counters (batches, items, mean size).
+
+JSON object keys are always strings; for int-keyed impact indexes term keys
+are coerced back to token ids here.
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from mllm_sparse_retrieval_tpu.serving.service import RetrievalService
+
+
+def _normalize_terms(raw, int_keyed: bool):
+    if raw is None:
+        return None
+    if isinstance(raw, dict):
+        pairs = raw.items()
+    else:
+        pairs = ((k, w) for k, w in raw)
+    if int_keyed:
+        return {int(k): float(w) for k, w in pairs}
+    return {str(k): float(w) for k, w in pairs}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # the server instance carries .service (see make_server)
+    protocol_version = "HTTP/1.1"
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # noqa: D102 — quiet by default
+        if getattr(self.server, "verbose", False):
+            super().log_message(fmt, *args)
+
+    def do_GET(self):  # noqa: N802 (stdlib casing)
+        svc: RetrievalService = self.server.service
+        if self.path == "/healthz":
+            self._reply(200, {"ok": True, "mode": svc.mode})
+        elif self.path == "/stats":
+            self._reply(200, svc.stats())
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):  # noqa: N802
+        if self.path != "/search":
+            self._reply(404, {"error": f"unknown path {self.path}"})
+            return
+        svc: RetrievalService = self.server.service
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            queries = body["queries"] if "queries" in body else [body]
+            int_keyed = (svc.impact_index is not None
+                         and svc.impact_index.int_keyed)
+            futures = [
+                svc.search_async(
+                    terms=_normalize_terms(q.get("terms"), int_keyed),
+                    dense=q.get("dense"),
+                    depth=q.get("depth"))
+                for q in queries
+            ]
+        except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+            self._reply(400, {"error": str(e)})
+            return
+        try:
+            results = [[[doc, float(score)] for doc, score in f.result(120)]
+                       for f in futures]
+        except Exception as e:  # noqa: BLE001 — surface engine errors as 500
+            self._reply(500, {"error": str(e)})
+            return
+        self._reply(200, {"results": results})
+
+
+def make_server(service: RetrievalService, host: str = "127.0.0.1",
+                port: int = 0, verbose: bool = False) -> ThreadingHTTPServer:
+    """Bind (but do not start) the threading HTTP server; ``port=0`` picks
+    a free port (``server.server_address[1]``). Call ``serve_forever()`` on
+    the result, or run it from a daemon thread in tests."""
+    server = ThreadingHTTPServer((host, port), _Handler)
+    server.daemon_threads = True
+    server.service = service
+    server.verbose = verbose
+    return server

@@ -1,0 +1,205 @@
+"""Transport-free retrieval service: validated queries -> batched device calls.
+
+Wraps the three engine modes the framework serves —
+
+- ``sparse``:  :class:`ImpactIndex` (TAAT Pallas kernel / matmul backend),
+- ``dense``:   :class:`DenseFlatIndex` (f32 / bf16 / int8 MIPS),
+- ``hybrid``:  :class:`FusedHybridSearcher` (both top-k fused ON DEVICE,
+  one packed fetch — the serving path, search/device_fusion.py)
+
+— behind a :class:`MicroBatcher`, so concurrent single queries coalesce
+into one compiled-program call. Depths are quantized up to fixed levels
+(per-depth programs are compiled once and reused; an arbitrary per-batch
+max depth would recompile constantly) and each request's result is cut
+back to what it asked for.
+
+The reference has no online surface (its src/search.py is an offline batch
+script); this is deployment surface on top of reference-parity engines.
+"""
+
+from __future__ import annotations
+
+import bisect
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+TermsLike = Union[Mapping[object, float],
+                  Sequence[Tuple[object, float]]]
+
+
+@dataclass(frozen=True)
+class QueryRequest:
+    """One validated query: ``terms`` keyed by the impact index's key space
+    (token ids for int-keyed indexes, strings for Lucene-interchange
+    indexes), ``dense`` a [d] float vector, ``depth`` the requested result
+    count."""
+    terms: Optional[Dict[object, float]]
+    dense: Optional[np.ndarray]
+    depth: int
+
+
+class RetrievalService:
+    """Micro-batched retrieval over prebuilt indexes.
+
+    ``search``/``search_async`` are thread-safe; each call is one query.
+    The service mode is fixed by which indexes are given: both -> hybrid
+    (device-fused), one -> that engine. Requests must carry what the mode
+    needs (``terms`` and/or ``dense``) and are validated on the caller's
+    thread so malformed input never poisons a whole batch.
+    """
+
+    def __init__(
+        self,
+        dense_index=None,
+        impact_index=None,
+        *,
+        alpha: float = 0.5,
+        depth_levels: Sequence[int] = (10, 100, 1000),
+        default_depth: int = 10,
+        candidate_depth: Optional[int] = None,
+        backend: str = "auto",
+        wire: str = "i32",
+        mesh=None,
+        max_batch: int = 256,
+        max_wait_ms: float = 4.0,
+        device_batch: Optional[int] = None,
+    ):
+        if dense_index is None and impact_index is None:
+            raise ValueError("need at least one of dense_index/impact_index")
+        self.dense_index = dense_index
+        self.impact_index = impact_index
+        self.mode = ("hybrid" if dense_index is not None
+                     and impact_index is not None
+                     else "dense" if dense_index is not None else "sparse")
+        self.depth_levels = tuple(sorted(set(int(d) for d in depth_levels)))
+        if any(d < 1 for d in self.depth_levels):
+            raise ValueError(f"depth_levels must be >= 1: {depth_levels}")
+        self.default_depth = int(default_depth)
+        if self.default_depth > self.depth_levels[-1]:
+            raise ValueError("default_depth exceeds max depth level")
+        # hybrid: per-engine candidate depth before fusion (docs ranked by
+        # one engine only still fuse correctly — device_fusion matches the
+        # host fuse() rule); served out_depth stays the request depth.
+        self.candidate_depth = candidate_depth
+        self.backend = backend
+        self.wire = wire
+        self.mesh = mesh
+        # every micro-batch is padded to this fixed device batch: compiled
+        # programs are keyed by static shapes, and a [device_batch] program
+        # costs barely more than a [1] one on the MXU while a per-size
+        # program cache would recompile on every distinct burst size.
+        self.device_batch = int(device_batch or max_batch)
+        if self.device_batch < max_batch:
+            raise ValueError("device_batch must be >= max_batch")
+        from mllm_sparse_retrieval_tpu.serving.batcher import MicroBatcher
+
+        if self.mode == "hybrid":
+            from mllm_sparse_retrieval_tpu.search.device_fusion import (
+                FusedHybridSearcher)
+            self._fused = FusedHybridSearcher(
+                dense_index, impact_index, alpha=alpha, mesh=mesh,
+                backend=backend)
+        self._batcher = MicroBatcher(self._run_batch, max_batch=max_batch,
+                                     max_wait_ms=max_wait_ms,
+                                     name="retrieval-batcher")
+
+    # ---- public API --------------------------------------------------------
+
+    def search_async(self, terms: Optional[TermsLike] = None,
+                     dense=None, depth: Optional[int] = None) -> Future:
+        return self._batcher.submit(self._validate(terms, dense, depth))
+
+    def search(self, terms: Optional[TermsLike] = None, dense=None,
+               depth: Optional[int] = None,
+               timeout: Optional[float] = 60.0):
+        """Blocking single-query search -> list of ``(doc_id, score)``,
+        score-descending, at most ``depth`` entries."""
+        return self.search_async(terms, dense, depth).result(timeout)
+
+    def stats(self) -> Dict[str, float]:
+        s = self._batcher.stats()
+        s["mode"] = self.mode
+        return s
+
+    def close(self) -> None:
+        self._batcher.close()
+
+    # ---- validation (caller thread) -----------------------------------------
+
+    def _validate(self, terms, dense, depth) -> QueryRequest:
+        depth = self.default_depth if depth is None else int(depth)
+        if depth < 1 or depth > self.depth_levels[-1]:
+            raise ValueError(f"depth must be in [1, {self.depth_levels[-1]}],"
+                             f" got {depth}")
+        t: Optional[Dict[object, float]] = None
+        d: Optional[np.ndarray] = None
+        if self.mode in ("sparse", "hybrid"):
+            if terms is None:
+                raise ValueError(f"mode={self.mode!r} requires terms")
+            pairs = terms.items() if isinstance(terms, Mapping) else terms
+            t = {}
+            for k, w in pairs:
+                w = float(w)
+                if w > 0:           # non-positive weights drop, as in add()
+                    t[k] = t.get(k, 0.0) + w
+        if self.mode in ("dense", "hybrid"):
+            if dense is None:
+                raise ValueError(f"mode={self.mode!r} requires dense")
+            d = np.asarray(dense, np.float32).reshape(-1)
+            dim = self.dense_index.dim
+            if dim is not None and d.shape[0] != dim:
+                raise ValueError(f"dense dim {d.shape[0]} != index dim {dim}")
+        return QueryRequest(t, d, depth)
+
+    # ---- batch execution (dispatcher thread) --------------------------------
+
+    def _served_depth(self, reqs: Sequence[QueryRequest]) -> int:
+        """Smallest configured level >= the batch's max request depth —
+        depth is a static shape in every compiled program, so quantizing
+        keeps the program cache at ``len(depth_levels)`` entries."""
+        need = max(r.depth for r in reqs)
+        return self.depth_levels[bisect.bisect_left(self.depth_levels, need)]
+
+    def _run_batch(self, reqs: List[QueryRequest]):
+        depth = self._served_depth(reqs)
+        n = len(reqs)
+        if self.mode == "dense":
+            scores, ids = self._dense_rows(reqs, depth)
+        elif self.mode == "sparse":
+            scores, ids = self._sparse_rows(reqs, depth)
+        else:
+            q_reps = self._padded_dense(reqs)
+            q_idx, q_w = self.impact_index.encode_queries(
+                self._padded_terms(reqs))
+            cand = self.candidate_depth or depth
+            scores, ids = self._fused.search_encoded(
+                q_reps, q_idx, q_w, max(cand, depth), out_depth=depth)
+        return [list(zip(i_row[:r.depth], s_row[:r.depth]))
+                for r, s_row, i_row in zip(reqs, scores[:n], ids[:n])]
+
+    def _padded_terms(self, reqs) -> List[Dict[object, float]]:
+        pad = self.device_batch - len(reqs)
+        return [r.terms for r in reqs] + [{}] * pad
+
+    def _padded_dense(self, reqs) -> np.ndarray:
+        q = np.stack([r.dense for r in reqs])
+        pad = self.device_batch - len(reqs)
+        if pad:
+            q = np.concatenate([q, np.zeros((pad, q.shape[1]), q.dtype)])
+        return q
+
+    def _dense_rows(self, reqs, depth):
+        scores, ids = self.dense_index.search_ids(
+            self._padded_dense(reqs), depth,
+            batch_size=self.device_batch, mesh=self.mesh)
+        return scores.tolist(), ids
+
+    def _sparse_rows(self, reqs, depth):
+        q_idx, q_w = self.impact_index.encode_queries(
+            self._padded_terms(reqs))
+        return self.impact_index.search_encoded(
+            q_idx, q_w, depth, mesh=self.mesh, backend=self.backend,
+            wire=self.wire)
