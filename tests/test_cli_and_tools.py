@@ -266,3 +266,26 @@ def test_bench_driver_contract_degraded():
     assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
     assert payload["value"] > 0
     assert "DEGRADED" in payload["metric"]  # cpu fallback is labeled
+
+
+def test_serve_loadtest_smoke(capsys):
+    """tools/serve_loadtest.py --smoke: the serving-stack load test must
+    run end-to-end on CPU (corpus build -> RetrievalService -> HTTP server
+    -> concurrent clients) and report a well-formed JSON result. Real QPS /
+    latency numbers come from the on-chip run (chip-return checklist)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_loadtest", "/root/repo/tools/serve_loadtest.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rc = mod.main(["--smoke", "--mode", "hybrid", "--transport", "http",
+                   "--per-request", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert payload["tool"] == "serve_loadtest"
+    assert payload["qps"] > 0
+    assert payload["mean_batch_size"] >= 1.0
+    assert set(payload["latency_ms"]) == {"p50", "p95", "p99"}

@@ -1,0 +1,232 @@
+"""Load test for the online serving stack (serving/ + cli/serve shape).
+
+Builds a synthetic Zipf corpus (same shape as bench.py's headline workload),
+stands up a RetrievalService — optionally behind the stdlib HTTP server —
+and fires concurrent single-query clients at it, reporting achieved QPS,
+per-request latency percentiles, and the micro-batcher's mean batch size.
+
+This measures the DEPLOYMENT path: request coalescing + depth quantization
++ engine dispatch + (for http) JSON/HTTP overhead — the layers above the
+engines that bench.py's batch numbers deliberately exclude. The reference
+has no online surface (its /root/reference/src/search.py is an offline
+batch script), so there is no reference number to beat here; the contract
+is that micro-batching keeps per-query cost far below one relay round trip
+(~30 ms) per query.
+
+Usage (real chip):
+    python tools/serve_loadtest.py --mode hybrid --transport http
+Smoke (CPU, seconds):
+    python tools/serve_loadtest.py --smoke --platform cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_indexes(args):
+    from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
+    from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+
+    rng = np.random.default_rng(0)
+    zipf_p = 1.0 / np.arange(1, args.terms + 1)
+    zipf_p /= zipf_p.sum()
+    doc_terms = np.empty((args.docs, args.doc_k), np.int32)
+    for i in range(0, args.docs, 4096):
+        n = min(4096, args.docs - i)
+        doc_terms[i:i + n] = rng.choice(args.terms, size=(n, args.doc_k),
+                                        p=zipf_p)
+    doc_weights = rng.integers(1, 350, size=(args.docs, args.doc_k)
+                               ).astype(np.float32)
+    impact = dense = None
+    if args.mode in ("sparse", "hybrid"):
+        impact = ImpactIndex.from_packed_arrays(doc_terms, doc_weights,
+                                                term_keys=range(args.terms))
+    if args.mode in ("dense", "hybrid"):
+        dense = DenseFlatIndex()
+        reps = rng.normal(size=(args.docs, args.dim)).astype(np.float32)
+        ids = (impact.doc_ids if impact is not None
+               else [str(i) for i in range(args.docs)])
+        dense.add(reps, list(ids))
+    return impact, dense, zipf_p, rng
+
+
+def make_queries(args, zipf_p, rng):
+    q_terms = rng.choice(args.terms, size=(args.n_queries, args.q_k),
+                         p=zipf_p).astype(np.int64)
+    q_w = rng.integers(1, 300, size=(args.n_queries, args.q_k))
+    terms = [dict(zip(row.tolist(), w.tolist()))
+             for row, w in zip(q_terms, q_w)]
+    denses = rng.normal(size=(args.n_queries, args.dim)).astype(np.float32)
+    return terms, denses
+
+
+def run_inproc(service, args, terms, denses):
+    lat, lock = [], threading.Lock()
+    idx = iter(range(args.n_queries))
+
+    def worker():
+        while True:
+            with lock:
+                i = next(idx, None)
+            if i is None:
+                return
+            t = terms[i] if service.impact_index is not None else None
+            d = denses[i] if service.dense_index is not None else None
+            t0 = time.perf_counter()
+            rows = service.search(terms=t, dense=d, depth=args.depth,
+                                  timeout=300)
+            dt = time.perf_counter() - t0
+            assert len(rows) <= args.depth
+            with lock:
+                lat.append(dt)
+
+    return drive(worker, args, lat)
+
+
+def run_http(service, args, terms, denses):
+    import urllib.request
+
+    from mllm_sparse_retrieval_tpu.serving.http import make_server
+
+    server = make_server(service, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = "http://127.0.0.1:%d" % server.server_address[1]
+    lat, lock = [], threading.Lock()
+    idx = iter(range(0, args.n_queries, args.per_request))
+
+    def worker():
+        while True:
+            with lock:
+                s = next(idx, None)
+            if s is None:
+                return
+            qs = []
+            for i in range(s, min(s + args.per_request, args.n_queries)):
+                q = {"depth": args.depth}
+                if service.impact_index is not None:
+                    q["terms"] = {str(k): w for k, w in terms[i].items()}
+                if service.dense_index is not None:
+                    q["dense"] = denses[i].tolist()
+                qs.append(q)
+            req = urllib.request.Request(
+                base + "/search", data=json.dumps({"queries": qs}).encode(),
+                headers={"Content-Type": "application/json"})
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                body = json.loads(resp.read())
+            dt = time.perf_counter() - t0
+            assert len(body["results"]) == len(qs)
+            with lock:
+                lat.append(dt)
+
+    try:
+        return drive(worker, args, lat)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def drive(worker, args, lat):
+    threads = [threading.Thread(target=worker) for _ in range(args.clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    return wall, np.asarray(lat)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", default="hybrid",
+                   choices=["sparse", "dense", "hybrid"])
+    p.add_argument("--transport", default="http",
+                   choices=["http", "inproc"])
+    p.add_argument("--docs", type=int, default=25_010)
+    p.add_argument("--terms", type=int, default=20_000)
+    p.add_argument("--doc-k", type=int, default=128)
+    p.add_argument("--q-k", type=int, default=64)
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--depth", type=int, default=10)
+    p.add_argument("--depth-levels", default="10,100,1000")
+    p.add_argument("--n-queries", type=int, default=16_384)
+    p.add_argument("--clients", type=int, default=64)
+    p.add_argument("--per-request", type=int, default=1,
+                   help="queries per HTTP POST (http transport)")
+    p.add_argument("--max-batch", type=int, default=1024)
+    p.add_argument("--max-wait-ms", type=float, default=8.0)
+    p.add_argument("--platform", default=None, choices=[None, "cpu"],
+                   help="force jax platform (chip-down smoke)")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny shapes; seconds on CPU")
+    args = p.parse_args(argv)
+    if args.smoke:
+        args.docs, args.terms, args.doc_k, args.q_k = 512, 256, 16, 8
+        args.dim, args.n_queries, args.clients = 16, 256, 8
+        args.max_batch, args.depth_levels = 64, "10"
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from mllm_sparse_retrieval_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
+
+    t0 = time.time()
+    impact, dense, zipf_p, rng = build_indexes(args)
+    terms, denses = make_queries(args, zipf_p, rng)
+    log(f"built mode={args.mode} corpus docs={args.docs} in "
+        f"{time.time() - t0:.1f}s")
+
+    from mllm_sparse_retrieval_tpu.serving import RetrievalService
+    levels = [int(d) for d in args.depth_levels.split(",")]
+    service = RetrievalService(
+        dense, impact, depth_levels=levels,
+        default_depth=min(args.depth, levels[0]),
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+
+    # warm every depth level so the measured window is compile-free
+    t0 = time.time()
+    for d in levels:
+        service.search(terms=terms[0] if impact is not None else None,
+                       dense=denses[0] if dense is not None else None,
+                       depth=d, timeout=None)
+    log(f"warm ({len(levels)} depth programs): {time.time() - t0:.1f}s")
+
+    runner = run_http if args.transport == "http" else run_inproc
+    wall, lat = runner(service, args, terms, denses)
+    stats = service.stats()
+    service.close()
+
+    qps = args.n_queries / wall
+    pct = {f"p{q}": round(float(np.percentile(lat, q)) * 1e3, 2)
+           for q in (50, 95, 99)} if lat.size else {}
+    result = {
+        "tool": "serve_loadtest", "mode": args.mode,
+        "transport": args.transport, "docs": args.docs,
+        "n_queries": args.n_queries, "clients": args.clients,
+        "per_request": args.per_request, "depth": args.depth,
+        "qps": round(qps, 1), "wall_s": round(wall, 2),
+        "latency_ms": pct,
+        "mean_batch_size": round(stats["mean_batch_size"], 1),
+        "batches": int(stats["batches"]),
+    }
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
