@@ -36,6 +36,11 @@ def _warm(service, logger) -> None:
                        depth=min(depth, service.depth_levels[-1]),
                        timeout=None)
         logger.info("warmed depth=%d", depth)
+    if service.query_encoder is not None:
+        # one text query compiles the fixed-shape encode program
+        service.search(text="warm up", depth=service.depth_levels[0],
+                       timeout=None)
+        logger.info("warmed text-encode program")
 
 
 def main(argv=None):
@@ -63,6 +68,15 @@ def main(argv=None):
                         help="skip the per-depth warm-up batch")
     parser.add_argument("--verbose", action="store_true",
                         help="log every HTTP request")
+    parser.add_argument("--encode-queries", action="store_true",
+                        help="load the model (family/checkpoint args below) "
+                             "and accept {'text': ...} queries — live "
+                             "encode on device")
+    parser.add_argument("--max-text-len", type=int, default=64,
+                        help="token budget of the compiled text-encode "
+                             "program (longer queries truncate)")
+    from mllm_sparse_retrieval_tpu.cli.common import add_common_args
+    add_common_args(parser)
     args = parser.parse_args(argv)
 
     if args.passage_reps is None and args.sparse_index is None:
@@ -92,12 +106,26 @@ def main(argv=None):
     from mllm_sparse_retrieval_tpu.serving import RetrievalService
     from mllm_sparse_retrieval_tpu.serving.http import make_server
 
+    encoder = None
+    if args.encode_queries:
+        from mllm_sparse_retrieval_tpu.configs import RepsLoc
+        from mllm_sparse_retrieval_tpu.cli.common import (
+            build_everything, sparse_config_from_args)
+        from mllm_sparse_retrieval_tpu.serving import OnlineQueryEncoder
+        _, params, arch, tok, template, _, lora = build_everything(args)
+        encoder = OnlineQueryEncoder(
+            params, arch, tok, template, sparse_config_from_args(args),
+            reps_loc=RepsLoc(args.reps_loc), lora=lora,
+            max_text_len=args.max_text_len)
+        logger.info("query encoder: family=%s max_text_len=%d",
+                    args.family, encoder.max_text_len)
+
     service = RetrievalService(
         dense_index, impact_index, alpha=args.alpha,
         depth_levels=[int(d) for d in args.depths.split(",")],
         default_depth=args.default_depth, backend=args.impact_backend,
         wire=args.impact_wire, max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms)
+        max_wait_ms=args.max_wait_ms, query_encoder=encoder)
     if not args.no_warm:
         _warm(service, logger)
 

@@ -140,6 +140,113 @@ def _pad_batch_examples(batch: Sequence[Example], size: int) -> List[Example]:
     return out
 
 
+def make_text_ds_encode(arch, reps_loc, k_text_full: int, exp_k: int,
+                        allow_flash=True):
+    """Build the text device-select encode program ONCE: returns
+    ``(jit_fn, spec_fn)`` where ``jit_fn(params, lora, ids, mask, cand_ids,
+    cand_mask, fmask)`` packs (full-vocab top-k, candidate top-k [+ expansion
+    top-k], L2-normalized dense) into one device array and ``spec_fn(cand_w)``
+    gives the matching ``unpack_blocks`` spec.
+
+    Shared by the offline pipeline (``encode_examples``, which builds its
+    jits per call — fine for one corpus pass) and the online serving encoder
+    (``serving/encoder.py``, which must compile once and reuse per request
+    batch). ``fmask`` is the filtered-vocab bool mask when
+    ``exp_k > 0``, else None (the expansion block is compiled out).
+    """
+    from mllm_sparse_retrieval_tpu.models.api import encode_any
+    from mllm_sparse_retrieval_tpu.ops.packing import pack_blocks
+
+    hidden = arch.text.hidden_size
+
+    @jax.jit
+    def _fn(p, l, ids, mask, cand_ids, cand_mask, fmask):
+        from mllm_sparse_retrieval_tpu.ops.select import (
+            candidate_topk, filtered_topk, vocab_topk)
+        sparse, dense = encode_any(p, arch, ids, mask, None, reps_loc, l,
+                                   allow_flash=allow_flash)
+        fv, fi = vocab_topk(sparse, k_text_full)
+        cv, ci, cnt = candidate_topk(sparse, cand_ids, cand_mask, 128)
+        blocks = [(fv, True), (fi, False), (cv, True), (ci, False),
+                  (cnt, False)]
+        if fmask is not None:
+            # over-provision by the candidate width (the exclusion bound)
+            ev, ei = filtered_topk(sparse, fmask, exp_k + cand_ids.shape[1])
+            blocks += [(ev, True), (ei, False)]
+        return pack_blocks(blocks + [(normalize(dense), True)])
+
+    def _spec(cand_w):
+        # widths mirror the k clamps inside ops/select (k = min(k, width))
+        vocab = arch.text.vocab_size
+        kt = min(k_text_full, vocab)
+        cw = min(128, cand_w)
+        spec = [(kt, True), (kt, False), (cw, True), (cw, False), (1, False)]
+        if exp_k > 0:
+            ew = min(exp_k + cand_w, vocab)
+            spec += [(ew, True), (ew, False)]
+        return spec + [(hidden, True)]
+
+    return _fn, _spec
+
+
+def expand_terms(t_ids, t_vals, excl_ids, exp_row, exp_k: int):
+    """Append ``exp_k`` expansion terms: first exp_k ranked filtered ids not
+    in ``excl_ids`` (golden: setdiff1d + topk — same order)."""
+    ev, ei = exp_row
+    excl = set(int(x) for x in excl_ids)
+    neg_inf = np.finfo(np.float32).min
+    add_ids, add_vals = [], []
+    for v, i in zip(ev, ei):
+        if len(add_ids) >= exp_k or v <= neg_inf / 2:
+            break
+        if int(i) in excl:
+            continue
+        add_ids.append(int(i))
+        add_vals.append(float(v))
+    if not add_ids:
+        return t_ids, t_vals
+    return (np.concatenate([t_ids, np.asarray(add_ids, np.int32)]),
+            np.concatenate([t_vals, np.asarray(add_vals, np.float32)]))
+
+
+def resolve_text_ds_rows(parts, valid: int, cand_ids, cand_mask,
+                         sparse_cfg) -> List[SelectedTerms]:
+    """SelectedTerms rows from the unpacked output of the
+    ``make_text_ds_encode`` program (``parts`` INCLUDING the trailing dense
+    block, which is ignored here) — the reference's per-caption selection
+    rule (/root/reference/src/encode.py:96-153): candidate top-k when any
+    in-text candidate scored, full-vocab fallback otherwise, manual-mode
+    full-vocab top-``sparse_length``, optional expansion terms excluding
+    the caption's own candidates."""
+    from mllm_sparse_retrieval_tpu.sparse.term_selection import (
+        quantize_weights)
+
+    exp_k = sparse_cfg.num_expanded_tokens
+    fv, fi, cv, ci, cnt = parts[0], parts[1], parts[2], parts[3], \
+        parts[4][:, 0]
+    exp = (parts[5], parts[6]) if len(parts) == 8 else None
+    out: List[SelectedTerms] = []
+    for b in range(valid):
+        if cnt[b] == 0:
+            take = sparse_cfg.fallback_top_k
+            t_ids, t_vals = fi[b][:take], fv[b][:take]
+        elif sparse_cfg.sparse_manual:
+            take = sparse_cfg.sparse_length
+            t_ids, t_vals = fi[b][:take], fv[b][:take]
+        else:
+            take = min(int(cnt[b]), 128)
+            t_ids, t_vals = ci[b][:take], cv[b][:take]
+        if exp is not None:
+            # golden excludes the caption's candidate ids
+            excl = cand_ids[b][cand_mask[b]]
+            t_ids, t_vals = expand_terms(
+                t_ids, t_vals, excl, (exp[0][b], exp[1][b]), exp_k)
+        out.append(SelectedTerms(
+            t_ids.astype(np.int32),
+            quantize_weights(t_vals, sparse_cfg.quantization_scale)))
+    return out
+
+
 def encode_examples(
     examples: Sequence[Example],
     params,
@@ -281,32 +388,8 @@ def encode_examples(
     def _plain_spec():
         return [(arch.text.vocab_size, True), (hidden, True)]
 
-    @jax.jit
-    def _encode_text_ds(p, l, ids, mask, cand_ids, cand_mask, fmask):
-        from mllm_sparse_retrieval_tpu.ops.select import (
-            candidate_topk, filtered_topk, vocab_topk)
-        sparse, dense = encode_any(p, arch, ids, mask, None, reps_loc, l,
-                                   allow_flash=allow_flash)
-        fv, fi = vocab_topk(sparse, k_text_full)
-        cv, ci, cnt = candidate_topk(sparse, cand_ids, cand_mask, 128)
-        blocks = [(fv, True), (fi, False), (cv, True), (ci, False),
-                  (cnt, False)]
-        if fmask is not None:
-            # over-provision by the candidate width (the exclusion bound)
-            ev, ei = filtered_topk(sparse, fmask, exp_k + cand_ids.shape[1])
-            blocks += [(ev, True), (ei, False)]
-        return pack_blocks(blocks + [(normalize(dense), True)])
-
-    def _text_ds_spec(cand_w):
-        # widths mirror the k clamps inside ops/select (k = min(k, width))
-        vocab = arch.text.vocab_size
-        kt = min(k_text_full, vocab)
-        cw = min(128, cand_w)
-        spec = [(kt, True), (kt, False), (cw, True), (cw, False), (1, False)]
-        if filtered_mask_dev is not None:
-            ew = min(exp_k + cand_w, vocab)
-            spec += [(ew, True), (ew, False)]
-        return spec + [(hidden, True)]
+    _encode_text_ds, _text_ds_spec = make_text_ds_encode(
+        arch, reps_loc, k_text_full, exp_k, allow_flash)
 
     @jax.jit
     def _encode_image_ds(p, l, ids, mask, pixels, pos, fmask):
@@ -331,23 +414,7 @@ def encode_examples(
         return spec + [(hidden, True)]
 
     def _expand_terms(t_ids, t_vals, excl_ids, exp_row):
-        """Append exp_k expansion terms: first exp_k ranked filtered ids not
-        in ``excl_ids`` (golden: setdiff1d + topk — same order)."""
-        ev, ei = exp_row
-        excl = set(int(x) for x in excl_ids)
-        neg_inf = np.finfo(np.float32).min
-        add_ids, add_vals = [], []
-        for v, i in zip(ev, ei):
-            if len(add_ids) >= exp_k or v <= neg_inf / 2:
-                break
-            if int(i) in excl:
-                continue
-            add_ids.append(int(i))
-            add_vals.append(float(v))
-        if not add_ids:
-            return t_ids, t_vals
-        return (np.concatenate([t_ids, np.asarray(add_ids, np.int32)]),
-                np.concatenate([t_vals, np.asarray(add_vals, np.float32)]))
+        return expand_terms(t_ids, t_vals, excl_ids, exp_row, exp_k)
 
     from mllm_sparse_retrieval_tpu.sparse.term_selection import (
         quantize_weights, text_candidate_ids)
@@ -446,28 +513,8 @@ def encode_examples(
         if encode_type == "text":
             host_cand_ids, host_cand_mask = host[2], host[3]
             if use_device_select:
-                fv, fi, cv, ci, cnt = parts[0], parts[1], parts[2], \
-                    parts[3], parts[4][:, 0]
-                exp = (parts[5], parts[6]) if len(parts) == 8 else None
-                for b in range(valid):
-                    if cnt[b] == 0:
-                        take = sparse_cfg.fallback_top_k
-                        t_ids, t_vals = fi[b][:take], fv[b][:take]
-                    elif sparse_cfg.sparse_manual:
-                        take = sparse_cfg.sparse_length
-                        t_ids, t_vals = fi[b][:take], fv[b][:take]
-                    else:
-                        take = min(int(cnt[b]), 128)
-                        t_ids, t_vals = ci[b][:take], cv[b][:take]
-                    if exp is not None:
-                        # golden excludes the caption's candidate ids
-                        excl = host_cand_ids[b][host_cand_mask[b]]
-                        t_ids, t_vals = _expand_terms(
-                            t_ids, t_vals, excl, (exp[0][b], exp[1][b]))
-                    batch_terms.append(SelectedTerms(
-                        t_ids.astype(np.int32),
-                        quantize_weights(t_vals,
-                                         sparse_cfg.quantization_scale)))
+                batch_terms = resolve_text_ds_rows(
+                    parts, valid, host_cand_ids, host_cand_mask, sparse_cfg)
             else:
                 sparse_logits = parts[0]
                 for b in range(valid):

@@ -10,9 +10,11 @@ the relay round trip per query), and a stdlib HTTP server in front of it.
 """
 
 from mllm_sparse_retrieval_tpu.serving.batcher import MicroBatcher
+from mllm_sparse_retrieval_tpu.serving.encoder import OnlineQueryEncoder
 from mllm_sparse_retrieval_tpu.serving.service import (
     QueryRequest,
     RetrievalService,
 )
 
-__all__ = ["MicroBatcher", "QueryRequest", "RetrievalService"]
+__all__ = ["MicroBatcher", "OnlineQueryEncoder", "QueryRequest",
+           "RetrievalService"]

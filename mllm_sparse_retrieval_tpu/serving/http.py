@@ -8,7 +8,9 @@ the device). Endpoints:
 
 - ``POST /search``  body ``{"queries": [{"terms": {"17": 2.0} | [[17, 2.0],
   ...], "dense": [...], "depth": 10}, ...]}`` (or one query object) ->
-  ``{"results": [[[doc_id, score], ...], ...]}`` score-descending.
+  ``{"results": [[[doc_id, score], ...], ...]}`` score-descending. A query
+  may instead carry ``"text": "a dog on a beach"`` when the service has a
+  query encoder (live model encode on device).
 - ``GET /healthz``  -> ``{"ok": true, "mode": ...}``
 - ``GET /stats``    -> micro-batcher counters (batches, items, mean size).
 
@@ -77,7 +79,8 @@ class _Handler(BaseHTTPRequestHandler):
                 svc.search_async(
                     terms=_normalize_terms(q.get("terms"), int_keyed),
                     dense=q.get("dense"),
-                    depth=q.get("depth"))
+                    depth=q.get("depth"),
+                    text=q.get("text"))
                 for q in queries
             ]
         except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:

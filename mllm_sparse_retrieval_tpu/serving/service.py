@@ -35,10 +35,13 @@ class QueryRequest:
     """One validated query: ``terms`` keyed by the impact index's key space
     (token ids for int-keyed indexes, strings for Lucene-interchange
     indexes), ``dense`` a [d] float vector, ``depth`` the requested result
-    count."""
+    count. ``text`` is the raw-text alternative (requires a configured
+    ``query_encoder``): the dispatcher encodes it into terms/dense on
+    device before searching."""
     terms: Optional[Dict[object, float]]
     dense: Optional[np.ndarray]
     depth: int
+    text: Optional[str] = None
 
 
 class RetrievalService:
@@ -66,6 +69,7 @@ class RetrievalService:
         max_batch: int = 256,
         max_wait_ms: float = 4.0,
         device_batch: Optional[int] = None,
+        query_encoder=None,
     ):
         if dense_index is None and impact_index is None:
             raise ValueError("need at least one of dense_index/impact_index")
@@ -94,6 +98,19 @@ class RetrievalService:
         self.device_batch = int(device_batch or max_batch)
         if self.device_batch < max_batch:
             raise ValueError("device_batch must be >= max_batch")
+        # live text queries: the encoder runs on the dispatcher thread, so
+        # encode + search of one micro-batch is one device pipeline. The
+        # canonical map mirrors search.engine._query_cmap: applied iff the
+        # index was BUILT with one (query_canonical), so id-collision
+        # merges match the artifact path exactly.
+        self.query_encoder = query_encoder
+        self._cmap = None
+        if (query_encoder is not None and impact_index is not None
+                and getattr(impact_index, "query_canonical", False)):
+            from mllm_sparse_retrieval_tpu.sparse import canonical_id_map
+            self._cmap = canonical_id_map(
+                query_encoder.tokenizer.get_vocab(),
+                query_encoder.sparse_cfg.is_filtered)
         from mllm_sparse_retrieval_tpu.serving.batcher import MicroBatcher
 
         if self.mode == "hybrid":
@@ -109,15 +126,19 @@ class RetrievalService:
     # ---- public API --------------------------------------------------------
 
     def search_async(self, terms: Optional[TermsLike] = None,
-                     dense=None, depth: Optional[int] = None) -> Future:
-        return self._batcher.submit(self._validate(terms, dense, depth))
+                     dense=None, depth: Optional[int] = None,
+                     text: Optional[str] = None) -> Future:
+        return self._batcher.submit(self._validate(terms, dense, depth,
+                                                   text))
 
     def search(self, terms: Optional[TermsLike] = None, dense=None,
-               depth: Optional[int] = None,
+               depth: Optional[int] = None, text: Optional[str] = None,
                timeout: Optional[float] = 60.0):
         """Blocking single-query search -> list of ``(doc_id, score)``,
-        score-descending, at most ``depth`` entries."""
-        return self.search_async(terms, dense, depth).result(timeout)
+        score-descending, at most ``depth`` entries. Give either ``text``
+        (live model encode; needs a ``query_encoder``) or explicit
+        ``terms``/``dense``."""
+        return self.search_async(terms, dense, depth, text).result(timeout)
 
     def stats(self) -> Dict[str, float]:
         s = self._batcher.stats()
@@ -129,11 +150,21 @@ class RetrievalService:
 
     # ---- validation (caller thread) -----------------------------------------
 
-    def _validate(self, terms, dense, depth) -> QueryRequest:
+    def _validate(self, terms, dense, depth, text=None) -> QueryRequest:
         depth = self.default_depth if depth is None else int(depth)
         if depth < 1 or depth > self.depth_levels[-1]:
             raise ValueError(f"depth must be in [1, {self.depth_levels[-1]}],"
                              f" got {depth}")
+        if text is not None:
+            if self.query_encoder is None:
+                raise ValueError(
+                    "text queries need a query_encoder (serve with a model: "
+                    "cli.serve --encode-queries)")
+            if terms is not None or dense is not None:
+                raise ValueError("give text OR terms/dense, not both")
+            if not isinstance(text, str) or not text.strip():
+                raise ValueError("text must be a non-empty string")
+            return QueryRequest(None, None, depth, text)
         t: Optional[Dict[object, float]] = None
         d: Optional[np.ndarray] = None
         if self.mode in ("sparse", "hybrid"):
@@ -163,7 +194,43 @@ class RetrievalService:
         need = max(r.depth for r in reqs)
         return self.depth_levels[bisect.bisect_left(self.depth_levels, need)]
 
+    def _encode_text_requests(self, reqs: List[QueryRequest]) -> None:
+        """Replace text-carrying requests with their encoded terms/dense —
+        ONE fixed-shape encode program call for the whole micro-batch."""
+        from dataclasses import replace
+
+        ti = [i for i, r in enumerate(reqs) if r.text is not None]
+        if not ti:
+            return
+        dense_vecs, terms_rows = self.query_encoder.encode_texts(
+            [reqs[i].text for i in ti], pad_to=self.device_batch)
+        for j, i in enumerate(ti):
+            reqs[i] = replace(
+                reqs[i],
+                terms=(self._terms_dict(terms_rows[j])
+                       if self.impact_index is not None else None),
+                dense=(dense_vecs[j]
+                       if self.dense_index is not None else None))
+
+    def _terms_dict(self, st) -> Dict[object, float]:
+        """SelectedTerms -> term dict in the index's id key space, applying
+        the index's canonical collision merge (sum) when it was built with
+        one — the same arithmetic as ``ImpactIndex.encode_query_terms``."""
+        ids = np.asarray(st.token_ids, np.int64)
+        w = np.asarray(st.weights, np.float64)
+        if self._cmap is not None:
+            ids = np.where(ids < self._cmap.shape[0],
+                           self._cmap[np.minimum(ids,
+                                                 self._cmap.shape[0] - 1)],
+                           -1)
+        keep = (ids >= 0) & (w > 0)
+        out: Dict[object, float] = {}
+        for k, v in zip(ids[keep].tolist(), w[keep].tolist()):
+            out[k] = out.get(k, 0.0) + v
+        return out
+
     def _run_batch(self, reqs: List[QueryRequest]):
+        self._encode_text_requests(reqs)
         depth = self._served_depth(reqs)
         n = len(reqs)
         if self.mode == "dense":
