@@ -91,11 +91,14 @@ class EncodeResult:
         return self._query_weights
 
 
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
 def default_pixel_loader(image_size: int) -> Callable[[Example], np.ndarray]:
     """Load+resize+CLIP-normalize an image; deterministic synthetic pixels
     when the file is absent (this environment ships no image data)."""
-    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
-    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+    mean, std = CLIP_MEAN, CLIP_STD
 
     def load(ex: Example) -> np.ndarray:
         if os.path.exists(ex.image_path):
@@ -187,6 +190,67 @@ def make_text_ds_encode(arch, reps_loc, k_text_full: int, exp_k: int,
         return spec + [(hidden, True)]
 
     return _fn, _spec
+
+
+def make_image_ds_encode(arch, reps_loc, k_image: int, exp_k: int,
+                         allow_flash=True):
+    """Image counterpart of ``make_text_ds_encode``: ``jit_fn(params, lora,
+    ids, mask, pixels, pos, fmask)`` packs (full-vocab top-k [+ expansion
+    top-k], normalized dense); ``spec_fn()`` is shape-static (image
+    selection has no candidate set — /root/reference/src/encode.py:126-153
+    takes the top ``sparse_length`` vocab terms)."""
+    from mllm_sparse_retrieval_tpu.models.api import encode_any
+    from mllm_sparse_retrieval_tpu.ops.packing import pack_blocks
+
+    hidden = arch.text.hidden_size
+
+    @jax.jit
+    def _fn(p, l, ids, mask, pixels, pos, fmask):
+        from mllm_sparse_retrieval_tpu.ops.select import (
+            filtered_topk, vocab_topk)
+        sparse, dense = encode_any(p, arch, ids, mask, pixels, reps_loc, l,
+                                   position_ids=pos, allow_flash=allow_flash)
+        fv, fi = vocab_topk(sparse, k_image)
+        blocks = [(fv, True), (fi, False)]
+        if fmask is not None:
+            ev, ei = filtered_topk(sparse, fmask, exp_k + k_image)
+            blocks += [(ev, True), (ei, False)]
+        return pack_blocks(blocks + [(normalize(dense), True)])
+
+    def _spec():
+        vocab = arch.text.vocab_size
+        ki = min(k_image, vocab)
+        spec = [(ki, True), (ki, False)]
+        if exp_k > 0:
+            ew = min(exp_k + k_image, vocab)
+            spec += [(ew, True), (ew, False)]
+        return spec + [(hidden, True)]
+
+    return _fn, _spec
+
+
+def resolve_image_ds_rows(parts, valid: int, sparse_cfg
+                          ) -> List[SelectedTerms]:
+    """SelectedTerms rows from the unpacked ``make_image_ds_encode`` output
+    (``parts`` INCLUDING the trailing dense block): top-k vocab terms,
+    optional expansion terms excluding the selected top-k ids."""
+    from mllm_sparse_retrieval_tpu.sparse.term_selection import (
+        quantize_weights)
+
+    exp_k = sparse_cfg.num_expanded_tokens
+    fv, fi = parts[0], parts[1]
+    exp = (parts[2], parts[3]) if len(parts) == 5 else None
+    out: List[SelectedTerms] = []
+    for b in range(valid):
+        t_ids, t_vals = fi[b], fv[b]
+        if exp is not None:
+            # image expansion excludes the selected top-k ids
+            t_ids, t_vals = expand_terms(
+                t_ids, t_vals, t_ids, (exp[0][b], exp[1][b]), exp_k)
+        out.append(SelectedTerms(
+            t_ids.astype(np.int32),
+            quantize_weights(t_vals, sparse_cfg.quantization_scale)))
+    return out
 
 
 def expand_terms(t_ids, t_vals, excl_ids, exp_row, exp_k: int):
@@ -391,33 +455,11 @@ def encode_examples(
     _encode_text_ds, _text_ds_spec = make_text_ds_encode(
         arch, reps_loc, k_text_full, exp_k, allow_flash)
 
-    @jax.jit
-    def _encode_image_ds(p, l, ids, mask, pixels, pos, fmask):
-        from mllm_sparse_retrieval_tpu.ops.select import (
-            filtered_topk, vocab_topk)
-        sparse, dense = encode_any(p, arch, ids, mask, pixels, reps_loc, l,
-                                   position_ids=pos, allow_flash=allow_flash)
-        fv, fi = vocab_topk(sparse, k_image)
-        blocks = [(fv, True), (fi, False)]
-        if fmask is not None:
-            ev, ei = filtered_topk(sparse, fmask, exp_k + k_image)
-            blocks += [(ev, True), (ei, False)]
-        return pack_blocks(blocks + [(normalize(dense), True)])
-
-    def _image_ds_spec():
-        vocab = arch.text.vocab_size
-        ki = min(k_image, vocab)
-        spec = [(ki, True), (ki, False)]
-        if filtered_mask_dev is not None:
-            ew = min(exp_k + k_image, vocab)
-            spec += [(ew, True), (ew, False)]
-        return spec + [(hidden, True)]
-
-    def _expand_terms(t_ids, t_vals, excl_ids, exp_row):
-        return expand_terms(t_ids, t_vals, excl_ids, exp_row, exp_k)
+    _encode_image_ds, _image_ds_spec = make_image_ds_encode(
+        arch, reps_loc, k_image, exp_k, allow_flash)
 
     from mllm_sparse_retrieval_tpu.sparse.term_selection import (
-        quantize_weights, text_candidate_ids)
+        text_candidate_ids)
 
     def _host_prep(batch):
         """Host-side work for one padded batch: tokenization, candidate
@@ -523,18 +565,7 @@ def encode_examples(
                         sparse_cfg, filtered_ids))
         else:
             if use_device_select:
-                fv, fi = parts[0], parts[1]
-                exp = (parts[2], parts[3]) if len(parts) == 5 else None
-                for b in range(valid):
-                    t_ids, t_vals = fi[b], fv[b]
-                    if exp is not None:
-                        # image expansion excludes the selected top-k ids
-                        t_ids, t_vals = _expand_terms(
-                            t_ids, t_vals, t_ids, (exp[0][b], exp[1][b]))
-                    batch_terms.append(SelectedTerms(
-                        t_ids.astype(np.int32),
-                        quantize_weights(t_vals,
-                                         sparse_cfg.quantization_scale)))
+                batch_terms = resolve_image_ds_rows(parts, valid, sparse_cfg)
             else:
                 sparse_logits = parts[0]
                 for b in range(valid):

@@ -66,6 +66,7 @@ class OnlineQueryEncoder:
         self.template = template
         self.sparse_cfg = sparse_cfg
         self.lora = lora
+        self._reps_loc = reps_loc
         self.max_text_len = _round_up(max_text_len, 16)
         self.max_candidates = int(max_candidates)
 
@@ -85,6 +86,7 @@ class OnlineQueryEncoder:
             fm = np.zeros(arch.text.vocab_size, bool)
             fm[get_filtered_ids(tokenizer.get_vocab())] = True
             self._fmask = jnp.asarray(fm)
+        self._img = None     # lazy image-program state (dict)
 
     def encode_texts(
         self, texts: Sequence[str], pad_to: Optional[int] = None
@@ -133,5 +135,117 @@ class OnlineQueryEncoder:
         parts = unpack_blocks(np.asarray(packed), self._spec)
         terms = resolve_text_ds_rows(parts, n, cand_ids, cand_mask,
                                      self.sparse_cfg)
+        dense = np.asarray(parts[-1], np.float32)[:n]
+        return dense, terms
+
+    # ---- image queries ---------------------------------------------------------
+
+    def _image_state(self) -> dict:
+        """Lazy per-encoder image-program state: the jitted program, its
+        unpack spec, and the family's prompt/pixel plumbing (same shapes
+        the offline pipeline compiles — fixed-spec families share one
+        [B, ...] pixel layout; variable families pad prompts to the
+        family max so one program serves every grid/tiling)."""
+        if self._img is not None:
+            return self._img
+        from mllm_sparse_retrieval_tpu.models.api import image_input_spec
+        from mllm_sparse_retrieval_tpu.pipelines.encode import (
+            make_image_ds_encode)
+
+        spec = image_input_spec(self.arch)
+        k_image = (self.sparse_cfg.sparse_length
+                   if self.sparse_cfg.sparse_manual else 128)
+        fn, spec_fn = make_image_ds_encode(
+            self.arch, self._reps_loc, k_image,
+            self.sparse_cfg.num_expanded_tokens)
+        st = {"spec": spec, "fn": fn, "unpack": spec_fn(), "pos_cache": {}}
+        if spec.variable:
+            base = self.template.image_prompt()
+            fixed_len = len(self.tokenizer.encode(
+                self.template.expand_image(base, spec.max_image_tokens)))
+            from mllm_sparse_retrieval_tpu.models.layers import FLASH_MIN_SEQ
+            if fixed_len >= FLASH_MIN_SEQ:
+                fixed_len = _round_up(fixed_len, 512)
+            st["base_prompt"] = base
+            st["fixed_len"] = fixed_len
+        else:
+            prompt = self.template.expand_image(
+                self.template.image_prompt(), spec.num_image_tokens)
+            st["row"] = self.tokenizer.encode(prompt)
+        self._img = st
+        return st
+
+    def _fixed_pixels(self, spec, raw: np.ndarray) -> np.ndarray:
+        """Raw [H, W, 3] float in [0,1] -> the fixed family's model pixel
+        layout: resize to the square input size (u8 PIL round trip when
+        resizing — serving-grade, matches the file loader's BICUBIC),
+        CLIP-normalize, spec.preprocess."""
+        from mllm_sparse_retrieval_tpu.pipelines.encode import (
+            CLIP_MEAN, CLIP_STD)
+
+        s = spec.image_size
+        raw = np.asarray(raw, np.float32)
+        if raw.ndim != 3 or raw.shape[2] != 3:
+            raise ValueError(f"image must be [H, W, 3], got {raw.shape}")
+        if raw.shape[:2] != (s, s):
+            from PIL import Image
+            img = Image.fromarray(
+                np.clip(raw * 255.0, 0, 255).astype(np.uint8))
+            raw = np.asarray(img.resize((s, s), Image.BICUBIC),
+                             np.float32) / 255.0
+        return spec.preprocess((raw - CLIP_MEAN) / CLIP_STD)
+
+    def encode_images(
+        self, images: Sequence[np.ndarray], pad_to: Optional[int] = None
+    ) -> Tuple[np.ndarray, List]:
+        """Encode raw images ([H, W, 3] float in [0,1], any resolution) in
+        one fixed-shape program call; same return contract as
+        ``encode_texts``. The image program compiles lazily on first use."""
+        import jax
+
+        from mllm_sparse_retrieval_tpu.ops.packing import unpack_blocks
+        from mllm_sparse_retrieval_tpu.pipelines.encode import (
+            resolve_image_ds_rows)
+
+        n = len(images)
+        b = int(pad_to or n)
+        if n == 0 or n > b:
+            raise ValueError(f"got {n} images for a batch of {b}")
+        st = self._image_state()
+        spec = st["spec"]
+
+        if spec.variable:
+            vitems = [spec.preprocess_example(np.asarray(im, np.float32))
+                      for im in images]
+            vitems += [vitems[-1]] * (b - n)        # pad rows never resolve
+            rows = [self.tokenizer.encode(self.template.expand_image(
+                st["base_prompt"], nt)) for _, nt in vitems]
+            ids, mask = self.tokenizer.pad_batch(
+                rows, max_len=st["fixed_len"], pad_to_multiple=16)
+            pixels = spec.batch_vision([item for item, _ in vitems])
+            pos = (spec.mrope_from_batch(ids, mask, pixels)
+                   if spec.mrope_from_batch else None)
+        else:
+            px = [self._fixed_pixels(spec, im) for im in images]
+            px += [px[-1]] * (b - n)
+            pixels = np.stack(px)
+            if b not in st["pos_cache"]:
+                ids, mask = self.tokenizer.pad_batch(
+                    [st["row"]] * b, pad_to_multiple=16)
+                pos = None
+                if getattr(spec, "needs_mrope", False):
+                    from mllm_sparse_retrieval_tpu.models.api import (
+                        mrope_ids_for_batch)
+                    pos = mrope_ids_for_batch(self.arch, ids, mask)
+                st["pos_cache"][b] = (ids, mask, pos)
+            ids, mask, pos = st["pos_cache"][b]
+
+        d_ids, d_mask = jax.device_put(ids), jax.device_put(mask)
+        d_px = jax.tree_util.tree_map(jax.device_put, pixels)
+        d_pos = jax.device_put(pos) if pos is not None else None
+        packed = st["fn"](self.params, self.lora, d_ids, d_mask, d_px,
+                          d_pos, self._fmask)
+        parts = unpack_blocks(np.asarray(packed), st["unpack"])
+        terms = resolve_image_ds_rows(parts, n, self.sparse_cfg)
         dense = np.asarray(parts[-1], np.float32)[:n]
         return dense, terms

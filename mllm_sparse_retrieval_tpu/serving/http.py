@@ -9,8 +9,9 @@ the device). Endpoints:
 - ``POST /search``  body ``{"queries": [{"terms": {"17": 2.0} | [[17, 2.0],
   ...], "dense": [...], "depth": 10}, ...]}`` (or one query object) ->
   ``{"results": [[[doc_id, score], ...], ...]}`` score-descending. A query
-  may instead carry ``"text": "a dog on a beach"`` when the service has a
-  query encoder (live model encode on device).
+  may instead carry ``"text": "a dog on a beach"`` or ``"image_b64":
+  "<base64 PNG/JPEG bytes>"`` when the service has a query encoder (live
+  model encode on device).
 - ``GET /healthz``  -> ``{"ok": true, "mode": ...}``
 - ``GET /stats``    -> micro-batcher counters (batches, items, mean size).
 
@@ -25,6 +26,21 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from mllm_sparse_retrieval_tpu.serving.service import RetrievalService
+
+
+def _decode_image(b64: Optional[str]):
+    """base64 image file bytes -> raw [H, W, 3] float32 in [0, 1] at the
+    original resolution (the encoder owns family-specific resize/tiling)."""
+    if b64 is None:
+        return None
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    return np.asarray(img, np.float32) / 255.0
 
 
 def _normalize_terms(raw, int_keyed: bool):
@@ -80,10 +96,14 @@ class _Handler(BaseHTTPRequestHandler):
                     terms=_normalize_terms(q.get("terms"), int_keyed),
                     dense=q.get("dense"),
                     depth=q.get("depth"),
-                    text=q.get("text"))
+                    text=q.get("text"),
+                    image=_decode_image(q.get("image_b64")))
                 for q in queries
             ]
-        except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+        except (ValueError, KeyError, TypeError, OSError,
+                json.JSONDecodeError) as e:
+            # OSError: PIL's UnidentifiedImageError for undecodable
+            # image_b64 payloads — a client error, not a server fault
             self._reply(400, {"error": str(e)})
             return
         try:

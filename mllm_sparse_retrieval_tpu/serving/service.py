@@ -42,6 +42,7 @@ class QueryRequest:
     dense: Optional[np.ndarray]
     depth: int
     text: Optional[str] = None
+    image: Optional[np.ndarray] = None   # raw [H, W, 3] float in [0, 1]
 
 
 class RetrievalService:
@@ -127,18 +128,20 @@ class RetrievalService:
 
     def search_async(self, terms: Optional[TermsLike] = None,
                      dense=None, depth: Optional[int] = None,
-                     text: Optional[str] = None) -> Future:
+                     text: Optional[str] = None,
+                     image=None) -> Future:
         return self._batcher.submit(self._validate(terms, dense, depth,
-                                                   text))
+                                                   text, image))
 
     def search(self, terms: Optional[TermsLike] = None, dense=None,
                depth: Optional[int] = None, text: Optional[str] = None,
-               timeout: Optional[float] = 60.0):
+               image=None, timeout: Optional[float] = 60.0):
         """Blocking single-query search -> list of ``(doc_id, score)``,
-        score-descending, at most ``depth`` entries. Give either ``text``
-        (live model encode; needs a ``query_encoder``) or explicit
-        ``terms``/``dense``."""
-        return self.search_async(terms, dense, depth, text).result(timeout)
+        score-descending, at most ``depth`` entries. Give ``text`` or
+        ``image`` (live model encode; needs a ``query_encoder``) or
+        explicit ``terms``/``dense``."""
+        return self.search_async(terms, dense, depth, text,
+                                 image).result(timeout)
 
     def stats(self) -> Dict[str, float]:
         s = self._batcher.stats()
@@ -150,21 +153,30 @@ class RetrievalService:
 
     # ---- validation (caller thread) -----------------------------------------
 
-    def _validate(self, terms, dense, depth, text=None) -> QueryRequest:
+    def _validate(self, terms, dense, depth, text=None,
+                  image=None) -> QueryRequest:
         depth = self.default_depth if depth is None else int(depth)
         if depth < 1 or depth > self.depth_levels[-1]:
             raise ValueError(f"depth must be in [1, {self.depth_levels[-1]}],"
                              f" got {depth}")
-        if text is not None:
+        if text is not None or image is not None:
             if self.query_encoder is None:
                 raise ValueError(
-                    "text queries need a query_encoder (serve with a model: "
-                    "cli.serve --encode-queries)")
+                    "text/image queries need a query_encoder (serve with a "
+                    "model: cli.serve --encode-queries)")
             if terms is not None or dense is not None:
-                raise ValueError("give text OR terms/dense, not both")
-            if not isinstance(text, str) or not text.strip():
-                raise ValueError("text must be a non-empty string")
-            return QueryRequest(None, None, depth, text)
+                raise ValueError(
+                    "give text/image OR terms/dense, not both")
+            if text is not None and image is not None:
+                raise ValueError("give text OR image, not both")
+            if text is not None:
+                if not isinstance(text, str) or not text.strip():
+                    raise ValueError("text must be a non-empty string")
+                return QueryRequest(None, None, depth, text)
+            img = np.asarray(image, np.float32)
+            if img.ndim != 3 or img.shape[2] != 3:
+                raise ValueError(f"image must be [H, W, 3], got {img.shape}")
+            return QueryRequest(None, None, depth, None, img)
         t: Optional[Dict[object, float]] = None
         d: Optional[np.ndarray] = None
         if self.mode in ("sparse", "hybrid"):
@@ -194,23 +206,32 @@ class RetrievalService:
         need = max(r.depth for r in reqs)
         return self.depth_levels[bisect.bisect_left(self.depth_levels, need)]
 
-    def _encode_text_requests(self, reqs: List[QueryRequest]) -> None:
-        """Replace text-carrying requests with their encoded terms/dense —
-        ONE fixed-shape encode program call for the whole micro-batch."""
+    def _encode_media_requests(self, reqs: List[QueryRequest]) -> None:
+        """Replace text/image-carrying requests with their encoded
+        terms/dense — ONE fixed-shape encode program call per modality for
+        the whole micro-batch."""
         from dataclasses import replace
 
-        ti = [i for i, r in enumerate(reqs) if r.text is not None]
-        if not ti:
-            return
-        dense_vecs, terms_rows = self.query_encoder.encode_texts(
-            [reqs[i].text for i in ti], pad_to=self.device_batch)
-        for j, i in enumerate(ti):
-            reqs[i] = replace(
-                reqs[i],
-                terms=(self._terms_dict(terms_rows[j])
-                       if self.impact_index is not None else None),
-                dense=(dense_vecs[j]
-                       if self.dense_index is not None else None))
+        for sel, encode in (
+            ([i for i, r in enumerate(reqs) if r.text is not None],
+             lambda xs: self.query_encoder.encode_texts(
+                 xs, pad_to=self.device_batch)),
+            ([i for i, r in enumerate(reqs) if r.image is not None],
+             lambda xs: self.query_encoder.encode_images(
+                 xs, pad_to=self.device_batch)),
+        ):
+            if not sel:
+                continue
+            dense_vecs, terms_rows = encode(
+                [reqs[i].text if reqs[i].text is not None else reqs[i].image
+                 for i in sel])
+            for j, i in enumerate(sel):
+                reqs[i] = replace(
+                    reqs[i], text=None, image=None,
+                    terms=(self._terms_dict(terms_rows[j])
+                           if self.impact_index is not None else None),
+                    dense=(dense_vecs[j]
+                           if self.dense_index is not None else None))
 
     def _terms_dict(self, st) -> Dict[object, float]:
         """SelectedTerms -> term dict in the index's id key space, applying
@@ -230,7 +251,7 @@ class RetrievalService:
         return out
 
     def _run_batch(self, reqs: List[QueryRequest]):
-        self._encode_text_requests(reqs)
+        self._encode_media_requests(reqs)
         depth = self._served_depth(reqs)
         n = len(reqs)
         if self.mode == "dense":

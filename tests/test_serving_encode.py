@@ -201,3 +201,132 @@ def test_http_text_query(setup):
         server.shutdown()
         server.server_close()
         svc.close()
+
+
+# ---- image queries ------------------------------------------------------------
+
+
+@needs_data
+def test_online_image_encoder_matches_offline_fixed_spec(setup):
+    """Fixed-spec family (tiny_debug square ViT): encode_images must match
+    encode_examples(encode_type='image') bit-for-bit when fed the same raw
+    pixels."""
+    from mllm_sparse_retrieval_tpu.models.api import image_input_spec
+    from mllm_sparse_retrieval_tpu.pipelines.encode import CLIP_MEAN, CLIP_STD
+
+    _, params, arch, tok, template, scfg, examples, _, _ = setup
+    spec = image_input_spec(arch)
+    assert not spec.variable
+    s = spec.image_size
+    rng = np.random.default_rng(11)
+    raws = [rng.uniform(size=(s, s, 3)).astype(np.float32) for _ in range(5)]
+
+    # key by text_id: examples_full has 5 captions per IMAGE, so img_id
+    # repeats across the first examples and would collapse distinct raws
+    by_ex = {ex.text_id: raw for ex, raw in zip(examples[:5], raws)}
+    off = encode_examples(
+        examples[:5], params, arch, tok, template, encode_type="image",
+        sparse_cfg=scfg, batch_size=5, is_query=True,
+        pixel_loader=lambda ex: spec.preprocess(
+            (by_ex[ex.text_id] - CLIP_MEAN) / CLIP_STD))
+
+    enc = OnlineQueryEncoder(params, arch, tok, template, scfg)
+    dense, terms = enc.encode_images(raws, pad_to=8)
+    np.testing.assert_allclose(dense, off.dense, rtol=1e-5, atol=1e-6)
+    for got, ref in zip(terms, off.selected_terms):
+        np.testing.assert_array_equal(got.token_ids, ref.token_ids)
+        np.testing.assert_array_equal(got.weights, ref.weights)
+
+
+def test_online_image_encoder_variable_spec_anyres():
+    """Variable-spec family (tiny LLaVA-NeXT anyres): the lazy image
+    program handles per-image grids at one compiled shape; parity vs the
+    offline pipeline on the same raw images."""
+    import jax
+
+    from mllm_sparse_retrieval_tpu.data.karpathy import Example
+    from mllm_sparse_retrieval_tpu.models import mllm, templates
+    from mllm_sparse_retrieval_tpu.models.llama import LlamaConfig
+    from mllm_sparse_retrieval_tpu.models.mllm import MLLMConfig
+    from mllm_sparse_retrieval_tpu.models.tokenizer import (
+        WordPieceLiteTokenizer)
+    from mllm_sparse_retrieval_tpu.models.vit import ViTConfig
+
+    caps = ["a dog runs on grass", "a cat sits on a mat",
+            "two people ride bikes", "a red bus in the city"]
+    tok = WordPieceLiteTokenizer.from_corpus_captions(caps, vocab_size=96)
+    arch = MLLMConfig(
+        vision=ViTConfig(image_size=28, patch_size=14, hidden_size=32,
+                         num_layers=2, num_heads=4, feature_layer=-2),
+        text=LlamaConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                         num_heads=4, num_kv_heads=2, intermediate_size=128,
+                         rope_theta=10000.0),
+        image_token_id=4,
+        grid_pinpoints=((28, 56), (56, 28), (56, 56)),
+    )
+    params = mllm.init_params(jax.random.PRNGKey(0), arch)
+    scfg = SparseConfig()
+
+    rng = np.random.default_rng(3)
+    sizes = [(64, 64), (40, 120), (64, 64), (120, 40)]
+    raws = [rng.uniform(size=s + (3,)).astype(np.float32) for s in sizes]
+    examples = [Example(text=caps[i % 4], image_path=f"/nonexistent/{i}.jpg",
+                        text_id=f"t{i}", img_id=f"i{i}")
+                for i in range(len(raws))]
+    by_img = {ex.img_id: raw for ex, raw in zip(examples, raws)}
+    off = encode_examples(examples, params, arch, tok, templates.TINY,
+                          encode_type="image", sparse_cfg=scfg,
+                          batch_size=4, is_query=True,
+                          pixel_loader=lambda ex: by_img[ex.img_id])
+
+    enc = OnlineQueryEncoder(params, arch, tok, templates.TINY, scfg)
+    dense, terms = enc.encode_images(raws, pad_to=4)
+    np.testing.assert_allclose(dense, off.dense, rtol=1e-5, atol=1e-6)
+    for got, ref in zip(terms, off.selected_terms):
+        np.testing.assert_array_equal(got.token_ids, ref.token_ids)
+        np.testing.assert_array_equal(got.weights, ref.weights)
+
+
+@needs_data
+def test_http_image_query_b64(setup):
+    """image_b64 queries decode, encode, and search; malformed b64 -> 400."""
+    import base64
+    import io
+    import urllib.error
+
+    from PIL import Image
+
+    _, params, arch, tok, template, scfg, examples, impact, dense = setup
+    enc = OnlineQueryEncoder(params, arch, tok, template, scfg)
+    svc = RetrievalService(dense, impact, alpha=0.5, depth_levels=(10,),
+                           max_batch=4, max_wait_ms=10.0,
+                           query_encoder=enc)
+    server = make_server(svc, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = "http://127.0.0.1:%d" % server.server_address[1]
+    try:
+        rng = np.random.default_rng(5)
+        img = Image.fromarray(
+            (rng.uniform(size=(48, 48, 3)) * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        req = urllib.request.Request(
+            base + "/search",
+            data=json.dumps({"image_b64": b64, "depth": 10}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            body = json.loads(resp.read())
+        assert len(body["results"]) == 1 and len(body["results"][0]) > 0
+
+        bad = urllib.request.Request(
+            base + "/search",
+            data=json.dumps({"image_b64": "!!!not-b64!!!"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
+        svc.close()
