@@ -289,3 +289,20 @@ def test_serve_loadtest_smoke(capsys):
     assert payload["qps"] > 0
     assert payload["mean_batch_size"] >= 1.0
     assert set(payload["latency_ms"]) == {"p50", "p95", "p99"}
+
+
+def test_serve_loadtest_text_kind_smoke(capsys):
+    """--query-kind text drives the LIVE encode path (tiny model, real
+    Flickr captions) through the serving stack."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_loadtest_t", "/root/repo/tools/serve_loadtest.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rc = mod.main(["--smoke", "--mode", "sparse", "--transport", "inproc",
+                   "--query-kind", "text", "--n-queries", "64"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["query_kind"] == "text" and payload["qps"] > 0

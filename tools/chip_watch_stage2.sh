@@ -33,7 +33,10 @@ run() {
 # Serving-stack load tests (tools/serve_loadtest.py): HTTP end-to-end and
 # in-process, hybrid and sparse. per-request 16 amortizes Python JSON cost;
 # the per_request=1 leg measures the worst-case single-query deployment.
+# The text legs drive the LIVE model-encode path (tiny family).
 run serve_hybrid_http   python tools/serve_loadtest.py --mode hybrid --transport http --per-request 16
 run serve_hybrid_http1  python tools/serve_loadtest.py --mode hybrid --transport http --n-queries 4096
 run serve_sparse_inproc python tools/serve_loadtest.py --mode sparse --transport inproc
+run serve_text_hybrid   python tools/serve_loadtest.py --mode hybrid --transport http --query-kind text --docs 5000 --n-queries 4096 --per-request 16
+run serve_text_inproc   python tools/serve_loadtest.py --mode sparse --transport inproc --query-kind text --docs 5000 --n-queries 4096
 echo "STAGE2 DONE $(date -u +%FT%TZ)" >> "$STATUS"

@@ -36,6 +36,42 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def build_text_stack(args):
+    """Tiny-family model + indexes built from real Flickr captions — the
+    full online stack for --query-kind text (live encode on device)."""
+    from mllm_sparse_retrieval_tpu.configs import ModelConfig, ModelFamily, \
+        SparseConfig
+    from mllm_sparse_retrieval_tpu.data import CrossModalCorpus
+    from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
+    from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+    from mllm_sparse_retrieval_tpu.models import build_model
+    from mllm_sparse_retrieval_tpu.pipelines.encode import encode_examples
+    from mllm_sparse_retrieval_tpu.serving import OnlineQueryEncoder
+    from mllm_sparse_retrieval_tpu.sparse import canonical_id_map
+
+    corpus = CrossModalCorpus("flickr", "test", "/root/reference/data")
+    caps = list(corpus.text_dict.values())
+    cfg = ModelConfig(family=ModelFamily.TINY_DEBUG, dtype="float32")
+    params, arch, tok, template = build_model(cfg, captions=caps)
+    scfg = SparseConfig()
+    examples = corpus.examples_full()[: args.docs]
+    res = encode_examples(examples, params, arch, tok, template,
+                          encode_type="text", sparse_cfg=scfg,
+                          batch_size=64)
+    cmap = canonical_id_map(tok.get_vocab(), scfg.is_filtered)
+    impact = dense = None
+    if args.mode in ("sparse", "hybrid"):
+        impact = ImpactIndex.from_selected_terms(
+            res.ids, res.selected_terms, canonical_map=cmap)
+    if args.mode in ("dense", "hybrid"):
+        dense = DenseFlatIndex()
+        dense.add(res.dense, res.ids)
+    encoder = OnlineQueryEncoder(params, arch, tok, template, scfg)
+    texts = [ex.text for ex in examples]
+    queries = [texts[i % len(texts)] for i in range(args.n_queries)]
+    return impact, dense, encoder, queries
+
+
 def build_indexes(args):
     from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
     from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
@@ -73,7 +109,7 @@ def make_queries(args, zipf_p, rng):
     return terms, denses
 
 
-def run_inproc(service, args, terms, denses):
+def run_inproc(service, args, terms, denses, texts=None):
     lat, lock = [], threading.Lock()
     idx = iter(range(args.n_queries))
 
@@ -83,11 +119,16 @@ def run_inproc(service, args, terms, denses):
                 i = next(idx, None)
             if i is None:
                 return
-            t = terms[i] if service.impact_index is not None else None
-            d = denses[i] if service.dense_index is not None else None
+            kw = {"depth": args.depth, "timeout": 300}
+            if texts is not None:
+                kw["text"] = texts[i]
+            else:
+                if service.impact_index is not None:
+                    kw["terms"] = terms[i]
+                if service.dense_index is not None:
+                    kw["dense"] = denses[i]
             t0 = time.perf_counter()
-            rows = service.search(terms=t, dense=d, depth=args.depth,
-                                  timeout=300)
+            rows = service.search(**kw)
             dt = time.perf_counter() - t0
             assert len(rows) <= args.depth
             with lock:
@@ -96,7 +137,7 @@ def run_inproc(service, args, terms, denses):
     return drive(worker, args, lat)
 
 
-def run_http(service, args, terms, denses):
+def run_http(service, args, terms, denses, texts=None):
     import urllib.request
 
     from mllm_sparse_retrieval_tpu.serving.http import make_server
@@ -116,10 +157,14 @@ def run_http(service, args, terms, denses):
             qs = []
             for i in range(s, min(s + args.per_request, args.n_queries)):
                 q = {"depth": args.depth}
-                if service.impact_index is not None:
-                    q["terms"] = {str(k): w for k, w in terms[i].items()}
-                if service.dense_index is not None:
-                    q["dense"] = denses[i].tolist()
+                if texts is not None:
+                    q["text"] = texts[i]
+                else:
+                    if service.impact_index is not None:
+                        q["terms"] = {str(k): w
+                                      for k, w in terms[i].items()}
+                    if service.dense_index is not None:
+                        q["dense"] = denses[i].tolist()
                 qs.append(q)
             req = urllib.request.Request(
                 base + "/search", data=json.dumps({"queries": qs}).encode(),
@@ -169,6 +214,11 @@ def main(argv=None):
                    help="queries per HTTP POST (http transport)")
     p.add_argument("--max-batch", type=int, default=1024)
     p.add_argument("--max-wait-ms", type=float, default=8.0)
+    p.add_argument("--query-kind", default="array",
+                   choices=["array", "text"],
+                   help="array: pre-encoded terms/dense vectors (engine "
+                        "stack only); text: raw captions through the live "
+                        "model encoder (tiny family, real Flickr captions)")
     p.add_argument("--platform", default=None, choices=[None, "cpu"],
                    help="force jax platform (chip-down smoke)")
     p.add_argument("--smoke", action="store_true",
@@ -186,28 +236,38 @@ def main(argv=None):
     enable_compilation_cache()
 
     t0 = time.time()
-    impact, dense, zipf_p, rng = build_indexes(args)
-    terms, denses = make_queries(args, zipf_p, rng)
-    log(f"built mode={args.mode} corpus docs={args.docs} in "
-        f"{time.time() - t0:.1f}s")
+    terms = denses = texts = encoder = None
+    if args.query_kind == "text":
+        impact, dense, encoder, texts = build_text_stack(args)
+        args.docs = (impact.num_docs if impact is not None
+                     else dense.size)
+    else:
+        impact, dense, zipf_p, rng = build_indexes(args)
+        terms, denses = make_queries(args, zipf_p, rng)
+    log(f"built mode={args.mode} kind={args.query_kind} corpus "
+        f"docs={args.docs} in {time.time() - t0:.1f}s")
 
     from mllm_sparse_retrieval_tpu.serving import RetrievalService
     levels = [int(d) for d in args.depth_levels.split(",")]
     service = RetrievalService(
         dense, impact, depth_levels=levels,
         default_depth=min(args.depth, levels[0]),
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        query_encoder=encoder)
 
     # warm every depth level so the measured window is compile-free
     t0 = time.time()
     for d in levels:
-        service.search(terms=terms[0] if impact is not None else None,
-                       dense=denses[0] if dense is not None else None,
-                       depth=d, timeout=None)
+        if texts is not None:
+            service.search(text=texts[0], depth=d, timeout=None)
+        else:
+            service.search(terms=terms[0] if impact is not None else None,
+                           dense=denses[0] if dense is not None else None,
+                           depth=d, timeout=None)
     log(f"warm ({len(levels)} depth programs): {time.time() - t0:.1f}s")
 
     runner = run_http if args.transport == "http" else run_inproc
-    wall, lat = runner(service, args, terms, denses)
+    wall, lat = runner(service, args, terms, denses, texts)
     stats = service.stats()
     service.close()
 
@@ -216,6 +276,7 @@ def main(argv=None):
            for q in (50, 95, 99)} if lat.size else {}
     result = {
         "tool": "serve_loadtest", "mode": args.mode,
+        "query_kind": args.query_kind,
         "transport": args.transport, "docs": args.docs,
         "n_queries": args.n_queries, "clients": args.clients,
         "per_request": args.per_request, "depth": args.depth,
