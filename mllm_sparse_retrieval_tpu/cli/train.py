@@ -73,6 +73,12 @@ def main(argv=None):
     parser.add_argument("--merge", action="store_true",
                         help="also save merged encoder params")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--grad-accum-steps", type=int, default=1,
+                        help="split each step batch into this many "
+                             "microbatches scanned inside one jit step "
+                             "(DeepSpeed gradient_accumulation_steps: "
+                             "negatives per microbatch, activation memory "
+                             "at microbatch scale)")
     args = parser.parse_args(argv)
 
     logger = get_logger("train")
@@ -116,7 +122,8 @@ def main(argv=None):
         shard_params_data_axis=args.fsdp, train_full=args.train_full,
         remat=args.remat,
         output_dir=args.output_dir, seed=args.seed,
-        checkpoint_every_steps=args.checkpoint_every)
+        checkpoint_every_steps=args.checkpoint_every,
+        grad_accum_steps=args.grad_accum_steps)
 
     if args.train_full:
         adapters = None

@@ -131,6 +131,14 @@ class TrainConfig:
     # HF Trainer's implicit default (max_grad_norm=1.0) — the reference
     # trains with global-norm clipping; 0 disables.
     max_grad_norm: float = 1.0
+    # Gradient accumulation (every reference DeepSpeed config sets
+    # gradient_accumulation_steps, ds_configs/zero*.json): the step batch
+    # splits into this many microbatches scanned inside ONE jit step —
+    # grads average across microbatches before a single optimizer update,
+    # activation memory stays at microbatch scale. DeepSpeed semantics:
+    # contrastive in-batch negatives come from the MICRObatch (each
+    # forward sees only its slice), not the accumulated batch.
+    grad_accum_steps: int = 1
     seed: int = 0
     shard_optimizer_state: bool = True    # ZeRO-1 equivalent over the data axis
     shard_params_data_axis: bool = False  # ZeRO-3/FSDP equivalent (ds_configs/zero3.json)

@@ -288,9 +288,35 @@ class ContrastiveTrainer:
                                              gather_save_gradient=False)
             return info_nce_loss(t_emb, i_emb, cfg.tau)
 
+        accum = max(int(cfg.grad_accum_steps), 1)
+
         def train_step(trainable, opt_state, base_params, batch, rng):
-            loss, grads = jax.value_and_grad(loss_fn)(trainable, base_params,
-                                                      batch, rng)
+            if accum == 1:
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    trainable, base_params, batch, rng)
+            else:
+                # batch leaves are stacked [A, micro, ...]; lax.scan keeps
+                # live activations at ONE microbatch (grads accumulate in a
+                # trainable-shaped carry) — the DeepSpeed accumulation loop
+                # as a single compiled program, no per-micro dispatch.
+                def micro(carry, xs):
+                    g_acc, l_acc = carry
+                    mb, r = xs
+                    l, g = jax.value_and_grad(loss_fn)(
+                        trainable, base_params, mb, r)
+                    return (jax.tree_util.tree_map(jnp.add, g_acc, g),
+                            l_acc + l), None
+                zeros = jax.tree_util.tree_map(
+                    lambda x: jnp.zeros(x.shape, jnp.float32), trainable)
+                rngs = jax.random.split(rng, accum)
+                (grads, loss), _ = jax.lax.scan(
+                    micro, (zeros, jnp.float32(0.0)), (batch, rngs))
+                # accumulate in f32, hand the optimizer grads in the
+                # trainable leaves' own dtype (as the accum=1 path does)
+                grads = jax.tree_util.tree_map(
+                    lambda g, x: (g / accum).astype(x.dtype),
+                    grads, trainable)
+                loss = loss / accum
             updates, opt_state = self.tx.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state, loss
@@ -330,15 +356,35 @@ class ContrastiveTrainer:
         blocks on steps it actually logs (JAX dispatch keeps several steps
         in flight; ``loss_history`` is coerced to floats at epoch end)."""
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        accum = max(int(self.cfg.grad_accum_steps), 1)
+        if accum > 1:
+            b = batch.text_ids.shape[0]
+            if b % accum != 0:
+                raise ValueError(
+                    f"batch size {b} not divisible by grad_accum_steps "
+                    f"{accum}")
+            m = b // accum
+            pos = batch.image_pos_ids
+            batch = TrainBatch(
+                *(x.reshape((accum, m) + x.shape[1:]) for x in
+                  (batch.text_ids, batch.text_mask, batch.image_ids,
+                   batch.image_mask, batch.pixels)),
+                # M-RoPE ids are [3, B, T]: split the BATCH axis into
+                # (A, m) and move A in front so scan slices microbatches
+                image_pos_ids=None if pos is None else jnp.moveaxis(
+                    pos.reshape(pos.shape[0], accum, m, pos.shape[-1]),
+                    1, 0))
         if self.mesh is not None:
-            data = NamedSharding(self.mesh, P(DATA_AXIS))
+            lead = (None,) * (1 if accum > 1 else 0)
+            data = NamedSharding(self.mesh, P(*lead, DATA_AXIS))
             pos = batch.image_pos_ids
             batch = TrainBatch(
                 *(jax.device_put(x, data) for x in
                   (batch.text_ids, batch.text_mask, batch.image_ids,
                    batch.image_mask, batch.pixels)),
                 image_pos_ids=None if pos is None else jax.device_put(
-                    pos, NamedSharding(self.mesh, P(None, DATA_AXIS, None))))
+                    pos, NamedSharding(self.mesh,
+                                       P(*lead, None, DATA_AXIS, None))))
         # deterministic per-step dropout rng: resume replays identically
         rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), self.step)
         trainable, self.opt_state, loss = self._train_step(

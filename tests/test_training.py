@@ -336,3 +336,74 @@ def test_linear_lr_schedule_decays_to_zero(tiny_setup):
     with pytest.raises(ValueError, match="total_steps"):
         ContrastiveTrainer(params, arch, adapters,
                            TrainConfig(lr_schedule="linear"))
+
+
+def test_grad_accum_identical_micros_match_single_micro(tiny_setup):
+    """grad_accum_steps=2 on a batch whose two microbatches are IDENTICAL
+    must produce exactly the single-microbatch step: averaged grads of two
+    equal micros == the micro's grads, so the updated adapters match an
+    accum=1 trainer stepped on one micro (bitwise up to f32 averaging)."""
+    params, arch, tok, template, examples = tiny_setup
+    collate = make_collator(tok, template, arch)
+    micro = collate(examples[:4])
+
+    def _dup(a, batch_axis=0):
+        return None if a is None else np.concatenate(
+            [np.asarray(a)] * 2, axis=batch_axis)
+
+    from mllm_sparse_retrieval_tpu.train.trainer import TrainBatch
+    doubled = TrainBatch(
+        _dup(micro.text_ids), _dup(micro.text_mask),
+        _dup(micro.image_ids), _dup(micro.image_mask), _dup(micro.pixels),
+        image_pos_ids=_dup(micro.image_pos_ids, batch_axis=1))
+
+    outs = []
+    for accum, batch in ((1, micro), (2, doubled)):
+        tcfg = TrainConfig(learning_rate=1e-3, tau=0.1, lora_dropout=0.0,
+                           shard_optimizer_state=False,
+                           grad_accum_steps=accum)
+        adapters = lora_lib.init_lora(jax.random.PRNGKey(0), params, arch,
+                                      rank=4, alpha=8)
+        trainer = ContrastiveTrainer(params, arch, adapters, tcfg)
+        loss = trainer.train_on_batch(batch)
+        outs.append((loss, jax.device_get(trainer.adapters)))
+
+    (l1, a1), (l2, a2) = outs
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(a1),
+                    jax.tree_util.tree_leaves(a2)):
+        np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-7)
+
+
+def test_grad_accum_learns_and_validates(tiny_setup):
+    """Accumulated training still learns (loss halves over the epochs) and
+    a non-divisible batch raises loudly."""
+    params, arch, tok, template, examples = tiny_setup
+    collate = make_collator(tok, template, arch)
+    tcfg = TrainConfig(learning_rate=3e-3, tau=0.1, lora_dropout=0.0,
+                       shard_optimizer_state=False, grad_accum_steps=2)
+    adapters = lora_lib.init_lora(jax.random.PRNGKey(0), params, arch,
+                                  rank=4, alpha=8)
+    trainer = ContrastiveTrainer(params, arch, adapters, tcfg)
+    losses = trainer.train(examples, collate, batch_size=8, num_epochs=30,
+                           logger=None)
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+    with pytest.raises(ValueError, match="divisible"):
+        trainer.train_on_batch(collate(examples[:5]))
+
+
+def test_grad_accum_on_mesh(tiny_setup):
+    """Accumulation composes with the data-sharded mesh step: [A, m, ...]
+    microbatches shard on the m axis; training runs and learns."""
+    params, arch, tok, template, examples = tiny_setup
+    mesh = make_mesh()
+    collate = make_collator(tok, template, arch)
+    tcfg = TrainConfig(learning_rate=3e-3, tau=0.1, lora_dropout=0.0,
+                       grad_accum_steps=2)
+    adapters = lora_lib.init_lora(jax.random.PRNGKey(0), params, arch,
+                                  rank=4, alpha=8)
+    trainer = ContrastiveTrainer(params, arch, adapters, tcfg, mesh=mesh)
+    # batch 16 -> 2 micros of 8, each sharded over the 8-device data axis
+    losses = trainer.train(examples * 2, collate, batch_size=16,
+                           num_epochs=20, logger=None)
+    assert losses[-1] < losses[0] * 0.6, (losses[0], losses[-1])
