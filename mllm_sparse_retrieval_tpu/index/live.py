@@ -1,0 +1,407 @@
+"""Live (incrementally updatable) index layer: segments + tombstones.
+
+The reference's indexes are build-once batch artifacts (FAISS flat pickles,
+``/root/reference/src/search.py:227-270``; a Lucene impact index built by an
+external 16-thread job, ``scripts/sparse_index.sh``) — updating the corpus
+means rebuilding and restarting the search script. This module adds the
+Lucene-*engine* capability the reference never surfaces: documents can be
+added and deleted while the index serves queries, using Lucene's own
+segments-and-tombstones design re-shaped for the TPU compilation model:
+
+- **Segments.** The big immutable *base* index keeps its compiled programs
+  (and, for the sparse base, the Pallas TAAT kernel) warm. Each
+  ``add_documents`` call becomes a small immutable *delta* segment; a search
+  queries every segment and merges the per-segment top-k on the host (the
+  candidate lists are tiny — ``depth`` per segment).
+- **Static shapes.** Dense deltas are zero-padded to power-of-two row
+  *buckets*, so all deltas of a bucket size share ONE compiled MIPS program
+  instead of recompiling per document count. Sparse deltas always use the
+  plain-XLA ``matmul`` backend: their vocabulary (and so the program shape)
+  is unique per delta, and XLA recompiles that in seconds, while a fresh
+  Pallas TAAT compile costs minutes on a relay-attached chip — the base
+  keeps whatever backend the caller configured.
+- **Tombstones.** ``delete_documents`` marks ids in the segments that hold
+  them; matching rows are filtered at merge time, with the per-segment fetch
+  depth over-provisioned by the segment's tombstone count (quantized to
+  powers of two, so the program cache stays bounded). ``add_documents`` has
+  Lucene ``updateDocument`` semantics: it first tombstones the ids in every
+  existing segment, so the latest add wins and a doc id is never served
+  twice.
+- **Compaction.** ``compact()`` merges all segments minus tombstones into a
+  fresh base (Lucene's forceMerge); it runs automatically when the delta
+  count passes ``max_delta_segments`` (deltas only — the base is left
+  alone, so its device matrices and compiled programs survive).
+
+Thread safety: mutators take the instance lock and swap immutable snapshot
+tuples; searches read one snapshot and never block updates. This is the
+ONLINE path (serving/service.py) — offline bulk jobs should ``compact()``
+first and search the base directly.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
+from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+
+# Dense delta pad rows carry this lookup id; pads score real inner products
+# (0.0 can outrank negatives) so they must be filtered at merge, never served.
+_PAD_ID = "\x00__pad__"
+
+
+def _bucket(n: int, minimum: int) -> int:
+    """Smallest power of two >= max(n, minimum) — the dense-delta row count
+    is padded to this so all deltas of a bucket share one compiled program."""
+    b = max(int(minimum), 1)
+    while b < n:
+        b *= 2
+    return b
+
+
+def _fetch_depth(depth: int, extra: int, size: int) -> int:
+    """Per-segment fetch depth: the requested depth plus headroom for rows
+    the merge will drop (tombstones, pad rows), quantized to depth + a power
+    of two so distinct compiled program shapes stay O(log segment size)."""
+    if extra <= 0:
+        return min(depth, size) if size else depth
+    pow2 = 1
+    while pow2 < extra:
+        pow2 *= 2
+    return min(depth + pow2, size)
+
+
+@dataclass
+class _Segment:
+    """One immutable searchable unit + the ids deleted from it since build."""
+    index: object                      # DenseFlatIndex or ImpactIndex
+    id_set: Set[str]                   # live doc ids at build time
+    tombstones: Set[str] = field(default_factory=set)
+    n_pad: int = 0                     # dense bucket pad rows (share _PAD_ID)
+
+    @property
+    def drop_count(self) -> int:
+        return len(self.tombstones) + self.n_pad
+
+
+def _merge_rows(
+    per_segment: Sequence[Tuple[Sequence, Sequence]],  # [(scores, ids), ...]
+    segments: Sequence[_Segment],
+    depth: int,
+) -> Tuple[List[List[float]], List[List[str]]]:
+    """Merge per-segment ranked rows into one ranked row per query.
+
+    Candidates concatenate in segment order and sort stably by descending
+    score, so equal scores rank older-segment-first — deterministic, and ids
+    never duplicate because adds tombstone their id everywhere else.
+    """
+    b = len(per_segment[0][0])
+    out_s: List[List[float]] = []
+    out_i: List[List[str]] = []
+    for q in range(b):
+        cand_s: List[float] = []
+        cand_i: List[str] = []
+        for (seg_scores, seg_ids), seg in zip(per_segment, segments):
+            tomb = seg.tombstones
+            for s, i in zip(seg_scores[q], seg_ids[q]):
+                if i in tomb or (seg.n_pad and i == _PAD_ID):
+                    continue
+                cand_s.append(float(s))
+                cand_i.append(i)
+        if len(cand_i) > 1:
+            order = sorted(range(len(cand_s)), key=lambda j: -cand_s[j])
+            cand_s = [cand_s[j] for j in order]
+            cand_i = [cand_i[j] for j in order]
+        out_s.append(cand_s[:depth])
+        out_i.append(cand_i[:depth])
+    return out_s, out_i
+
+
+class _LiveBase:
+    """Shared segment bookkeeping for the dense and sparse live indexes."""
+
+    def __init__(self, max_delta_segments: int):
+        self._lock = threading.Lock()
+        self._segments: Tuple[_Segment, ...] = ()
+        self.max_delta_segments = int(max_delta_segments)
+
+    # -- snapshot / bookkeeping (callers hold no lock) -------------------------
+    def _snapshot(self) -> Tuple[_Segment, ...]:
+        with self._lock:
+            return self._segments
+
+    @property
+    def num_docs(self) -> int:
+        segs = self._snapshot()
+        return sum(len(s.id_set - s.tombstones) for s in segs)
+
+    @property
+    def num_segments(self) -> int:
+        return len(self._snapshot())
+
+    def delete_documents(self, ids: Sequence[str]) -> int:
+        """Tombstone ``ids`` wherever they are live; returns how many were."""
+        wanted = {str(i) for i in ids}
+        hit = 0
+        with self._lock:
+            for seg in self._segments:
+                present = (wanted & seg.id_set) - seg.tombstones
+                if present:
+                    # replace, don't mutate: in-flight merges iterate the old
+                    # set without holding the lock
+                    seg.tombstones = seg.tombstones | present
+                    hit += len(present)
+        return hit
+
+    def _append_segment(self, seg: _Segment, new_ids: Set[str]) -> None:
+        """updateDocument semantics: adding ids tombstones every older copy,
+        then the new segment joins the snapshot; auto-compacts deltas when
+        they pile past ``max_delta_segments`` (base untouched)."""
+        with self._lock:
+            for old in self._segments:
+                dup = (new_ids & old.id_set) - old.tombstones
+                if dup:
+                    old.tombstones = old.tombstones | dup
+            self._segments = self._segments + (seg,)
+            need_merge = len(self._segments) - 1 > self.max_delta_segments
+        if need_merge:
+            self._compact_deltas()
+
+    def _swap(self, old: Tuple[_Segment, ...], new: Tuple[_Segment, ...]
+              ) -> bool:
+        """Replace snapshot ``old`` with ``new`` iff nothing changed since
+        (compaction runs lock-free; a concurrent update simply wins and the
+        next compaction picks it up)."""
+        with self._lock:
+            if self._segments is old:
+                self._segments = new
+                return True
+        return False
+
+    def compact(self) -> None:
+        """Merge ALL segments minus tombstones into one fresh base segment."""
+        while True:
+            segs = self._snapshot()
+            if not segs:
+                return
+            merged = self._merge_segments(segs)
+            if self._swap(segs, (merged,) if merged.id_set else ()):
+                return
+
+    def _compact_deltas(self) -> None:
+        """Merge delta segments only, keeping the base (and its warm device
+        matrices / compiled programs) untouched."""
+        while True:
+            segs = self._snapshot()
+            if len(segs) - 1 <= self.max_delta_segments:
+                return
+            merged = self._merge_segments(segs[1:])
+            if self._swap(segs, (segs[0], merged)):
+                return
+
+    # subclasses implement: _merge_segments(segs) -> _Segment
+
+
+class LiveDenseIndex(_LiveBase):
+    """Incrementally updatable exact-MIPS index over ``DenseFlatIndex``
+    segments. See module docstring for the design; the search contract is
+    ragged rows (rows can be shorter than ``depth`` after tombstoning a
+    small corpus), score-descending, via :meth:`search_rows`."""
+
+    def __init__(self, base: Optional[DenseFlatIndex] = None, *,
+                 dtype=np.float32, bucket_min: int = 256,
+                 max_delta_segments: int = 8):
+        super().__init__(max_delta_segments)
+        self.dtype = dtype
+        self.bucket_min = int(bucket_min)
+        if base is not None and base.size:
+            self._segments = (_Segment(base, set(base.lookup)),)
+            self.dtype = base.dtype if not base.q8 else "int8"
+        self.dim = base.dim if base is not None else None
+
+    # -- updates ---------------------------------------------------------------
+    def add_documents(self, reps: np.ndarray, ids: Sequence[str]) -> None:
+        """Add (or replace — latest wins) documents as one delta segment.
+        Rows are bucket-padded so same-bucket deltas share compiled programs;
+        duplicate ids within one call keep the LAST row (dict semantics)."""
+        reps = np.asarray(reps, np.float32)
+        if reps.ndim != 2 or reps.shape[0] != len(ids):
+            raise ValueError(f"reps must be [len(ids), d], got {reps.shape} "
+                             f"for {len(ids)} ids")
+        if self.dim is None:
+            self.dim = reps.shape[1]
+        ids = [str(i) for i in ids]
+        if _PAD_ID in ids:
+            raise ValueError("reserved pad id in ids")
+        if len(set(ids)) != len(ids):
+            keep = {i: j for j, i in enumerate(ids)}          # last wins
+            sel = sorted(keep.values())
+            reps, ids = reps[sel], [ids[j] for j in sel]
+        n = len(ids)
+        n_bucket = _bucket(n, self.bucket_min)
+        if n_bucket > n:
+            reps = np.concatenate(
+                [reps, np.zeros((n_bucket - n, reps.shape[1]), np.float32)])
+        delta = DenseFlatIndex(dtype=self.dtype)
+        delta.add(reps, ids + [_PAD_ID] * (n_bucket - n))
+        self._append_segment(_Segment(delta, set(ids), n_pad=n_bucket - n),
+                             set(ids))
+
+    # -- search ------------------------------------------------------------------
+    def search_rows(self, q_reps: np.ndarray, depth: int,
+                    batch_size: int = 128, mesh=None
+                    ) -> Tuple[List[List[float]], List[List[str]]]:
+        """Batch MIPS over all live documents: per-segment ``search_ids``
+        (base may be mesh-sharded; deltas are single-chip — they fit one
+        chip by construction), host top-k merge, tombstones dropped."""
+        segs = tuple(s for s in self._snapshot() if s.index.size)
+        if not segs:
+            b = np.asarray(q_reps).shape[0]
+            return [[] for _ in range(b)], [[] for _ in range(b)]
+        per_segment = []
+        for pos, seg in enumerate(segs):
+            d_f = _fetch_depth(depth, seg.drop_count, seg.index.size)
+            scores, ids = seg.index.search_ids(
+                q_reps, d_f, batch_size=batch_size,
+                mesh=mesh if pos == 0 else None)
+            per_segment.append((np.asarray(scores).tolist(), ids))
+        return _merge_rows(per_segment, segs, depth)
+
+    # -- compaction --------------------------------------------------------------
+    def _merge_segments(self, segs: Sequence[_Segment]) -> _Segment:
+        merged = DenseFlatIndex(dtype=self.dtype)
+        live: Set[str] = set()
+        dim = self.dim
+        for seg in segs:
+            idx: DenseFlatIndex = seg.index
+            if not idx._chunks:
+                continue
+            dim = idx.dim
+            reps = (np.concatenate(idx._chunks) if len(idx._chunks) > 1
+                    else idx._chunks[0])
+            ids = np.asarray(idx.lookup)
+            dead = seg.tombstones | {_PAD_ID}
+            keep = ~np.isin(ids, np.asarray(sorted(dead)))
+            if keep.any():
+                merged.add(reps[keep], ids[keep].tolist())
+                live |= set(ids[keep].tolist())
+        # merged segments stay bucket-padded too, so post-merge deltas keep
+        # sharing compiled program shapes with fresh ones
+        n_pad = 0
+        if live and dim is not None:
+            n_pad = _bucket(merged.size, self.bucket_min) - merged.size
+            if n_pad:
+                merged.add(np.zeros((n_pad, dim), np.float32),
+                           [_PAD_ID] * n_pad)
+        return _Segment(merged, live, n_pad=n_pad)
+
+
+class LiveImpactIndex(_LiveBase):
+    """Incrementally updatable impact index over ``ImpactIndex`` segments.
+
+    Each delta has its own compact term-id space (queries are encoded per
+    segment — out-of-vocabulary terms drop per segment exactly as in
+    Lucene), and is searched with the plain-XLA ``matmul`` backend so a new
+    delta costs a seconds-scale XLA compile, never a minutes-scale Pallas
+    one; the base keeps the caller's backend (TAAT on a real chip).
+    """
+
+    def __init__(self, base: Optional[ImpactIndex] = None, *,
+                 max_delta_segments: int = 8):
+        super().__init__(max_delta_segments)
+        self.query_canonical = bool(base.query_canonical) if base is not None \
+            else False
+        if base is not None and base.num_docs:
+            base._ensure_finalized()
+            self._segments = (_Segment(base, set(base.doc_ids)),)
+
+    # -- updates ---------------------------------------------------------------
+    def add_documents(self, docs: Sequence[Tuple[str, Dict]]) -> None:
+        """Add (or replace — latest wins) ``(doc_id, sparse term dict)``
+        documents as one delta segment. Term keys must live in the same key
+        space as the base (token ids or strings)."""
+        if not docs:
+            return
+        last: Dict[str, Dict] = {}
+        for doc_id, vec in docs:                               # last wins
+            last[str(doc_id)] = vec
+        delta = ImpactIndex()
+        delta.add_many(last.items())
+        delta.finalize()
+        delta.query_canonical = self.query_canonical
+        new_ids = set(last)
+        self._append_segment(_Segment(delta, new_ids), new_ids)
+
+    # -- search ------------------------------------------------------------------
+    def search_rows(self, terms_list: Sequence[Dict], depth: int,
+                    mesh=None, backend: str = "auto", wire: str = "i32"
+                    ) -> Tuple[List[List[float]], List[List[str]]]:
+        """Batch impact search over all live documents (ragged rows, zero-
+        score docs never returned — the ``ImpactIndex.search`` contract)."""
+        segs = tuple(s for s in self._snapshot() if s.index.num_docs)
+        if not segs:
+            return [[] for _ in terms_list], [[] for _ in terms_list]
+        per_segment = []
+        for pos, seg in enumerate(segs):
+            idx: ImpactIndex = seg.index
+            d_f = _fetch_depth(depth, seg.drop_count, idx.num_docs)
+            q_idx, q_w = idx.encode_queries(terms_list)
+            per_segment.append(idx.search_encoded(
+                q_idx, q_w, d_f,
+                mesh=mesh if pos == 0 else None,
+                backend=backend if pos == 0 else "matmul",
+                wire=wire if pos == 0 else "i32"))
+        return _merge_rows(per_segment, segs, depth)
+
+    # -- compaction --------------------------------------------------------------
+    def _merge_segments(self, segs: Sequence[_Segment]) -> _Segment:
+        live_parts = []
+        union: Dict = {}
+        for seg in segs:
+            idx: ImpactIndex = seg.index
+            idx._ensure_finalized()
+            if not idx.num_docs:
+                continue
+            keys = [None] * len(idx.term_to_idx)
+            for k, i in idx.term_to_idx.items():
+                keys[i] = k
+            for k in keys:
+                if k not in union:
+                    union[k] = len(union)
+            ids = np.asarray(idx.doc_ids)
+            keep = (~np.isin(ids, np.asarray(sorted(seg.tombstones)))
+                    if seg.tombstones else np.ones(len(ids), bool))
+            if not keep.any():
+                continue
+            lut = np.fromiter((union[k] for k in keys), np.int64,
+                              len(keys)) if keys else np.zeros(1, np.int64)
+            t, w = idx.doc_terms[keep], idx.doc_weights[keep]
+            # padding slots (w == 0) may hold any local id; remap is safe
+            # (local ids are lut-indexable) and consumers filter on w > 0
+            live_parts.append((lut[t].astype(np.int32), w,
+                               ids[keep].tolist()))
+        merged_ids: List[str] = []
+        if live_parts:
+            k_max = max(p[0].shape[1] for p in live_parts)
+            ts, ws = [], []
+            for t, w, ids in live_parts:
+                if t.shape[1] < k_max:
+                    pad = ((0, 0), (0, k_max - t.shape[1]))
+                    t = np.pad(t, pad)
+                    w = np.pad(w, pad)
+                ts.append(t)
+                ws.append(w)
+                merged_ids.extend(ids)
+            merged = ImpactIndex.from_packed_arrays(
+                np.concatenate(ts), np.concatenate(ws), doc_ids=merged_ids,
+                term_keys=list(union))
+            merged._reorder_terms_by_df()    # hot-first ids for TAAT cache
+        else:
+            merged = ImpactIndex()
+            merged.finalize()
+        merged.query_canonical = self.query_canonical
+        return _Segment(merged, set(merged_ids))
