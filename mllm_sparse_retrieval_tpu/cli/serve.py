@@ -23,12 +23,23 @@ def _warm(service, logger) -> None:
     program the server can hit, so first real requests are fast."""
     import numpy as np
 
+    if service.live:
+        counts = service.stats()
+        if counts.get("sparse_docs", 0) + counts.get("dense_docs", 0) == 0:
+            logger.info("live empty service: nothing to warm yet")
+            return
     for depth in service.depth_levels:
         terms = None
         dense = None
         if service.impact_index is not None:
-            key = next(iter(service.impact_index.term_to_idx))
-            terms = {key: 1.0}
+            idx = service.impact_index
+            key_src = getattr(idx, "term_to_idx", None)
+            if key_src is None:       # live: key space of the first segment
+                for seg in idx._snapshot():
+                    if seg.index.num_docs:
+                        key_src = seg.index.term_to_idx
+                        break
+            terms = {next(iter(key_src)): 1.0} if key_src else {}
         if service.dense_index is not None:
             dense = np.zeros(service.dense_index.dim, np.float32)
             dense[0] = 1.0
@@ -64,6 +75,16 @@ def main(argv=None):
                         choices=["i32", "compact48"])
     parser.add_argument("--dense-dtype", default="float32",
                         choices=["float32", "bfloat16", "int8"])
+    parser.add_argument("--live", action="store_true",
+                        help="serve mutable indexes: wraps the loaded "
+                             "artifacts in the live (segments + tombstones) "
+                             "layer and enables POST /documents, "
+                             "/documents/delete, /compact")
+    parser.add_argument("--live-empty", default=None,
+                        choices=["dense", "sparse", "hybrid"],
+                        help="start a LIVE service with an empty corpus of "
+                             "this mode (no artifacts needed); documents "
+                             "arrive via POST /documents")
     parser.add_argument("--no-warm", action="store_true",
                         help="skip the per-depth warm-up batch")
     parser.add_argument("--verbose", action="store_true",
@@ -79,8 +100,13 @@ def main(argv=None):
     add_common_args(parser)
     args = parser.parse_args(argv)
 
-    if args.passage_reps is None and args.sparse_index is None:
-        parser.error("need --passage-reps and/or --sparse-index")
+    if args.passage_reps is None and args.sparse_index is None \
+            and args.live_empty is None:
+        parser.error("need --passage-reps and/or --sparse-index "
+                     "(or --live-empty MODE)")
+    if args.live_empty and (args.passage_reps or args.sparse_index):
+        parser.error("--live-empty starts with no corpus; drop the "
+                     "artifact args or use --live to wrap them")
 
     logger = get_logger("serve")
     from mllm_sparse_retrieval_tpu.cli.common import enable_compilation_cache
@@ -102,6 +128,18 @@ def main(argv=None):
         impact_index = ImpactIndex.load(args.sparse_index)
         logger.info("impact index: %d docs / %d terms",
                     impact_index.num_docs, impact_index.num_terms)
+    if args.live or args.live_empty:
+        from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
+                                                          LiveImpactIndex)
+        want = args.live_empty or (
+            "hybrid" if dense_index is not None and impact_index is not None
+            else "dense" if dense_index is not None else "sparse")
+        if want in ("dense", "hybrid"):
+            dense_index = LiveDenseIndex(dense_index)
+        if want in ("sparse", "hybrid"):
+            impact_index = LiveImpactIndex(impact_index)
+        logger.info("live mode: corpus is mutable while serving "
+                    "(POST /documents, /documents/delete, /compact)")
 
     from mllm_sparse_retrieval_tpu.serving import RetrievalService
     from mllm_sparse_retrieval_tpu.serving.http import make_server

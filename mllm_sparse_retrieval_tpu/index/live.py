@@ -319,6 +319,16 @@ class LiveImpactIndex(_LiveBase):
             base._ensure_finalized()
             self._segments = (_Segment(base, set(base.doc_ids)),)
 
+    @property
+    def int_keyed(self) -> bool:
+        """True when every non-empty segment is token-id keyed (the HTTP
+        layer's key-coercion contract, same as ``ImpactIndex.int_keyed``);
+        an empty live index reports int-keyed (the framework default)."""
+        segs = [s.index for s in self._snapshot() if s.index.num_docs]
+        if not segs:
+            return True
+        return all(s.int_keyed for s in segs)
+
     # -- updates ---------------------------------------------------------------
     def add_documents(self, docs: Sequence[Tuple[str, Dict]]) -> None:
         """Add (or replace — latest wins) ``(doc_id, sparse term dict)``

@@ -13,7 +13,18 @@ the device). Endpoints:
   "<base64 PNG/JPEG bytes>"`` when the service has a query encoder (live
   model encode on device).
 - ``GET /healthz``  -> ``{"ok": true, "mode": ...}``
-- ``GET /stats``    -> micro-batcher counters (batches, items, mean size).
+- ``GET /stats``    -> micro-batcher counters (batches, items, mean size;
+  plus live doc/segment counts when serving live indexes).
+
+When the service wraps LIVE indexes (index/live.py) the corpus is mutable
+while serving:
+
+- ``POST /documents`` body ``{"documents": [{"id": "d1", "dense": [...],
+  "terms": {...}}, ...]}`` (what the mode needs) -> ``{"added": n}``;
+  re-adding an id replaces it (latest wins).
+- ``POST /documents/delete`` body ``{"ids": ["d1", ...]}`` ->
+  ``{"deleted": n}`` (n = ids that were live).
+- ``POST /compact`` -> per-engine segment counts after merging.
 
 JSON object keys are always strings; for int-keyed impact indexes term keys
 are coerced back to token ids here.
@@ -81,6 +92,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):  # noqa: N802
+        if self.path in ("/documents", "/documents/delete", "/compact"):
+            self._mutate()
+            return
         if self.path != "/search":
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
@@ -113,6 +127,37 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(500, {"error": str(e)})
             return
         self._reply(200, {"results": results})
+
+    def _mutate(self) -> None:
+        """Live-index update endpoints. Term keys arrive as JSON strings;
+        they are coerced to token ids iff the sparse engine is int-keyed
+        (same rule as /search)."""
+        svc: RetrievalService = self.server.service
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            if self.path == "/compact":
+                self._reply(200, {"ok": True, **svc.compact()})
+                return
+            if self.path == "/documents/delete":
+                ids = body["ids"]
+                if not isinstance(ids, list):
+                    raise ValueError("'ids' must be a list")
+                self._reply(200, {"deleted": svc.delete_documents(
+                    [str(i) for i in ids])})
+                return
+            docs = body["documents"]
+            if not isinstance(docs, list):
+                raise ValueError("'documents' must be a list")
+            int_keyed = (svc.impact_index is not None
+                         and svc.impact_index.int_keyed)
+            prepared = [
+                {**d, "terms": _normalize_terms(d.get("terms"), int_keyed)}
+                for d in docs]
+            self._reply(200, {"added": svc.add_documents(prepared)})
+        except (ValueError, KeyError, TypeError,
+                json.JSONDecodeError) as e:
+            self._reply(400, {"error": str(e)})
 
 
 def make_server(service: RetrievalService, host: str = "127.0.0.1",

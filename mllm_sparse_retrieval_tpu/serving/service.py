@@ -13,6 +13,17 @@ into one compiled-program call. Depths are quantized up to fixed levels
 max depth would recompile constantly) and each request's result is cut
 back to what it asked for.
 
+Each slot also accepts the LIVE variant (:class:`LiveDenseIndex` /
+:class:`LiveImpactIndex`, index/live.py): the service then exposes
+``add_documents`` / ``delete_documents`` / ``compact`` and keeps serving
+through updates. Live hybrid fuses the two engines' candidate rows on the
+host with the exact ``search.fusion.fuse`` min-max rule (the device-fused
+path needs one immutable doc permutation, so it is reserved for static
+index pairs). Consistency: one ``add_documents`` call updates the sparse
+engine first, then dense; a search landing between the two may fuse a doc
+from one engine only — ``fuse``'s missing-run rule (contributes 0) makes
+that a transiently lower score, never an error.
+
 The reference has no online surface (its src/search.py is an offline batch
 script); this is deployment surface on top of reference-parity engines.
 """
@@ -74,11 +85,23 @@ class RetrievalService:
     ):
         if dense_index is None and impact_index is None:
             raise ValueError("need at least one of dense_index/impact_index")
+        from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
+                                                          LiveImpactIndex)
         self.dense_index = dense_index
         self.impact_index = impact_index
+        self._dense_live = isinstance(dense_index, LiveDenseIndex)
+        self._impact_live = isinstance(impact_index, LiveImpactIndex)
+        self.live = self._dense_live or self._impact_live
         self.mode = ("hybrid" if dense_index is not None
                      and impact_index is not None
                      else "dense" if dense_index is not None else "sparse")
+        if self.live and not all(
+                (dense_index is None or self._dense_live,
+                 impact_index is None or self._impact_live)):
+            raise ValueError(
+                "mixing a live index with a static one is not supported: "
+                "updates would apply to one engine only — wrap the static "
+                "index in its Live* class (index/live.py)")
         self.depth_levels = tuple(sorted(set(int(d) for d in depth_levels)))
         if any(d < 1 for d in self.depth_levels):
             raise ValueError(f"depth_levels must be >= 1: {depth_levels}")
@@ -114,7 +137,8 @@ class RetrievalService:
                 query_encoder.sparse_cfg.is_filtered)
         from mllm_sparse_retrieval_tpu.serving.batcher import MicroBatcher
 
-        if self.mode == "hybrid":
+        self.alpha = float(alpha)
+        if self.mode == "hybrid" and not self.live:
             from mllm_sparse_retrieval_tpu.search.device_fusion import (
                 FusedHybridSearcher)
             self._fused = FusedHybridSearcher(
@@ -146,10 +170,83 @@ class RetrievalService:
     def stats(self) -> Dict[str, float]:
         s = self._batcher.stats()
         s["mode"] = self.mode
+        s["live"] = self.live
+        if self._dense_live:
+            s["dense_docs"] = self.dense_index.num_docs
+            s["dense_segments"] = self.dense_index.num_segments
+        if self._impact_live:
+            s["sparse_docs"] = self.impact_index.num_docs
+            s["sparse_segments"] = self.impact_index.num_segments
         return s
 
     def close(self) -> None:
         self._batcher.close()
+
+    # ---- live updates (any thread; the live indexes lock internally) ---------
+
+    def _require_live(self, what: str) -> None:
+        if not self.live:
+            raise ValueError(
+                f"{what} requires live indexes — serve LiveDenseIndex / "
+                "LiveImpactIndex (index/live.py) instead of static ones")
+
+    def add_documents(self, documents: Sequence[Mapping]) -> int:
+        """Add (or replace — latest wins) documents while serving. Each
+        entry is ``{"id": str, "dense": [d] vector, "terms": {key: w}}``
+        carrying what the mode needs (both for hybrid). Returns the number
+        of distinct ids added. Sparse updates apply first (see the module
+        docstring's consistency note)."""
+        self._require_live("add_documents")
+        ids: List[str] = []
+        terms_rows: List[Dict] = []
+        dense_rows: List[np.ndarray] = []
+        for doc in documents:
+            if "id" not in doc:
+                raise ValueError("every document needs an 'id'")
+            ids.append(str(doc["id"]))
+            if self._impact_live:
+                t = doc.get("terms")
+                if not isinstance(t, Mapping) or not t:
+                    raise ValueError(
+                        f"mode={self.mode!r} documents need non-empty 'terms'"
+                        f" (doc {doc['id']!r})")
+                terms_rows.append(dict(t))
+            if self._dense_live:
+                d = np.asarray(doc.get("dense"), np.float32).reshape(-1)
+                dim = self.dense_index.dim
+                if dim is not None and d.shape[0] != dim:
+                    raise ValueError(f"doc {doc['id']!r} dense dim "
+                                     f"{d.shape[0]} != index dim {dim}")
+                dense_rows.append(d)
+        if not ids:
+            return 0
+        if self._impact_live:
+            self.impact_index.add_documents(list(zip(ids, terms_rows)))
+        if self._dense_live:
+            self.dense_index.add_documents(np.stack(dense_rows), ids)
+        return len(set(ids))
+
+    def delete_documents(self, ids: Sequence[str]) -> int:
+        """Tombstone ``ids`` in every live engine; returns the max per-engine
+        hit count (the engines' doc sets agree except mid-add)."""
+        self._require_live("delete_documents")
+        hits = [idx.delete_documents(ids)
+                for idx in (self.impact_index, self.dense_index)
+                if idx is not None]
+        return max(hits)
+
+    def compact(self) -> Dict[str, int]:
+        """Merge every live engine's segments (minus tombstones) into one;
+        returns per-engine segment counts after."""
+        self._require_live("compact")
+        out: Dict[str, int] = {}
+        if self._impact_live:
+            self.impact_index.compact()
+            out["sparse_segments"] = self.impact_index.num_segments
+        if self._dense_live:
+            self.dense_index.compact()
+            out["dense_segments"] = self.dense_index.num_segments
+        return out
 
     # ---- validation (caller thread) -----------------------------------------
 
@@ -258,6 +355,8 @@ class RetrievalService:
             scores, ids = self._dense_rows(reqs, depth)
         elif self.mode == "sparse":
             scores, ids = self._sparse_rows(reqs, depth)
+        elif self.live:
+            scores, ids = self._live_hybrid_rows(reqs, depth)
         else:
             q_reps = self._padded_dense(reqs)
             q_idx, q_w = self.impact_index.encode_queries(
@@ -280,14 +379,53 @@ class RetrievalService:
         return q
 
     def _dense_rows(self, reqs, depth):
+        if self._dense_live:
+            return self.dense_index.search_rows(
+                self._padded_dense(reqs), depth,
+                batch_size=self.device_batch, mesh=self.mesh)
         scores, ids = self.dense_index.search_ids(
             self._padded_dense(reqs), depth,
             batch_size=self.device_batch, mesh=self.mesh)
         return scores.tolist(), ids
 
     def _sparse_rows(self, reqs, depth):
+        if self._impact_live:
+            return self.impact_index.search_rows(
+                self._padded_terms(reqs), depth, mesh=self.mesh,
+                backend=self.backend, wire=self.wire)
         q_idx, q_w = self.impact_index.encode_queries(
             self._padded_terms(reqs))
         return self.impact_index.search_encoded(
             q_idx, q_w, depth, mesh=self.mesh, backend=self.backend,
             wire=self.wire)
+
+    def _live_hybrid_rows(self, reqs, depth):
+        """Hybrid over live engines: candidate rows from each, fused on the
+        host with ``search.fusion.fuse``'s exact per-query min-max rule
+        (candidate rows ARE the runs; a doc in one engine only contributes
+        0 from the other — the asymmetric-run rule)."""
+        cand = max(self.candidate_depth or depth, depth)
+        d_s, d_i = self.dense_index.search_rows(
+            self._padded_dense(reqs), cand,
+            batch_size=self.device_batch, mesh=self.mesh)
+        s_s, s_i = self.impact_index.search_rows(
+            self._padded_terms(reqs), cand, mesh=self.mesh,
+            backend=self.backend, wire=self.wire)
+        out_s: List[List[float]] = []
+        out_i: List[List[object]] = []
+        engine_weights = (self.alpha, 1.0 - self.alpha)
+        for q in range(len(reqs)):
+            fused: Dict[object, float] = {}
+            for (srow, irow), w in zip(
+                    ((d_s[q], d_i[q]), (s_s[q], s_i[q])), engine_weights):
+                if not len(irow):
+                    continue
+                lo = float(min(srow))
+                denom = max(float(max(srow)) - lo, 1e-9)
+                for s, doc in zip(srow, irow):
+                    fused[doc] = fused.get(doc, 0.0) \
+                        + w * (float(s) - lo) / denom
+            ranked = sorted(fused.items(), key=lambda kv: -kv[1])[:depth]
+            out_i.append([doc for doc, _ in ranked])
+            out_s.append([sc for _, sc in ranked])
+        return out_s, out_i
