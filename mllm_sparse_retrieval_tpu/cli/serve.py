@@ -85,6 +85,10 @@ def main(argv=None):
                         help="start a LIVE service with an empty corpus of "
                              "this mode (no artifacts needed); documents "
                              "arrive via POST /documents")
+    parser.add_argument("--live-state", default=None,
+                        help="live-state directory: resume from it when it "
+                             "holds a save (artifact args are then ignored), "
+                             "save to it on shutdown and on POST /save")
     parser.add_argument("--no-warm", action="store_true",
                         help="skip the per-depth warm-up batch")
     parser.add_argument("--verbose", action="store_true",
@@ -101,9 +105,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.passage_reps is None and args.sparse_index is None \
-            and args.live_empty is None:
+            and args.live_empty is None and args.live_state is None:
         parser.error("need --passage-reps and/or --sparse-index "
-                     "(or --live-empty MODE)")
+                     "(or --live-empty MODE / --live-state DIR)")
     if args.live_empty and (args.passage_reps or args.sparse_index):
         parser.error("--live-empty starts with no corpus; drop the "
                      "artifact args or use --live to wrap them")
@@ -128,7 +132,31 @@ def main(argv=None):
         impact_index = ImpactIndex.load(args.sparse_index)
         logger.info("impact index: %d docs / %d terms",
                     impact_index.num_docs, impact_index.num_terms)
-    if args.live or args.live_empty:
+    live_resumed = False
+    if args.live_state:
+        from mllm_sparse_retrieval_tpu.serving.service import load_live_state
+        try:
+            import jax.numpy as jnp
+            d, s = load_live_state(
+                args.live_state,
+                dense_dtype={"bfloat16": jnp.bfloat16,
+                             "int8": "int8"}.get(args.dense_dtype))
+            if dense_index is not None or impact_index is not None:
+                logger.info("live state found at %s: artifact args ignored",
+                            args.live_state)
+            dense_index, impact_index = d, s
+            live_resumed = True
+            logger.info(
+                "resumed live state: dense=%s sparse=%s",
+                "-" if d is None else f"{d.num_docs}d/{d.num_segments}s",
+                "-" if s is None else f"{s.num_docs}d/{s.num_segments}s")
+        except FileNotFoundError:
+            if (dense_index is None and impact_index is None
+                    and args.live_empty is None):
+                parser.error(f"--live-state {args.live_state} holds no save "
+                             "yet; give artifacts or --live-empty MODE for "
+                             "the first boot")
+    if (args.live or args.live_empty or args.live_state) and not live_resumed:
         from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
                                                           LiveImpactIndex)
         want = args.live_empty or (
@@ -138,8 +166,9 @@ def main(argv=None):
             dense_index = LiveDenseIndex(dense_index)
         if want in ("sparse", "hybrid"):
             impact_index = LiveImpactIndex(impact_index)
+    if args.live or args.live_empty or args.live_state:
         logger.info("live mode: corpus is mutable while serving "
-                    "(POST /documents, /documents/delete, /compact)")
+                    "(POST /documents, /documents/delete, /compact, /save)")
 
     from mllm_sparse_retrieval_tpu.serving import RetrievalService
     from mllm_sparse_retrieval_tpu.serving.http import make_server
@@ -163,7 +192,8 @@ def main(argv=None):
         depth_levels=[int(d) for d in args.depths.split(",")],
         default_depth=args.default_depth, backend=args.impact_backend,
         wire=args.impact_wire, max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms, query_encoder=encoder)
+        max_wait_ms=args.max_wait_ms, query_encoder=encoder,
+        live_state_dir=args.live_state)
     if not args.no_warm:
         _warm(service, logger)
 
@@ -176,6 +206,9 @@ def main(argv=None):
     except KeyboardInterrupt:
         logger.info("shutting down")
     finally:
+        if args.live_state and service.live:
+            logger.info("saving live state to %s",
+                        service.save_live(args.live_state))
         server.server_close()
         service.close()
 

@@ -40,6 +40,8 @@ first and search the base directly.
 
 from __future__ import annotations
 
+import json
+import os
 import threading
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Set, Tuple
@@ -203,7 +205,52 @@ class _LiveBase:
             if self._swap(segs, (segs[0], merged)):
                 return
 
-    # subclasses implement: _merge_segments(segs) -> _Segment
+    # -- persistence ------------------------------------------------------------
+    # Layout: <dir>/live.json manifest + one artifact per segment (the
+    # segment's own reference-compatible format). A save writes ONE
+    # consistent snapshot — updates racing the save land in the snapshot
+    # taken or not at all, never half-applied (segments are immutable and
+    # tombstone sets are replaced, not mutated).
+
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        segs = self._snapshot()
+        entries = []
+        for i, seg in enumerate(segs):
+            entries.append({
+                "artifact": self._save_segment(seg, directory, i),
+                "tombstones": sorted(seg.tombstones),
+                "n_pad": seg.n_pad,
+            })
+        with open(os.path.join(directory, "live.json"), "w") as f:
+            json.dump({"kind": self._KIND, "segments": entries,
+                       "max_delta_segments": self.max_delta_segments,
+                       **self._save_extra()}, f)
+
+    @classmethod
+    def load(cls, directory: str, **kwargs):
+        with open(os.path.join(directory, "live.json")) as f:
+            manifest = json.load(f)
+        if manifest["kind"] != cls._KIND:
+            raise ValueError(f"{directory} holds a {manifest['kind']!r} "
+                             f"live index, expected {cls._KIND!r}")
+        live = cls(max_delta_segments=manifest["max_delta_segments"],
+                   **{**cls._load_extra(manifest), **kwargs})
+        segs = []
+        for entry in manifest["segments"]:
+            seg = live._load_segment(
+                os.path.join(directory, entry["artifact"]))
+            seg.tombstones = set(entry["tombstones"])
+            seg.n_pad = int(entry["n_pad"])
+            segs.append(seg)
+        live._segments = tuple(segs)
+        return live
+
+    # subclasses implement:
+    #   _merge_segments(segs) -> _Segment
+    #   _save_segment(seg, directory, i) -> artifact name (relative)
+    #   _load_segment(path) -> _Segment (tombstones/n_pad filled by load)
+    #   _save_extra() -> dict / _load_extra(manifest) -> ctor kwargs
 
 
 class LiveDenseIndex(_LiveBase):
@@ -211,6 +258,8 @@ class LiveDenseIndex(_LiveBase):
     segments. See module docstring for the design; the search contract is
     ragged rows (rows can be shorter than ``depth`` after tombstoning a
     small corpus), score-descending, via :meth:`search_rows`."""
+
+    _KIND = "dense"
 
     def __init__(self, base: Optional[DenseFlatIndex] = None, *,
                  dtype=np.float32, bucket_min: int = 256,
@@ -299,6 +348,31 @@ class LiveDenseIndex(_LiveBase):
                            [_PAD_ID] * n_pad)
         return _Segment(merged, live, n_pad=n_pad)
 
+    # -- persistence hooks -------------------------------------------------------
+    def _save_segment(self, seg: _Segment, directory: str, i: int) -> str:
+        name = f"seg{i}.pkl"
+        seg.index.save_shard(os.path.join(directory, name))
+        return name
+
+    def _load_segment(self, path: str) -> _Segment:
+        idx = DenseFlatIndex.load(path, dtype=self.dtype)
+        if self.dim is None:
+            self.dim = idx.dim
+        return _Segment(idx, set(idx.lookup) - {_PAD_ID})
+
+    def _save_extra(self) -> Dict:
+        if self.dtype == "int8":
+            name = "int8"
+        else:
+            import jax.numpy as jnp
+            name = jnp.dtype(self.dtype).name
+        return {"dtype": name, "bucket_min": self.bucket_min}
+
+    @classmethod
+    def _load_extra(cls, manifest: Dict) -> Dict:
+        return {"dtype": manifest["dtype"],
+                "bucket_min": manifest["bucket_min"]}
+
 
 class LiveImpactIndex(_LiveBase):
     """Incrementally updatable impact index over ``ImpactIndex`` segments.
@@ -310,11 +384,16 @@ class LiveImpactIndex(_LiveBase):
     one; the base keeps the caller's backend (TAAT on a real chip).
     """
 
+    _KIND = "impact"
+
     def __init__(self, base: Optional[ImpactIndex] = None, *,
-                 max_delta_segments: int = 8):
+                 max_delta_segments: int = 8,
+                 query_canonical: Optional[bool] = None):
         super().__init__(max_delta_segments)
-        self.query_canonical = bool(base.query_canonical) if base is not None \
-            else False
+        if query_canonical is None:
+            query_canonical = (base.query_canonical if base is not None
+                               else False)
+        self.query_canonical = bool(query_canonical)
         if base is not None and base.num_docs:
             base._ensure_finalized()
             self._segments = (_Segment(base, set(base.doc_ids)),)
@@ -415,3 +494,20 @@ class LiveImpactIndex(_LiveBase):
             merged.finalize()
         merged.query_canonical = self.query_canonical
         return _Segment(merged, set(merged_ids))
+
+    # -- persistence hooks -------------------------------------------------------
+    def _save_segment(self, seg: _Segment, directory: str, i: int) -> str:
+        name = f"seg{i}"
+        seg.index.save(os.path.join(directory, name))
+        return name
+
+    def _load_segment(self, path: str) -> _Segment:
+        idx = ImpactIndex.load(path)
+        return _Segment(idx, set(idx.doc_ids))
+
+    def _save_extra(self) -> Dict:
+        return {"query_canonical": self.query_canonical}
+
+    @classmethod
+    def _load_extra(cls, manifest: Dict) -> Dict:
+        return {"query_canonical": manifest["query_canonical"]}

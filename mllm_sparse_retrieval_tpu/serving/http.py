@@ -25,6 +25,9 @@ while serving:
 - ``POST /documents/delete`` body ``{"ids": ["d1", ...]}`` ->
   ``{"deleted": n}`` (n = ids that were live).
 - ``POST /compact`` -> per-engine segment counts after merging.
+- ``POST /save`` body ``{}`` or ``{"directory": ...}`` -> persist the live
+  state (segments + tombstones) to the given directory or the server's
+  configured ``--live-state`` dir; a restart resumes from it.
 
 JSON object keys are always strings; for int-keyed impact indexes term keys
 are coerced back to token ids here.
@@ -92,7 +95,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):  # noqa: N802
-        if self.path in ("/documents", "/documents/delete", "/compact"):
+        if self.path in ("/documents", "/documents/delete", "/compact",
+                         "/save"):
             self._mutate()
             return
         if self.path != "/search":
@@ -138,6 +142,12 @@ class _Handler(BaseHTTPRequestHandler):
             body = json.loads(self.rfile.read(length) or b"{}")
             if self.path == "/compact":
                 self._reply(200, {"ok": True, **svc.compact()})
+                return
+            if self.path == "/save":
+                # body may carry {"directory": ...}; default live_state_dir
+                self._reply(200, {"ok": True,
+                                  "directory": svc.save_live(
+                                      body.get("directory"))})
                 return
             if self.path == "/documents/delete":
                 ids = body["ids"]

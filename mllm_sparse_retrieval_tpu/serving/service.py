@@ -82,6 +82,7 @@ class RetrievalService:
         max_wait_ms: float = 4.0,
         device_batch: Optional[int] = None,
         query_encoder=None,
+        live_state_dir: Optional[str] = None,
     ):
         if dense_index is None and impact_index is None:
             raise ValueError("need at least one of dense_index/impact_index")
@@ -102,6 +103,9 @@ class RetrievalService:
                 "mixing a live index with a static one is not supported: "
                 "updates would apply to one engine only — wrap the static "
                 "index in its Live* class (index/live.py)")
+        if live_state_dir is not None and not self.live:
+            raise ValueError("live_state_dir requires live indexes")
+        self.live_state_dir = live_state_dir
         self.depth_levels = tuple(sorted(set(int(d) for d in depth_levels)))
         if any(d < 1 for d in self.depth_levels):
             raise ValueError(f"depth_levels must be >= 1: {depth_levels}")
@@ -247,6 +251,22 @@ class RetrievalService:
             self.dense_index.compact()
             out["dense_segments"] = self.dense_index.num_segments
         return out
+
+    def save_live(self, directory: Optional[str] = None) -> str:
+        """Persist every live engine (segments + tombstones, one consistent
+        snapshot each) under ``directory`` (default: the configured
+        ``live_state_dir``). ``load_live_state`` restores it."""
+        self._require_live("save_live")
+        directory = directory or self.live_state_dir
+        if directory is None:
+            raise ValueError("no directory given and no live_state_dir "
+                             "configured")
+        import os
+        if self._dense_live:
+            self.dense_index.save(os.path.join(directory, "dense"))
+        if self._impact_live:
+            self.impact_index.save(os.path.join(directory, "sparse"))
+        return directory
 
     # ---- validation (caller thread) -----------------------------------------
 
@@ -429,3 +449,24 @@ class RetrievalService:
             out_i.append([doc for doc, _ in ranked])
             out_s.append([sc for _, sc in ranked])
         return out_s, out_i
+
+
+def load_live_state(directory: str, dense_dtype=None):
+    """Restore what :meth:`RetrievalService.save_live` wrote -> (live dense
+    index or None, live impact index or None). ``dense_dtype`` overrides
+    the persisted device dtype (e.g. load an f32 save as int8)."""
+    import os
+
+    from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
+                                                      LiveImpactIndex)
+    dense = impact = None
+    d_dir = os.path.join(directory, "dense")
+    s_dir = os.path.join(directory, "sparse")
+    if os.path.exists(os.path.join(d_dir, "live.json")):
+        kw = {} if dense_dtype is None else {"dtype": dense_dtype}
+        dense = LiveDenseIndex.load(d_dir, **kw)
+    if os.path.exists(os.path.join(s_dir, "live.json")):
+        impact = LiveImpactIndex.load(s_dir)
+    if dense is None and impact is None:
+        raise FileNotFoundError(f"no live state under {directory}")
+    return dense, impact

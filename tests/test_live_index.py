@@ -259,6 +259,79 @@ def test_live_impact_auto_compaction_bound():
 
 
 # ---------------------------------------------------------------------------
+# persistence
+# ---------------------------------------------------------------------------
+
+def test_live_dense_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    base = DenseFlatIndex()
+    base.add(_int_reps(rng, 20, 8), [f"b{i}" for i in range(20)])
+    live = LiveDenseIndex(base, bucket_min=4, max_delta_segments=3)
+    live.add_documents(_int_reps(rng, 3, 8), ["x0", "x1", "x2"])
+    live.delete_documents(["b2", "x1"])
+    live.save(str(tmp_path / "state"))
+
+    back = LiveDenseIndex.load(str(tmp_path / "state"))
+    assert back.num_docs == live.num_docs
+    assert back.num_segments == live.num_segments
+    assert back.bucket_min == 4 and back.max_delta_segments == 3
+    q = _int_reps(rng, 3, 8)
+    assert_rows_match(back.search_rows(q, depth=8),
+                      live.search_rows(q, depth=8))
+    # the restored index keeps updating correctly
+    back.delete_documents(["b0"])
+    back.add_documents(_int_reps(rng, 1, 8), ["y0"])
+    s, ids = back.search_rows(q, depth=back.num_docs)
+    assert "b0" not in ids[0] and "y0" in ids[0]
+
+
+def test_live_dense_save_load_int8_dtype(tmp_path):
+    live = LiveDenseIndex(None, dtype="int8", bucket_min=4)
+    live.add_documents(np.eye(4, dtype=np.float32) * 5, list("abcd"))
+    live.save(str(tmp_path / "s"))
+    back = LiveDenseIndex.load(str(tmp_path / "s"))
+    assert back.dtype == "int8"
+    _, ids = back.search_rows(np.eye(4, dtype=np.float32)[:1], 2)
+    assert ids[0][0] == "a"
+    # dtype override on load
+    f32 = LiveDenseIndex.load(str(tmp_path / "s"), dtype=np.float32)
+    assert f32.dtype != "int8"
+
+
+def test_live_impact_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(6)
+    base = ImpactIndex()
+    base.add_many(sorted(_random_sparse_docs(
+        rng, [f"b{i}" for i in range(15)], np.arange(40), 5).items()))
+    base.query_canonical = True
+    live = LiveImpactIndex(base, max_delta_segments=5)
+    live.add_documents([("n0", {99: 7}), ("n1", {3: 2, 99: 1})])
+    live.delete_documents(["b1", "n0"])
+    live.save(str(tmp_path / "state"))
+
+    back = LiveImpactIndex.load(str(tmp_path / "state"))
+    assert back.num_docs == live.num_docs
+    assert back.num_segments == live.num_segments
+    assert back.query_canonical and back.max_delta_segments == 5
+    assert back.int_keyed
+    queries = [{int(t): 1.0 for t in rng.choice(40, 4, replace=False)},
+               {99: 2.0}]
+    assert_rows_match(back.search_rows(queries, 10, backend="matmul"),
+                      live.search_rows(queries, 10, backend="matmul"))
+    # kind mismatch is loud
+    with pytest.raises(ValueError, match="impact"):
+        LiveDenseIndex.load(str(tmp_path / "state"))
+
+
+def test_live_empty_save_load(tmp_path):
+    live = LiveImpactIndex(None)
+    live.save(str(tmp_path / "e"))
+    back = LiveImpactIndex.load(str(tmp_path / "e"))
+    assert back.num_docs == 0 and back.num_segments == 0
+    assert back.search_rows([{1: 1.0}], 5) == ([[]], [[]])
+
+
+# ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
 

@@ -321,6 +321,67 @@ def test_cli_serve_live_empty_bootstrap():
     # daemon thread; the server dies with the test process
 
 
+def test_save_live_and_restart_resume(tmp_path, live_pair):
+    """Full restart story: mutate -> POST /save -> new service from
+    load_live_state serves the identical corpus."""
+    from mllm_sparse_retrieval_tpu.serving.service import load_live_state
+
+    live_d, live_s, docs, reps, terms, denses, dim, rng = live_pair
+    state = str(tmp_path / "state")
+    svc = RetrievalService(live_d, live_s, alpha=0.5, depth_levels=(10,),
+                           default_depth=10, backend="matmul",
+                           max_batch=8, max_wait_ms=5.0, live_state_dir=state)
+    server = make_server(svc, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = "http://127.0.0.1:%d" % server.server_address[1]
+    try:
+        svc.add_documents([{"id": "p0", "dense": [2.0] * dim,
+                            "terms": {5: 4.0}}])
+        svc.delete_documents(["d6"])
+        status, out = _post(base, {}, "/save")
+        assert status == 200 and out["directory"] == state
+        before = [svc.search(terms=t, dense=d)
+                  for t, d in zip(terms, denses)]
+    finally:
+        server.shutdown()
+        server.server_close()
+        svc.close()
+
+    d2, s2 = load_live_state(state)
+    svc2 = RetrievalService(d2, s2, alpha=0.5, depth_levels=(10,),
+                            default_depth=10, backend="matmul",
+                            max_batch=8, max_wait_ms=5.0)
+    try:
+        st = svc2.stats()
+        assert st["dense_docs"] == st["sparse_docs"] == len(docs) + 1 - 1
+        after = [svc2.search(terms=t, dense=d)
+                 for t, d in zip(terms, denses)]
+        for row_a, row_b in zip(before, after):
+            assert _row_set(row_a) == _row_set(row_b)
+    finally:
+        svc2.close()
+
+    with pytest.raises(FileNotFoundError):
+        load_live_state(str(tmp_path / "nope"))
+
+
+def test_save_live_requires_configured_dir(live_pair):
+    live_d, live_s, *_ = live_pair
+    svc = RetrievalService(live_d, live_s, depth_levels=(10,),
+                           backend="matmul", max_batch=2, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="live_state_dir"):
+            svc.save_live()
+    finally:
+        svc.close()
+    static = ImpactIndex()
+    static.add("a", {1: 2})
+    static.finalize()
+    with pytest.raises(ValueError, match="live"):
+        RetrievalService(impact_index=static, depth_levels=(10,),
+                         live_state_dir="/tmp/x")
+
+
 def test_http_mutation_on_static_service_is_400():
     idx = ImpactIndex()
     idx.add("a", {1: 2})
