@@ -291,13 +291,23 @@ def test_cli_serve_live_empty_bootstrap():
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
-    threading.Thread(
-        target=serve_cli.main,
-        args=(["--live-empty", "hybrid", "--port", str(port),
-               "--depths", "10", "--impact-backend", "matmul",
-               "--max-wait-ms", "2"],), daemon=True).start()
+    boot_error = []
+
+    def run():
+        try:
+            serve_cli.main(["--live-empty", "hybrid", "--port", str(port),
+                            "--depths", "10", "--impact-backend", "matmul",
+                            "--max-wait-ms", "2"])
+        except BaseException as e:                     # pragma: no cover
+            boot_error.append(e)
+
+    threading.Thread(target=run, daemon=True).start()
     base = f"http://127.0.0.1:{port}"
-    for _ in range(100):
+    # generous wait: under a fully loaded host (parallel suite) imports
+    # alone can take tens of seconds
+    for _ in range(300):
+        if boot_error:
+            pytest.fail(f"serve CLI died at boot: {boot_error[0]!r}")
         try:
             urllib.request.urlopen(base + "/healthz", timeout=5)
             break
