@@ -48,6 +48,11 @@ def main(argv=None):
                              "run fusion in Python; 'device' = on-device "
                              "fused top-k, one packed fetch per chunk "
                              "(fusion run/recall only)")
+    parser.add_argument("--metrics", default="",
+                        help="extra ranking metrics beyond recall, comma-"
+                             "separated from {mrr,ndcg,map} (the reference "
+                             "reports recall only; these are standard "
+                             "companions, eval/metrics.py)")
     parser.add_argument("--dense-dtype", default="float32",
                         choices=["float32", "bfloat16", "int8"],
                         help="device dtype for the dense corpus matrix: "
@@ -112,6 +117,7 @@ def main(argv=None):
             impact_backend=args.impact_backend,
             impact_wire=args.impact_wire,
             fusion_mode=args.fusion_mode,
+            metrics=[m for m in args.metrics.split(",") if m],
             get_target=lambda qid: corpus.get_target(qid, args.query_type))
     timer.close()
 

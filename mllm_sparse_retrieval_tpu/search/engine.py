@@ -28,15 +28,19 @@ class SearchOutput:
     dense_recall: Optional[RecallResult] = None
     sparse_recall: Optional[RecallResult] = None
     fusion_recall: Optional[RecallResult] = None
+    # run name -> metric name -> MetricResult (run_search(metrics=...));
+    # recall stays the reference-parity headline, these are extras
+    extra_metrics: Dict[str, Dict[str, object]] = field(default_factory=dict)
 
     def summary(self) -> str:
         lines = []
-        if self.dense_recall:
-            lines.append(self.dense_recall.format("dense"))
-        if self.sparse_recall:
-            lines.append(self.sparse_recall.format("sparse"))
-        if self.fusion_recall:
-            lines.append(self.fusion_recall.format("fusion"))
+        for name, rec in (("dense", self.dense_recall),
+                          ("sparse", self.sparse_recall),
+                          ("fusion", self.fusion_recall)):
+            if rec:
+                lines.append(rec.format(name))
+            for metric in self.extra_metrics.get(name, {}).values():
+                lines.append(metric.format(name))
         return "\n".join(lines)
 
 
@@ -108,6 +112,7 @@ def run_search(
     impact_backend: str = "auto",
     impact_wire: str = "i32",
     fusion_mode: str = "host",
+    metrics: Sequence[str] = (),
 ) -> SearchOutput:
     """Encode queries live and search the given indexes.
 
@@ -160,6 +165,8 @@ def run_search(
             remove_query=search_cfg.remove_query)
         if get_target is not None:
             out.fusion_recall = recall_at_k(out.fusion_run, get_target, ks)
+            _extra_metrics(out, "fusion", out.fusion_run, get_target, ks,
+                           metrics)
         return out
 
     if dense_index is not None:
@@ -197,8 +204,25 @@ def run_search(
     if get_target is not None:
         if out.dense_run:
             out.dense_recall = recall_at_k(out.dense_run, get_target, ks)
+            _extra_metrics(out, "dense", out.dense_run, get_target, ks,
+                           metrics)
         if out.sparse_run:
             out.sparse_recall = recall_at_k(out.sparse_run, get_target, ks)
+            _extra_metrics(out, "sparse", out.sparse_run, get_target, ks,
+                           metrics)
         if out.fusion_run:
             out.fusion_recall = recall_at_k(out.fusion_run, get_target, ks)
+            _extra_metrics(out, "fusion", out.fusion_run, get_target, ks,
+                           metrics)
     return out
+
+
+def _extra_metrics(out: SearchOutput, name: str, run, get_target, ks,
+                   metrics) -> None:
+    """MRR/nDCG/MAP for one run when requested (eval/metrics.py — one
+    partial sort per query covers all of them)."""
+    if not metrics:
+        return
+    from mllm_sparse_retrieval_tpu.eval.metrics import ranking_metrics
+    out.extra_metrics[name] = ranking_metrics(
+        run, get_target, ks, which=tuple(metrics))

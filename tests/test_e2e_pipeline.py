@@ -88,8 +88,14 @@ def test_dense_self_retrieval_recall_is_one(setup):
         query_type="image", sparse_cfg=scfg,
         search_cfg=SearchConfig(depth=10),
         dense_index=index, batch_size=8,
+        metrics=("mrr", "ndcg", "map"),
         get_target=lambda qid: qid)  # self as ground truth
     assert out.dense_recall[1] == 1.0
+    # self-retrieval is a perfect single-target ranking: every extra
+    # metric must agree at 1.0, and the summary must report them
+    for m in ("mrr", "ndcg", "map"):
+        assert out.extra_metrics["dense"][m][1] == 1.0
+    assert "dense mrr@1 1.0000" in out.summary()
 
 
 @needs_data
