@@ -48,6 +48,14 @@ def main(argv=None):
                              "run fusion in Python; 'device' = on-device "
                              "fused top-k, one packed fetch per chunk "
                              "(fusion run/recall only)")
+    parser.add_argument("--ann-rank", type=int, default=0,
+                        help="enable the ANN dense tier: low-rank prefilter "
+                             "dimensionality (0 = exact flat search; see "
+                             "index/ann.py — final scores stay exact, only "
+                             "candidate generation is approximate)")
+    parser.add_argument("--ann-candidates", type=int, default=1024,
+                        help="rescored candidate pool per query when "
+                             "--ann-rank is set")
     parser.add_argument("--metrics", default="",
                         help="extra ranking metrics beyond recall, comma-"
                              "separated from {mrr,ndcg,map} (the reference "
@@ -67,6 +75,9 @@ def main(argv=None):
     parser.add_argument("--limit", type=int, default=0)
     args = parser.parse_args(argv)
 
+    if args.ann_rank and args.dense_dtype == "int8":
+        parser.error("--ann-rank is incompatible with --dense-dtype int8 "
+                     "(pick ONE approximation; bf16 composes with ANN)")
     if args.passage_reps is None and args.sparse_index is None:
         parser.error("need --passage-reps and/or --sparse-index")
     if args.fusion_mode == "device" and (
@@ -93,6 +104,13 @@ def main(argv=None):
             args.passage_reps,
             dtype={"bfloat16": jnp.bfloat16, "int8": jnp.int8}.get(
                 args.dense_dtype, jnp.float32))
+        if args.ann_rank:
+            from mllm_sparse_retrieval_tpu.index.ann import DenseANNIndex
+            dense_index = DenseANNIndex.from_flat(
+                dense_index, rank=args.ann_rank,
+                candidates=args.ann_candidates)
+            logger.info("ANN tier: rank=%d candidates=%d (exact rescore)",
+                        args.ann_rank, args.ann_candidates)
         logger.info("dense index: %d vectors", dense_index.size)
     if args.sparse_index:
         timer.phase("load sparse index")

@@ -75,6 +75,14 @@ def main(argv=None):
                         choices=["i32", "compact48"])
     parser.add_argument("--dense-dtype", default="float32",
                         choices=["float32", "bfloat16", "int8"])
+    parser.add_argument("--ann-rank", type=int, default=0,
+                        help="enable the ANN dense tier (index/ann.py): "
+                             "low-rank prefilter dimensionality; 0 = exact. "
+                             "Static artifacts only (a live corpus would "
+                             "retrain the basis on every add)")
+    parser.add_argument("--ann-candidates", type=int, default=1024,
+                        help="rescored candidate pool per query when "
+                             "--ann-rank is set")
     parser.add_argument("--live", action="store_true",
                         help="serve mutable indexes: wraps the loaded "
                              "artifacts in the live (segments + tombstones) "
@@ -111,6 +119,12 @@ def main(argv=None):
     if args.live_empty and (args.passage_reps or args.sparse_index):
         parser.error("--live-empty starts with no corpus; drop the "
                      "artifact args or use --live to wrap them")
+    if args.ann_rank and (args.live or args.live_empty or args.live_state):
+        parser.error("--ann-rank serves static artifacts only (a live "
+                     "corpus would retrain the projection on every add)")
+    if args.ann_rank and args.dense_dtype == "int8":
+        parser.error("--ann-rank is incompatible with --dense-dtype int8 "
+                     "(pick ONE approximation; bf16 composes with ANN)")
 
     logger = get_logger("serve")
     from mllm_sparse_retrieval_tpu.cli.common import enable_compilation_cache
@@ -126,6 +140,13 @@ def main(argv=None):
             args.passage_reps,
             dtype={"bfloat16": jnp.bfloat16, "int8": jnp.int8}.get(
                 args.dense_dtype, jnp.float32))
+        if args.ann_rank:
+            from mllm_sparse_retrieval_tpu.index.ann import DenseANNIndex
+            dense_index = DenseANNIndex.from_flat(
+                dense_index, rank=args.ann_rank,
+                candidates=args.ann_candidates)
+            logger.info("ANN tier: rank=%d candidates=%d", args.ann_rank,
+                        args.ann_candidates)
         logger.info("dense index: %d vectors", dense_index.size)
     if args.sparse_index:
         from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex

@@ -1,8 +1,10 @@
 """Retrieval indexes: sharded dense flat MIPS + impact-ordered inverted index,
 plus the live (segments + tombstones) update layer over both."""
 
+from mllm_sparse_retrieval_tpu.index.ann import DenseANNIndex
 from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
 from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
                                                   LiveImpactIndex)
 
-__all__ = ["DenseFlatIndex", "LiveDenseIndex", "LiveImpactIndex"]
+__all__ = ["DenseFlatIndex", "DenseANNIndex", "LiveDenseIndex",
+           "LiveImpactIndex"]

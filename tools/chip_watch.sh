@@ -64,4 +64,5 @@ run engine_ab      python tools/engine_ab.py
 run corpus_e2e     python tools/corpus_e2e.py
 run latency_i32    python tools/latency_profile.py --wire i32 --depth 1000
 run latency_c48    python tools/latency_profile.py --wire compact48 --depth 1000
+run ann_ab         python tools/ann_ab.py
 echo "ALL DONE $(date -u +%FT%TZ)" >> "$STATUS"
