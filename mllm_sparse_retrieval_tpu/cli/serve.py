@@ -14,6 +14,7 @@ level compiles every program before the first request.
 from __future__ import annotations
 
 import argparse
+import os
 
 from mllm_sparse_retrieval_tpu.cli.common import get_logger
 
@@ -97,6 +98,14 @@ def main(argv=None):
                         help="live-state directory: resume from it when it "
                              "holds a save (artifact args are then ignored), "
                              "save to it on shutdown and on POST /save")
+    parser.add_argument("--live-term-keys", default=None,
+                        choices=["int", "str"],
+                        help="sparse term key space for an EMPTY live "
+                             "corpus (int = token ids, the default; str = "
+                             "Lucene-interchange strings — without this a "
+                             "string-keyed corpus can never bootstrap over "
+                             "POST /documents). Ignored once docs exist: "
+                             "their keys are the truth")
     parser.add_argument("--no-warm", action="store_true",
                         help="skip the per-depth warm-up batch")
     parser.add_argument("--verbose", action="store_true",
@@ -132,7 +141,35 @@ def main(argv=None):
 
     dense_index = None
     impact_index = None
-    if args.passage_reps:
+    live_resumed = False
+    # resume check FIRST: when a save exists the artifact args are ignored,
+    # so loading multi-GB pickles only to discard them is pure waste
+    have_state = args.live_state and any(
+        os.path.exists(os.path.join(args.live_state, sub, "live.json"))
+        for sub in ("dense", "sparse"))
+    if have_state:
+        import jax.numpy as jnp
+
+        from mllm_sparse_retrieval_tpu.serving.service import load_live_state
+        if args.passage_reps or args.sparse_index:
+            logger.info("live state found at %s: artifact args ignored",
+                        args.live_state)
+        dense_index, impact_index = load_live_state(
+            args.live_state,
+            dense_dtype={"bfloat16": jnp.bfloat16,
+                         "int8": "int8"}.get(args.dense_dtype))
+        live_resumed = True
+        logger.info(
+            "resumed live state: dense=%s sparse=%s",
+            "-" if dense_index is None
+            else f"{dense_index.num_docs}d/{dense_index.num_segments}s",
+            "-" if impact_index is None
+            else f"{impact_index.num_docs}d/{impact_index.num_segments}s")
+    elif args.live_state and args.passage_reps is None \
+            and args.sparse_index is None and args.live_empty is None:
+        parser.error(f"--live-state {args.live_state} holds no save yet; "
+                     "give artifacts or --live-empty MODE for the first boot")
+    if not live_resumed and args.passage_reps:
         import jax.numpy as jnp
 
         from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
@@ -148,35 +185,11 @@ def main(argv=None):
             logger.info("ANN tier: rank=%d candidates=%d", args.ann_rank,
                         args.ann_candidates)
         logger.info("dense index: %d vectors", dense_index.size)
-    if args.sparse_index:
+    if not live_resumed and args.sparse_index:
         from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
         impact_index = ImpactIndex.load(args.sparse_index)
         logger.info("impact index: %d docs / %d terms",
                     impact_index.num_docs, impact_index.num_terms)
-    live_resumed = False
-    if args.live_state:
-        from mllm_sparse_retrieval_tpu.serving.service import load_live_state
-        try:
-            import jax.numpy as jnp
-            d, s = load_live_state(
-                args.live_state,
-                dense_dtype={"bfloat16": jnp.bfloat16,
-                             "int8": "int8"}.get(args.dense_dtype))
-            if dense_index is not None or impact_index is not None:
-                logger.info("live state found at %s: artifact args ignored",
-                            args.live_state)
-            dense_index, impact_index = d, s
-            live_resumed = True
-            logger.info(
-                "resumed live state: dense=%s sparse=%s",
-                "-" if d is None else f"{d.num_docs}d/{d.num_segments}s",
-                "-" if s is None else f"{s.num_docs}d/{s.num_segments}s")
-        except FileNotFoundError:
-            if (dense_index is None and impact_index is None
-                    and args.live_empty is None):
-                parser.error(f"--live-state {args.live_state} holds no save "
-                             "yet; give artifacts or --live-empty MODE for "
-                             "the first boot")
     if (args.live or args.live_empty or args.live_state) and not live_resumed:
         from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
                                                           LiveImpactIndex)
@@ -186,7 +199,8 @@ def main(argv=None):
         if want in ("dense", "hybrid"):
             dense_index = LiveDenseIndex(dense_index)
         if want in ("sparse", "hybrid"):
-            impact_index = LiveImpactIndex(impact_index)
+            impact_index = LiveImpactIndex(impact_index,
+                                           term_keys=args.live_term_keys)
     if args.live or args.live_empty or args.live_state:
         logger.info("live mode: corpus is mutable while serving "
                     "(POST /documents, /documents/delete, /compact, /save)")

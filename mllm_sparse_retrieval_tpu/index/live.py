@@ -129,12 +129,26 @@ class _LiveBase:
     def __init__(self, max_delta_segments: int):
         self._lock = threading.Lock()
         self._segments: Tuple[_Segment, ...] = ()
+        # bumped under the lock by EVERY mutation, including tombstone-only
+        # ones that leave the segment tuple identity unchanged — compaction
+        # and save() key their consistency checks on this, not on the tuple
+        self._version = 0
         self.max_delta_segments = int(max_delta_segments)
 
     # -- snapshot / bookkeeping (callers hold no lock) -------------------------
     def _snapshot(self) -> Tuple[_Segment, ...]:
         with self._lock:
             return self._segments
+
+    def _versioned_snapshot(self):
+        """(segments, per-segment tombstone sets, version) read atomically —
+        the tombstone sets are the exact objects current AT the version, so
+        a later delete (which replaces, never mutates, a set) can't tear a
+        reader that uses these."""
+        with self._lock:
+            return (self._segments,
+                    tuple(s.tombstones for s in self._segments),
+                    self._version)
 
     @property
     def num_docs(self) -> int:
@@ -157,6 +171,8 @@ class _LiveBase:
                     # set without holding the lock
                     seg.tombstones = seg.tombstones | present
                     hit += len(present)
+            if hit:
+                self._version += 1
         return hit
 
     def _append_segment(self, seg: _Segment, new_ids: Set[str]) -> None:
@@ -169,40 +185,43 @@ class _LiveBase:
                 if dup:
                     old.tombstones = old.tombstones | dup
             self._segments = self._segments + (seg,)
+            self._version += 1
             need_merge = len(self._segments) - 1 > self.max_delta_segments
         if need_merge:
             self._compact_deltas()
 
-    def _swap(self, old: Tuple[_Segment, ...], new: Tuple[_Segment, ...]
-              ) -> bool:
-        """Replace snapshot ``old`` with ``new`` iff nothing changed since
-        (compaction runs lock-free; a concurrent update simply wins and the
-        next compaction picks it up)."""
+    def _swap(self, version: int, new: Tuple[_Segment, ...]) -> bool:
+        """Install ``new`` iff NOTHING mutated since ``version`` was read —
+        including tombstone-only deletes, which change no tuple identity
+        but must not be resurrected by a merge built from older sets
+        (compaction runs lock-free; a concurrent update simply wins and
+        the next compaction picks it up)."""
         with self._lock:
-            if self._segments is old:
+            if self._version == version:
                 self._segments = new
+                self._version += 1
                 return True
         return False
 
     def compact(self) -> None:
         """Merge ALL segments minus tombstones into one fresh base segment."""
         while True:
-            segs = self._snapshot()
+            segs, tombs, version = self._versioned_snapshot()
             if not segs:
                 return
-            merged = self._merge_segments(segs)
-            if self._swap(segs, (merged,) if merged.id_set else ()):
+            merged = self._merge_segments(segs, tombs)
+            if self._swap(version, (merged,) if merged.id_set else ()):
                 return
 
     def _compact_deltas(self) -> None:
         """Merge delta segments only, keeping the base (and its warm device
         matrices / compiled programs) untouched."""
         while True:
-            segs = self._snapshot()
+            segs, tombs, version = self._versioned_snapshot()
             if len(segs) - 1 <= self.max_delta_segments:
                 return
-            merged = self._merge_segments(segs[1:])
-            if self._swap(segs, (segs[0], merged)):
+            merged = self._merge_segments(segs[1:], tombs[1:])
+            if self._swap(version, (segs[0], merged)):
                 return
 
     # -- persistence ------------------------------------------------------------
@@ -214,12 +233,15 @@ class _LiveBase:
 
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
-        segs = self._snapshot()
+        # tombstones are read in the SAME atomic snapshot as the tuple: a
+        # replace-add racing the save would otherwise tombstone a doc in a
+        # persisted segment while its replacement segment is absent
+        segs, tombs, _ = self._versioned_snapshot()
         entries = []
-        for i, seg in enumerate(segs):
+        for i, (seg, tomb) in enumerate(zip(segs, tombs)):
             entries.append({
                 "artifact": self._save_segment(seg, directory, i),
-                "tombstones": sorted(seg.tombstones),
+                "tombstones": sorted(tomb),
                 "n_pad": seg.n_pad,
             })
         with open(os.path.join(directory, "live.json"), "w") as f:
@@ -247,7 +269,9 @@ class _LiveBase:
         return live
 
     # subclasses implement:
-    #   _merge_segments(segs) -> _Segment
+    #   _merge_segments(segs, tombs) -> _Segment  (tombs: the atomically-
+    #     read tombstone set per segment — NOT seg.tombstones, which a
+    #     concurrent delete may have advanced past the merge's version)
     #   _save_segment(seg, directory, i) -> artifact name (relative)
     #   _load_segment(path) -> _Segment (tombstones/n_pad filled by load)
     #   _save_extra() -> dict / _load_extra(manifest) -> ctor kwargs
@@ -283,6 +307,10 @@ class LiveDenseIndex(_LiveBase):
                              f"for {len(ids)} ids")
         if self.dim is None:
             self.dim = reps.shape[1]
+        elif reps.shape[1] != self.dim:
+            # a mismatched delta would poison every later search AND make
+            # compaction raise — refuse it here like DenseFlatIndex.add
+            raise ValueError(f"dim mismatch: {reps.shape[1]} != {self.dim}")
         ids = [str(i) for i in ids]
         if _PAD_ID in ids:
             raise ValueError("reserved pad id in ids")
@@ -321,11 +349,12 @@ class LiveDenseIndex(_LiveBase):
         return _merge_rows(per_segment, segs, depth)
 
     # -- compaction --------------------------------------------------------------
-    def _merge_segments(self, segs: Sequence[_Segment]) -> _Segment:
+    def _merge_segments(self, segs: Sequence[_Segment],
+                        tombs: Sequence[Set[str]]) -> _Segment:
         merged = DenseFlatIndex(dtype=self.dtype)
         live: Set[str] = set()
         dim = self.dim
-        for seg in segs:
+        for seg, tomb in zip(segs, tombs):
             idx: DenseFlatIndex = seg.index
             if not idx._chunks:
                 continue
@@ -333,7 +362,7 @@ class LiveDenseIndex(_LiveBase):
             reps = (np.concatenate(idx._chunks) if len(idx._chunks) > 1
                     else idx._chunks[0])
             ids = np.asarray(idx.lookup)
-            dead = seg.tombstones | {_PAD_ID}
+            dead = tomb | {_PAD_ID}
             keep = ~np.isin(ids, np.asarray(sorted(dead)))
             if keep.any():
                 merged.add(reps[keep], ids[keep].tolist())
@@ -388,12 +417,20 @@ class LiveImpactIndex(_LiveBase):
 
     def __init__(self, base: Optional[ImpactIndex] = None, *,
                  max_delta_segments: int = 8,
-                 query_canonical: Optional[bool] = None):
+                 query_canonical: Optional[bool] = None,
+                 term_keys: Optional[str] = None):
         super().__init__(max_delta_segments)
         if query_canonical is None:
             query_canonical = (base.query_canonical if base is not None
                                else False)
         self.query_canonical = bool(query_canonical)
+        if term_keys not in (None, "int", "str"):
+            raise ValueError(f"term_keys must be 'int' or 'str', "
+                             f"got {term_keys!r}")
+        # declared key space for the EMPTY state (bootstrapping a
+        # string-keyed corpus over HTTP needs it before any doc exists);
+        # once segments exist their keys are the truth
+        self._term_keys_default = term_keys or "int"
         if base is not None and base.num_docs:
             base._ensure_finalized()
             self._segments = (_Segment(base, set(base.doc_ids)),)
@@ -402,10 +439,10 @@ class LiveImpactIndex(_LiveBase):
     def int_keyed(self) -> bool:
         """True when every non-empty segment is token-id keyed (the HTTP
         layer's key-coercion contract, same as ``ImpactIndex.int_keyed``);
-        an empty live index reports int-keyed (the framework default)."""
+        an empty live index reports the declared ``term_keys`` default."""
         segs = [s.index for s in self._snapshot() if s.index.num_docs]
         if not segs:
-            return True
+            return self._term_keys_default == "int"
         return all(s.int_keyed for s in segs)
 
     # -- updates ---------------------------------------------------------------
@@ -447,10 +484,11 @@ class LiveImpactIndex(_LiveBase):
         return _merge_rows(per_segment, segs, depth)
 
     # -- compaction --------------------------------------------------------------
-    def _merge_segments(self, segs: Sequence[_Segment]) -> _Segment:
+    def _merge_segments(self, segs: Sequence[_Segment],
+                        tombs: Sequence[Set[str]]) -> _Segment:
         live_parts = []
         union: Dict = {}
-        for seg in segs:
+        for seg, tomb in zip(segs, tombs):
             idx: ImpactIndex = seg.index
             idx._ensure_finalized()
             if not idx.num_docs:
@@ -462,8 +500,8 @@ class LiveImpactIndex(_LiveBase):
                 if k not in union:
                     union[k] = len(union)
             ids = np.asarray(idx.doc_ids)
-            keep = (~np.isin(ids, np.asarray(sorted(seg.tombstones)))
-                    if seg.tombstones else np.ones(len(ids), bool))
+            keep = (~np.isin(ids, np.asarray(sorted(tomb)))
+                    if tomb else np.ones(len(ids), bool))
             if not keep.any():
                 continue
             lut = np.fromiter((union[k] for k in keys), np.int64,
@@ -506,8 +544,10 @@ class LiveImpactIndex(_LiveBase):
         return _Segment(idx, set(idx.doc_ids))
 
     def _save_extra(self) -> Dict:
-        return {"query_canonical": self.query_canonical}
+        return {"query_canonical": self.query_canonical,
+                "term_keys": self._term_keys_default}
 
     @classmethod
     def _load_extra(cls, manifest: Dict) -> Dict:
-        return {"query_canonical": manifest["query_canonical"]}
+        return {"query_canonical": manifest["query_canonical"],
+                "term_keys": manifest.get("term_keys", "int")}

@@ -142,12 +142,19 @@ class RetrievalService:
         from mllm_sparse_retrieval_tpu.serving.batcher import MicroBatcher
 
         self.alpha = float(alpha)
+        self._engine_pool = None
         if self.mode == "hybrid" and not self.live:
             from mllm_sparse_retrieval_tpu.search.device_fusion import (
                 FusedHybridSearcher)
             self._fused = FusedHybridSearcher(
                 dense_index, impact_index, alpha=alpha, mesh=mesh,
                 backend=backend)
+        elif self.mode == "hybrid":
+            # live hybrid: the sparse engine searches on this side thread
+            # so the two engines' device work + fetches overlap per batch
+            from concurrent.futures import ThreadPoolExecutor
+            self._engine_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="live-hybrid-sparse")
         self._batcher = MicroBatcher(self._run_batch, max_batch=max_batch,
                                      max_wait_ms=max_wait_ms,
                                      name="retrieval-batcher")
@@ -185,6 +192,8 @@ class RetrievalService:
 
     def close(self) -> None:
         self._batcher.close()
+        if self._engine_pool is not None:
+            self._engine_pool.shutdown(wait=False)
 
     # ---- live updates (any thread; the live indexes lock internally) ---------
 
@@ -198,8 +207,10 @@ class RetrievalService:
         """Add (or replace — latest wins) documents while serving. Each
         entry is ``{"id": str, "dense": [d] vector, "terms": {key: w}}``
         carrying what the mode needs (both for hybrid). Returns the number
-        of distinct ids added. Sparse updates apply first (see the module
-        docstring's consistency note)."""
+        of distinct ids added. ALL validation happens before either engine
+        mutates — a rejected batch (HTTP 400) must leave the engines'
+        doc sets identical, not permanently diverged. Sparse updates then
+        apply first (see the module docstring's consistency note)."""
         self._require_live("add_documents")
         ids: List[str] = []
         terms_rows: List[Dict] = []
@@ -224,10 +235,20 @@ class RetrievalService:
                 dense_rows.append(d)
         if not ids:
             return 0
+        dense_arr = None
+        if self._dense_live:
+            from mllm_sparse_retrieval_tpu.index.live import _PAD_ID
+            if _PAD_ID in ids:
+                raise ValueError("reserved pad id in ids")
+            dims = {row.shape[0] for row in dense_rows}
+            if len(dims) > 1:   # index dim unset: still refuse ragged input
+                raise ValueError(
+                    f"inconsistent dense dims within one batch: {sorted(dims)}")
+            dense_arr = np.stack(dense_rows)
         if self._impact_live:
             self.impact_index.add_documents(list(zip(ids, terms_rows)))
         if self._dense_live:
-            self.dense_index.add_documents(np.stack(dense_rows), ids)
+            self.dense_index.add_documents(dense_arr, ids)
         return len(set(ids))
 
     def delete_documents(self, ids: Sequence[str]) -> int:
@@ -420,32 +441,44 @@ class RetrievalService:
             wire=self.wire)
 
     def _live_hybrid_rows(self, reqs, depth):
-        """Hybrid over live engines: candidate rows from each, fused on the
-        host with ``search.fusion.fuse``'s exact per-query min-max rule
-        (candidate rows ARE the runs; a doc in one engine only contributes
-        0 from the other — the asymmetric-run rule)."""
+        """Hybrid over live engines: candidate rows from each, fused with
+        ``search.fusion.fuse`` itself (dict-shaped runs take its C fast
+        path, hostops.fuse_runs — no re-implemented rule to drift, no
+        per-doc Python loop on the dispatcher thread). A doc in one engine
+        only contributes 0 from the other — the asymmetric-run rule.
+
+        The sparse search runs on a side thread so both engines' device
+        work and result fetches overlap instead of adding."""
+        import operator
+
+        from mllm_sparse_retrieval_tpu.search.fusion import fuse
+
         cand = max(self.candidate_depth or depth, depth)
+        sparse_fut = self._engine_pool.submit(
+            self.impact_index.search_rows, self._padded_terms(reqs), cand,
+            mesh=self.mesh, backend=self.backend, wire=self.wire)
         d_s, d_i = self.dense_index.search_rows(
             self._padded_dense(reqs), cand,
             batch_size=self.device_batch, mesh=self.mesh)
-        s_s, s_i = self.impact_index.search_rows(
-            self._padded_terms(reqs), cand, mesh=self.mesh,
-            backend=self.backend, wire=self.wire)
+        s_s, s_i = sparse_fut.result()
+        runs = []
+        for rows_s, rows_i in ((d_s, d_i), (s_s, s_i)):
+            run = {}
+            for q in range(len(reqs)):
+                srow, irow = rows_s[q], rows_i[q]
+                if len(irow):
+                    # rows are score-descending (the live search contract)
+                    run[str(q)] = {"docs": dict(zip(irow, map(float, srow))),
+                                   "max_score": float(srow[0]),
+                                   "min_score": float(srow[-1])}
+            runs.append(run)
+        fused = fuse(runs, [self.alpha, 1.0 - self.alpha])
         out_s: List[List[float]] = []
         out_i: List[List[object]] = []
-        engine_weights = (self.alpha, 1.0 - self.alpha)
+        score_of = operator.itemgetter(1)
         for q in range(len(reqs)):
-            fused: Dict[object, float] = {}
-            for (srow, irow), w in zip(
-                    ((d_s[q], d_i[q]), (s_s[q], s_i[q])), engine_weights):
-                if not len(irow):
-                    continue
-                lo = float(min(srow))
-                denom = max(float(max(srow)) - lo, 1e-9)
-                for s, doc in zip(srow, irow):
-                    fused[doc] = fused.get(doc, 0.0) \
-                        + w * (float(s) - lo) / denom
-            ranked = sorted(fused.items(), key=lambda kv: -kv[1])[:depth]
+            ranked = sorted(fused.get(str(q), {}).items(), key=score_of,
+                            reverse=True)[:depth]
             out_i.append([doc for doc, _ in ranked])
             out_s.append([sc for _, sc in ranked])
         return out_s, out_i

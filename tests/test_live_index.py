@@ -259,6 +259,77 @@ def test_live_impact_auto_compaction_bound():
 
 
 # ---------------------------------------------------------------------------
+# mutation/compaction race rules (review findings, round 7)
+# ---------------------------------------------------------------------------
+
+def test_delete_racing_compaction_is_never_resurrected():
+    """A delete landing between a compaction's snapshot and its swap must
+    abort the swap (the merged segment was built from pre-delete
+    tombstones): version check, not tuple identity."""
+    live = LiveDenseIndex(None, bucket_min=4)
+    live.add_documents(np.eye(4, dtype=np.float32), list("abcd"))
+
+    segs, tombs, version = live._versioned_snapshot()
+    merged = live._merge_segments(segs, tombs)          # pre-delete merge
+    assert live.delete_documents(["b"]) == 1            # racing delete
+    assert not live._swap(version, (merged,)), \
+        "stale merge installed over a newer delete"
+    # the retry loop (compact) sees the delete and converges correctly
+    live.compact()
+    _, ids = live.search_rows(np.eye(4, dtype=np.float32), 4)
+    assert all("b" not in row for row in ids)
+    assert live.num_docs == 3
+
+
+def test_save_snapshot_is_atomic_vs_replace_add(tmp_path):
+    """A replace-add racing save() must not persist the OLD copy's
+    tombstone without the replacement segment: tombstones are read in the
+    same atomic snapshot as the segment tuple."""
+    live = LiveDenseIndex(None, bucket_min=4)
+    live.add_documents(np.eye(4, dtype=np.float32), list("abcd"))
+
+    real_save_segment = live._save_segment
+    raced = []
+
+    def racing_save_segment(seg, directory, i):
+        if not raced:
+            raced.append(True)
+            # interleave: the replace-add lands mid-save, AFTER the
+            # snapshot was taken
+            live.add_documents(np.ones((1, 4), np.float32) * 7, ["a"])
+        return real_save_segment(seg, directory, i)
+
+    live._save_segment = racing_save_segment
+    live.save(str(tmp_path / "s"))
+    back = LiveDenseIndex.load(str(tmp_path / "s"))
+    # the save captured the PRE-add snapshot: 'a' is intact (old vector,
+    # no tombstone), and the replacement segment is absent — consistent
+    assert back.num_docs == 4
+    scores, ids = back.search_rows(np.eye(4, dtype=np.float32)[:1], 1)
+    assert ids[0] == ["a"] and scores[0] == [1.0]
+
+
+def test_live_dense_dim_mismatch_rejected():
+    live = LiveDenseIndex(None, bucket_min=4)
+    live.add_documents(np.ones((1, 8), np.float32), ["a"])
+    with pytest.raises(ValueError, match="dim mismatch"):
+        live.add_documents(np.ones((1, 16), np.float32), ["b"])
+    assert live.num_docs == 1
+
+
+def test_live_impact_term_keys_declaration():
+    live = LiveImpactIndex(None, term_keys="str")
+    assert not live.int_keyed                 # empty but declared string
+    live.add_documents([("d1", {"apple": 3})])
+    assert not live.int_keyed
+    _, ids = live.search_rows([{"apple": 1}], 5, backend="matmul")
+    assert ids[0] == ["d1"]
+    with pytest.raises(ValueError, match="term_keys"):
+        LiveImpactIndex(None, term_keys="bogus")
+    assert LiveImpactIndex(None).int_keyed    # default stays int
+
+
+# ---------------------------------------------------------------------------
 # persistence
 # ---------------------------------------------------------------------------
 

@@ -331,6 +331,62 @@ def test_cli_serve_live_empty_bootstrap():
     # daemon thread; the server dies with the test process
 
 
+def test_rejected_hybrid_add_leaves_engines_consistent():
+    """A batch that fails dense validation must not have mutated the
+    sparse engine (review finding: permanent doc-set divergence)."""
+    from mllm_sparse_retrieval_tpu.index import LiveDenseIndex, LiveImpactIndex
+
+    svc = RetrievalService(LiveDenseIndex(None, bucket_min=4),
+                           LiveImpactIndex(None), depth_levels=(10,),
+                           backend="matmul", max_batch=2, max_wait_ms=1.0)
+    try:
+        # ragged dense dims on an EMPTY index (dim unknown) -> reject whole
+        # batch BEFORE either engine mutates
+        with pytest.raises(ValueError, match="inconsistent dense dims"):
+            svc.add_documents([
+                {"id": "a", "dense": [1.0, 0.0], "terms": {1: 2}},
+                {"id": "b", "dense": [1.0, 0.0, 0.0], "terms": {2: 3}}])
+        assert svc.impact_index.num_docs == 0
+        assert svc.dense_index.num_docs == 0
+        # reserved pad id: same rule
+        with pytest.raises(ValueError, match="reserved"):
+            svc.add_documents([
+                {"id": "\x00__pad__", "dense": [1.0, 0.0], "terms": {1: 2}}])
+        assert svc.impact_index.num_docs == 0
+        # a corrected retry works
+        assert svc.add_documents([
+            {"id": "a", "dense": [1.0, 0.0], "terms": {1: 2}},
+            {"id": "b", "dense": [0.0, 1.0], "terms": {2: 3}}]) == 2
+        assert svc.impact_index.num_docs == svc.dense_index.num_docs == 2
+    finally:
+        svc.close()
+
+
+def test_string_keyed_live_corpus_bootstraps_over_http():
+    """--live-term-keys str: an EMPTY sparse live service accepts string
+    term keys on the first POST /documents (review finding: int coercion
+    made string corpora impossible to bootstrap)."""
+    from mllm_sparse_retrieval_tpu.index import LiveImpactIndex
+
+    svc = RetrievalService(
+        impact_index=LiveImpactIndex(None, term_keys="str"),
+        depth_levels=(10,), backend="matmul", max_batch=2, max_wait_ms=1.0)
+    server = make_server(svc, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = "http://127.0.0.1:%d" % server.server_address[1]
+    try:
+        status, out = _post(base, {"documents": [
+            {"id": "d1", "terms": {"apple": 3.0}}]}, "/documents")
+        assert (status, out) == (200, {"added": 1})
+        status, out = _post(base, {"queries": [{"terms": {"apple": 2.0}}]},
+                            "/search")
+        assert out["results"][0] == [["d1", 6.0]]
+    finally:
+        server.shutdown()
+        server.server_close()
+        svc.close()
+
+
 def test_save_live_and_restart_resume(tmp_path, live_pair):
     """Full restart story: mutate -> POST /save -> new service from
     load_live_state serves the identical corpus."""
