@@ -157,7 +157,8 @@ def main(argv=None):
         dense_index, impact_index = load_live_state(
             args.live_state,
             dense_dtype={"bfloat16": jnp.bfloat16,
-                         "int8": "int8"}.get(args.dense_dtype))
+                         "int8": "int8"}.get(args.dense_dtype),
+            background_compaction=True)
         live_resumed = True
         logger.info(
             "resumed live state: dense=%s sparse=%s",
@@ -196,11 +197,15 @@ def main(argv=None):
         want = args.live_empty or (
             "hybrid" if dense_index is not None and impact_index is not None
             else "dense" if dense_index is not None else "sparse")
+        # background_compaction: merges run off the request threads (one
+        # unlucky POST /documents must not pay an O(corpus) merge inline)
         if want in ("dense", "hybrid"):
-            dense_index = LiveDenseIndex(dense_index)
+            dense_index = LiveDenseIndex(dense_index,
+                                         background_compaction=True)
         if want in ("sparse", "hybrid"):
             impact_index = LiveImpactIndex(impact_index,
-                                           term_keys=args.live_term_keys)
+                                           term_keys=args.live_term_keys,
+                                           background_compaction=True)
     if args.live or args.live_empty or args.live_state:
         logger.info("live mode: corpus is mutable while serving "
                     "(POST /documents, /documents/delete, /compact, /save)")

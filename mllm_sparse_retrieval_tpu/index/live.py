@@ -126,7 +126,8 @@ def _merge_rows(
 class _LiveBase:
     """Shared segment bookkeeping for the dense and sparse live indexes."""
 
-    def __init__(self, max_delta_segments: int):
+    def __init__(self, max_delta_segments: int,
+                 background_compaction: bool = False):
         self._lock = threading.Lock()
         self._segments: Tuple[_Segment, ...] = ()
         # bumped under the lock by EVERY mutation, including tombstone-only
@@ -134,6 +135,13 @@ class _LiveBase:
         # and save() key their consistency checks on this, not on the tuple
         self._version = 0
         self.max_delta_segments = int(max_delta_segments)
+        # serving mode: auto-compaction moves off the mutating caller's
+        # thread (otherwise one unlucky add pays the whole O(corpus) merge
+        # inline — Lucene's ConcurrentMergeScheduler vs SerialMergeScheduler)
+        self.background_compaction = bool(background_compaction)
+        self._compact_wake = threading.Event()
+        self._compactor: Optional[threading.Thread] = None
+        self._closed = False
 
     # -- snapshot / bookkeeping (callers hold no lock) -------------------------
     def _snapshot(self) -> Tuple[_Segment, ...]:
@@ -188,7 +196,46 @@ class _LiveBase:
             self._version += 1
             need_merge = len(self._segments) - 1 > self.max_delta_segments
         if need_merge:
+            if self.background_compaction:
+                self._kick_compactor()
+            else:
+                self._compact_deltas()
+
+    def _kick_compactor(self) -> None:
+        with self._lock:
+            if self._closed:
+                return
+            if self._compactor is None or not self._compactor.is_alive():
+                self._compactor = threading.Thread(
+                    target=self._compactor_loop, daemon=True,
+                    name=f"live-compactor-{id(self):x}")
+                self._compactor.start()
+        self._compact_wake.set()
+
+    def _compactor_loop(self) -> None:
+        while True:
+            self._compact_wake.wait()
+            self._compact_wake.clear()
+            if self._closed:
+                return
             self._compact_deltas()
+
+    def wait_compacted(self, timeout: float = 30.0) -> None:
+        """Block until the delta count is within bounds (tests / bulk-load
+        barriers). No-op for inline compaction."""
+        import time
+        deadline = time.monotonic() + timeout
+        while len(self._snapshot()) - 1 > self.max_delta_segments:
+            if time.monotonic() > deadline:
+                raise TimeoutError("background compaction did not converge")
+            time.sleep(0.005)
+
+    def close(self) -> None:
+        """Stop the background compactor (if any). Idempotent; the index
+        remains searchable, only auto-compaction stops."""
+        with self._lock:
+            self._closed = True
+        self._compact_wake.set()
 
     def _swap(self, version: int, new: Tuple[_Segment, ...]) -> bool:
         """Install ``new`` iff NOTHING mutated since ``version`` was read —
@@ -287,8 +334,9 @@ class LiveDenseIndex(_LiveBase):
 
     def __init__(self, base: Optional[DenseFlatIndex] = None, *,
                  dtype=np.float32, bucket_min: int = 256,
-                 max_delta_segments: int = 8):
-        super().__init__(max_delta_segments)
+                 max_delta_segments: int = 8,
+                 background_compaction: bool = False):
+        super().__init__(max_delta_segments, background_compaction)
         self.dtype = dtype
         self.bucket_min = int(bucket_min)
         if base is not None and base.size:
@@ -418,8 +466,9 @@ class LiveImpactIndex(_LiveBase):
     def __init__(self, base: Optional[ImpactIndex] = None, *,
                  max_delta_segments: int = 8,
                  query_canonical: Optional[bool] = None,
-                 term_keys: Optional[str] = None):
-        super().__init__(max_delta_segments)
+                 term_keys: Optional[str] = None,
+                 background_compaction: bool = False):
+        super().__init__(max_delta_segments, background_compaction)
         if query_canonical is None:
             query_canonical = (base.query_canonical if base is not None
                                else False)

@@ -194,6 +194,9 @@ class RetrievalService:
         self._batcher.close()
         if self._engine_pool is not None:
             self._engine_pool.shutdown(wait=False)
+        for idx in (self.dense_index, self.impact_index):
+            if idx is not None and hasattr(idx, "close"):
+                idx.close()       # stops a live index's background compactor
 
     # ---- live updates (any thread; the live indexes lock internally) ---------
 
@@ -484,10 +487,13 @@ class RetrievalService:
         return out_s, out_i
 
 
-def load_live_state(directory: str, dense_dtype=None):
+def load_live_state(directory: str, dense_dtype=None,
+                    background_compaction: bool = False):
     """Restore what :meth:`RetrievalService.save_live` wrote -> (live dense
     index or None, live impact index or None). ``dense_dtype`` overrides
-    the persisted device dtype (e.g. load an f32 save as int8)."""
+    the persisted device dtype (e.g. load an f32 save as int8);
+    ``background_compaction`` is the serving-mode merge scheduler
+    (index/live.py)."""
     import os
 
     from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
@@ -495,11 +501,12 @@ def load_live_state(directory: str, dense_dtype=None):
     dense = impact = None
     d_dir = os.path.join(directory, "dense")
     s_dir = os.path.join(directory, "sparse")
+    bc = {"background_compaction": background_compaction}
     if os.path.exists(os.path.join(d_dir, "live.json")):
-        kw = {} if dense_dtype is None else {"dtype": dense_dtype}
+        kw = dict(bc) if dense_dtype is None else {"dtype": dense_dtype, **bc}
         dense = LiveDenseIndex.load(d_dir, **kw)
     if os.path.exists(os.path.join(s_dir, "live.json")):
-        impact = LiveImpactIndex.load(s_dir)
+        impact = LiveImpactIndex.load(s_dir, **bc)
     if dense is None and impact is None:
         raise FileNotFoundError(f"no live state under {directory}")
     return dense, impact

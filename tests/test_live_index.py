@@ -329,6 +329,33 @@ def test_live_impact_term_keys_declaration():
     assert LiveImpactIndex(None).int_keyed    # default stays int
 
 
+def test_background_compaction_converges_and_serves():
+    """Serving-mode merge scheduler: adds return without paying the merge;
+    the compactor converges to the bound; results stay oracle-correct."""
+    rng = np.random.default_rng(9)
+    live = LiveDenseIndex(None, bucket_min=4, max_delta_segments=2,
+                          background_compaction=True)
+    state = {}
+    try:
+        for batch in range(8):
+            ids = [f"s{batch}_{i}" for i in range(3)]
+            reps = _int_reps(rng, 3, 8)
+            live.add_documents(reps, ids)
+            state.update(zip(ids, reps))
+        live.delete_documents(["s0_0"])
+        state.pop("s0_0")
+        live.wait_compacted(timeout=30)
+        assert live.num_segments <= 3
+        queries = _int_reps(rng, 3, 8)
+        assert_rows_match(live.search_rows(queries, depth=8, batch_size=4),
+                          _dense_oracle_rows(state, queries, 8))
+        assert live.num_docs == len(state)
+    finally:
+        live.close()
+    # close() is idempotent and stops the compactor thread
+    live.close()
+
+
 # ---------------------------------------------------------------------------
 # persistence
 # ---------------------------------------------------------------------------
