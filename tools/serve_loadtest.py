@@ -109,7 +109,7 @@ def make_queries(args, zipf_p, rng):
     return terms, denses
 
 
-def run_inproc(service, args, terms, denses, texts=None):
+def run_inproc(service, args, terms, denses, texts=None, writer_start=None):
     lat, lock = [], threading.Lock()
     idx = iter(range(args.n_queries))
 
@@ -134,10 +134,18 @@ def run_inproc(service, args, terms, denses, texts=None):
             with lock:
                 lat.append(dt)
 
-    return drive(worker, args, lat)
+    wctx = writer_start(None) if writer_start else None
+    try:
+        wall, lats = drive(worker, args, lat)
+    finally:
+        if wctx:
+            wctx[1].set()
+            for t in wctx[0]:
+                t.join(timeout=30)
+    return wall, lats, (wctx[2] if wctx else None)
 
 
-def run_http(service, args, terms, denses, texts=None):
+def run_http(service, args, terms, denses, texts=None, writer_start=None):
     import urllib.request
 
     from mllm_sparse_retrieval_tpu.serving.http import make_server
@@ -177,11 +185,17 @@ def run_http(service, args, terms, denses, texts=None):
             with lock:
                 lat.append(dt)
 
+    wctx = writer_start(base) if writer_start else None
     try:
-        return drive(worker, args, lat)
+        wall, lats = drive(worker, args, lat)
     finally:
+        if wctx:
+            wctx[1].set()
+            for t in wctx[0]:
+                t.join(timeout=30)
         server.shutdown()
         server.server_close()
+    return wall, lats, (wctx[2] if wctx else None)
 
 
 def drive(worker, args, lat):
@@ -193,6 +207,69 @@ def drive(worker, args, lat):
         t.join()
     wall = time.perf_counter() - t0
     return wall, np.asarray(lat)
+
+
+def start_writers(service, base_url, args, rng):
+    """Concurrent document writers for --live: each writer loops
+    add-a-doc / delete-an-older-own-doc until the read load finishes
+    (stop event), counting ops and write latency. Returns
+    (threads, stop, counters)."""
+    import urllib.request
+
+    stop = threading.Event()
+    counters = {"writes": 0, "deletes": 0, "lat": []}
+    lock = threading.Lock()
+
+    def payload(wid, n):
+        doc = {"id": f"w{wid}_{n}"}
+        if service.impact_index is not None:
+            picked = rng.choice(args.terms, size=min(8, args.terms),
+                                replace=False)
+            doc["terms"] = {str(int(t)): float(rng.integers(1, 50))
+                            for t in picked}
+        if service.dense_index is not None:
+            doc["dense"] = rng.normal(size=args.dim).astype(
+                np.float32).tolist()
+        return doc
+
+    def writer(wid):
+        n = 0
+        while not stop.is_set():
+            doc = payload(wid, n)
+            t0 = time.perf_counter()
+            if base_url is None:
+                d2 = dict(doc)
+                if "terms" in d2:
+                    d2["terms"] = {int(k): v for k, v in d2["terms"].items()}
+                service.add_documents([d2])
+                if n >= 8:
+                    service.delete_documents([f"w{wid}_{n - 8}"])
+            else:
+                req = urllib.request.Request(
+                    base_url + "/documents",
+                    data=json.dumps({"documents": [doc]}).encode(),
+                    headers={"Content-Type": "application/json"})
+                urllib.request.urlopen(req, timeout=300).read()
+                if n >= 8:
+                    req = urllib.request.Request(
+                        base_url + "/documents/delete",
+                        data=json.dumps(
+                            {"ids": [f"w{wid}_{n - 8}"]}).encode(),
+                        headers={"Content-Type": "application/json"})
+                    urllib.request.urlopen(req, timeout=300).read()
+            dt = time.perf_counter() - t0
+            with lock:
+                counters["writes"] += 1
+                counters["deletes"] += 1 if n >= 8 else 0
+                counters["lat"].append(dt)
+            n += 1
+            time.sleep(args.write_interval_ms / 1e3)
+
+    threads = [threading.Thread(target=writer, args=(w,), daemon=True)
+               for w in range(args.writers)]
+    for t in threads:
+        t.start()
+    return threads, stop, counters
 
 
 def main(argv=None):
@@ -219,6 +296,14 @@ def main(argv=None):
                    help="array: pre-encoded terms/dense vectors (engine "
                         "stack only); text: raw captions through the live "
                         "model encoder (tiny family, real Flickr captions)")
+    p.add_argument("--live", action="store_true",
+                   help="wrap the corpus in the live (segments+tombstones) "
+                        "layer and run concurrent document writers during "
+                        "the read load — the mutate-while-serving mix")
+    p.add_argument("--writers", type=int, default=4,
+                   help="concurrent writer threads with --live")
+    p.add_argument("--write-interval-ms", type=float, default=20.0,
+                   help="pause between one writer's ops with --live")
     p.add_argument("--platform", default=None, choices=[None, "cpu"],
                    help="force jax platform (chip-down smoke)")
     p.add_argument("--smoke", action="store_true",
@@ -248,6 +333,17 @@ def main(argv=None):
         f"docs={args.docs} in {time.time() - t0:.1f}s")
 
     from mllm_sparse_retrieval_tpu.serving import RetrievalService
+    if args.live:
+        if args.query_kind == "text":
+            p.error("--live measures the array engine stack")
+        from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
+                                                          LiveImpactIndex)
+        if impact is not None:
+            impact = LiveImpactIndex(impact, background_compaction=True)
+        if dense is not None:
+            dense = LiveDenseIndex(dense, background_compaction=True)
+        log(f"live mode: {args.writers} writers every "
+            f"{args.write_interval_ms} ms during the read load")
     levels = [int(d) for d in args.depth_levels.split(",")]
     service = RetrievalService(
         dense, impact, depth_levels=levels,
@@ -266,8 +362,14 @@ def main(argv=None):
                            depth=d, timeout=None)
     log(f"warm ({len(levels)} depth programs): {time.time() - t0:.1f}s")
 
+    writer_start = None
+    if args.live:
+        w_rng = np.random.default_rng(7)
+        writer_start = lambda base_url: start_writers(   # noqa: E731
+            service, base_url, args, w_rng)
     runner = run_http if args.transport == "http" else run_inproc
-    wall, lat = runner(service, args, terms, denses, texts)
+    wall, lat, wcounters = runner(service, args, terms, denses, texts,
+                                  writer_start=writer_start)
     stats = service.stats()
     service.close()
 
@@ -285,6 +387,19 @@ def main(argv=None):
         "mean_batch_size": round(stats["mean_batch_size"], 1),
         "batches": int(stats["batches"]),
     }
+    if wcounters is not None:
+        wlat = np.asarray(wcounters["lat"])
+        result["live"] = {
+            "writes": wcounters["writes"],
+            "deletes": wcounters["deletes"],
+            "writes_per_s": round(wcounters["writes"] / wall, 1),
+            "write_p50_ms": round(float(np.percentile(wlat, 50)) * 1e3, 2)
+            if wlat.size else None,
+            "write_p99_ms": round(float(np.percentile(wlat, 99)) * 1e3, 2)
+            if wlat.size else None,
+            "segments": {k: v for k, v in stats.items()
+                         if k.endswith("_segments")},
+        }
     print(json.dumps(result), flush=True)
     return 0
 
