@@ -764,6 +764,49 @@ class ImpactIndex:
         return self.search_encoded(q_idx, q_w, depth, mesh=mesh,
                                    backend=backend, wire=wire)
 
+    def explain(self, terms: SparseVector, doc_id: str) -> Dict:
+        """Score breakdown for one (query, doc) pair — the Lucene
+        ``explain`` diagnostic the reference stack exposes only through
+        Pyserini's Java API. Host-side arithmetic replicating ``search``'s
+        exact rules: ``int(w)``-truncated query weights, non-positive
+        weights dropped, out-of-vocabulary terms dropped, contributions
+        summed as ``query_weight * doc_weight``.
+
+        Returns ``{"doc_id", "score", "terms": [{"term", "query_weight",
+        "doc_weight", "contribution"}, ... contribution-descending],
+        "dropped": [terms contributing nothing]}``; ``score`` equals the
+        engine's for this doc (asserted in tests/test_explain.py).
+        """
+        self._ensure_finalized()
+        if getattr(self, "_doc_pos_src", None) is not self.doc_ids:
+            self._doc_pos = {d: i for i, d in enumerate(self.doc_ids)}
+            self._doc_pos_src = self.doc_ids
+        pos = self._doc_pos.get(str(doc_id))
+        if pos is None:
+            raise KeyError(f"unknown doc id {doc_id!r}")
+        doc_w: Dict[int, float] = {}
+        for t, w in zip(self.doc_terms[pos].tolist(),
+                        self.doc_weights[pos].tolist()):
+            if w > 0:
+                doc_w[int(t)] = doc_w.get(int(t), 0.0) + float(w)
+        rows = []
+        dropped = []
+        total = 0.0
+        for k, qw in terms.items():
+            qw = float(int(qw))                    # int(w) truncation rule
+            idx = self.term_to_idx.get(k)
+            if qw <= 0 or idx is None or idx not in doc_w:
+                dropped.append(k)
+                continue
+            contribution = qw * doc_w[idx]
+            total += contribution
+            rows.append({"term": k, "query_weight": qw,
+                         "doc_weight": doc_w[idx],
+                         "contribution": contribution})
+        rows.sort(key=lambda r: -r["contribution"])
+        return {"doc_id": str(doc_id), "score": total, "terms": rows,
+                "dropped": dropped}
+
     def search_encoded(
         self,
         q_idx: np.ndarray,

@@ -102,6 +102,33 @@ def fuse(runs: Sequence[Run], weights: Sequence[float]) -> Dict[str, Dict[str, f
     return fused
 
 
+def explain_fusion(runs: Sequence[Run], weights: Sequence[float],
+                   qid: str, docid: str) -> Dict:
+    """Breakdown of one fused (query, doc) score: per-run raw score,
+    per-query min/max normalization bounds, normalized value, weight, and
+    weighted part — the arithmetic of ``fuse`` made inspectable
+    (``sum(parts) == fuse(...)[qid][docid]``, asserted in tests). A run
+    missing the doc (or the qid) contributes 0 — the asymmetric-run rule.
+    """
+    parts = []
+    total = 0.0
+    for i, (run, weight) in enumerate(zip(runs, weights)):
+        entry = run.get(qid)
+        part = {"run": i, "weight": float(weight), "raw_score": None,
+                "min_score": None, "max_score": None, "normalized": 0.0,
+                "contribution": 0.0}
+        if entry is not None and docid in entry["docs"]:
+            norm = _normalized(entry, docid)
+            part.update(raw_score=float(entry["docs"][docid]),
+                        min_score=float(entry["min_score"]),
+                        max_score=float(entry["max_score"]),
+                        normalized=norm,
+                        contribution=float(weight) * norm)
+            total += part["contribution"]
+        parts.append(part)
+    return {"qid": qid, "doc_id": docid, "score": total, "runs": parts}
+
+
 def fuse_statistic(
     runs: Sequence[Run], weights: Sequence[float]
 ) -> Dict[str, Dict[str, ResultRecord]]:
