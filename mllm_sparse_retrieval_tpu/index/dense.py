@@ -22,10 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mllm_sparse_retrieval_tpu.ops.mips import (mips_topk_packed,
-                                                mips_topk_packed_q8,
-                                                sharded_mips_topk,
-                                                sharded_mips_topk_q8)
+from mllm_sparse_retrieval_tpu.ops.mips import (
+    mips_topk_packed, mips_topk_packed_filtered, mips_topk_packed_q8,
+    mips_topk_packed_q8_filtered, sharded_mips_topk,
+    sharded_mips_topk_filtered, sharded_mips_topk_q8,
+    sharded_mips_topk_q8_filtered)
 from mllm_sparse_retrieval_tpu.ops.packing import unpack_topk
 from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
 
@@ -132,10 +133,13 @@ class DenseFlatIndex:
                                NamedSharding(mesh, P(DATA_AXIS)))
 
     # ---- search --------------------------------------------------------------
-    def _dispatch_chunk(self, chunk_f32: np.ndarray, depth: int, mesh):
+    def _dispatch_chunk(self, chunk_f32: np.ndarray, depth: int, mesh,
+                        mask=None):
         """Enqueue one chunk's program; no host sync (the pipelining point).
         Single-chip results come back as ONE packed array — one fetch, one
-        link round trip (see ops/packing.py)."""
+        link round trip (see ops/packing.py). ``mask`` (a device bool [N]
+        from ``DocFilter.device_mask``) routes to the filtered program
+        variants: excluded rows score -inf and are dropped at resolve."""
         if self.q8:
             # SQ8: quantize the queries per-row on HOST (1/4 the f32 link
             # bytes; per-query positive scaling cannot change that query's
@@ -145,9 +149,18 @@ class DenseFlatIndex:
             if mesh is None:
                 q8 = jax.device_put(np.ascontiguousarray(q8))
                 q_scale = jax.device_put(q_scale)
+                if mask is not None:
+                    return mips_topk_packed_q8_filtered(
+                        q8, q_scale, self._corpus_dev, self._row_scale_dev,
+                        mask, min(depth, self._n_valid))
                 return mips_topk_packed_q8(q8, q_scale, self._corpus_dev,
                                            self._row_scale_dev,
                                            min(depth, self._n_valid))
+            if mask is not None:
+                return sharded_mips_topk_q8_filtered(
+                    mesh, jnp.asarray(q8), jnp.asarray(q_scale),
+                    self._corpus_dev, self._row_scale_dev, mask,
+                    self._n_valid, depth)
             return sharded_mips_topk_q8(
                 mesh, jnp.asarray(q8), jnp.asarray(q_scale),
                 self._corpus_dev, self._row_scale_dev, self._n_valid, depth)
@@ -164,8 +177,14 @@ class DenseFlatIndex:
         else:
             q = jnp.asarray(chunk_f32, dtype=self.dtype)
         if mesh is None:
+            if mask is not None:
+                return mips_topk_packed_filtered(q, self._corpus_dev, mask,
+                                                 min(depth, self._n_valid))
             return mips_topk_packed(q, self._corpus_dev,
                                     min(depth, self._n_valid))
+        if mask is not None:
+            return sharded_mips_topk_filtered(mesh, q, self._corpus_dev,
+                                              mask, self._n_valid, depth)
         return sharded_mips_topk(mesh, q, self._corpus_dev,
                                  self._n_valid, depth)
 
@@ -176,16 +195,23 @@ class DenseFlatIndex:
         return unpack_topk(np.asarray(out))
 
     def search(
-        self, q_reps: np.ndarray, depth: int, mesh=None
+        self, q_reps: np.ndarray, depth: int, mesh=None, doc_filter=None
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Exact top-``depth`` MIPS. Returns (scores [B,k], indices [B,k])."""
+        """Exact top-``depth`` MIPS. Returns (scores [B,k], indices [B,k]).
+
+        ``doc_filter`` (an ``index.filter.DocFilter``) restricts scoring to
+        allowed rows; excluded rows come back as score ``-inf`` (use
+        ``search_ids``, which drops them, for the ragged-row contract)."""
         self._materialize(mesh)
         q = np.asarray(q_reps, dtype=np.float32)
-        return self._resolve_chunk(self._dispatch_chunk(q, depth, mesh))
+        mask = None if doc_filter is None else doc_filter.device_mask(
+            self._corpus_dev.shape[0], mesh)
+        return self._resolve_chunk(self._dispatch_chunk(q, depth, mesh,
+                                                        mask=mask))
 
     def batch_search(
         self, q_reps: np.ndarray, depth: int, batch_size: int = 128,
-        mesh=None, lookahead: int = 3,
+        mesh=None, lookahead: int = 3, doc_filter=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Chunked search with a fixed device batch (stable compiled shapes).
 
@@ -204,6 +230,8 @@ class DenseFlatIndex:
         q_reps = np.asarray(q_reps, dtype=np.float32)
         n = q_reps.shape[0]
         all_scores, all_idx = [], []
+        mask = None if doc_filter is None else doc_filter.device_mask(
+            self._corpus_dev.shape[0], mesh)
 
         def chunks():
             for start in range(0, n, batch_size):
@@ -217,7 +245,7 @@ class DenseFlatIndex:
 
         def dispatch(item):
             chunk, valid = item
-            return self._dispatch_chunk(chunk, depth, mesh), valid
+            return self._dispatch_chunk(chunk, depth, mesh, mask=mask), valid
 
         def resolve(handle):
             out, valid = handle
@@ -231,11 +259,17 @@ class DenseFlatIndex:
         return np.concatenate(all_scores), np.concatenate(all_idx)
 
     def search_ids(
-        self, q_reps: np.ndarray, depth: int, batch_size: int = 128, mesh=None
+        self, q_reps: np.ndarray, depth: int, batch_size: int = 128,
+        mesh=None, doc_filter=None
     ) -> Tuple[np.ndarray, List[List[str]]]:
         """Search and map row indices to lookup ids (reference search_queries,
-        /root/reference/src/search.py:55-63)."""
-        scores, idx = self.batch_search(q_reps, depth, batch_size, mesh=mesh)
+        /root/reference/src/search.py:55-63).
+
+        With ``doc_filter``, rows become RAGGED lists when fewer than
+        ``depth`` allowed docs exist (-inf sentinel rows are dropped) —
+        the same contract as the sparse engine's zero-score rule."""
+        scores, idx = self.batch_search(q_reps, depth, batch_size, mesh=mesh,
+                                        doc_filter=doc_filter)
         # cache keyed on the list OBJECT (invalidated explicitly in add()):
         # a same-length replacement of the public ``lookup`` must not serve
         # stale ids. ``lookup`` is immutable after the first search — mutate
@@ -245,6 +279,11 @@ class DenseFlatIndex:
             self._lookup_arr = np.asarray(self.lookup)
             self._lookup_arr_src = self.lookup
         ids = self._lookup_arr[idx].tolist()
+        if doc_filter is not None:
+            keep = scores > -np.inf
+            scores = [s[k].tolist() for s, k in zip(scores, keep)]
+            ids = [[d for d, kk in zip(row, k) if kk]
+                   for row, k in zip(ids, keep)]
         return scores, ids
 
     # ---- persistence -----------------------------------------------------------

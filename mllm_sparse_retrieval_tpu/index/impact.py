@@ -744,6 +744,7 @@ class ImpactIndex:
         mesh=None,
         backend: str = "auto",
         wire: str = "i32",
+        doc_filter=None,
     ) -> Tuple[List[List[float]], List[List[str]]]:
         """Batch impact search. Returns (score lists, ranked doc-id lists),
         one (possibly short) ragged row per query.
@@ -762,7 +763,8 @@ class ImpactIndex:
         """
         q_idx, q_w = self.encode_queries(query_vectors)
         return self.search_encoded(q_idx, q_w, depth, mesh=mesh,
-                                   backend=backend, wire=wire)
+                                   backend=backend, wire=wire,
+                                   doc_filter=doc_filter)
 
     def explain(self, terms: SparseVector, doc_id: str) -> Dict:
         """Score breakdown for one (query, doc) pair — the Lucene
@@ -815,6 +817,7 @@ class ImpactIndex:
         mesh=None,
         backend: str = "auto",
         wire: str = "i32",
+        doc_filter=None,
     ) -> Tuple[List[List[float]], List[List[str]]]:
         """Search pre-encoded padded query arrays (see ``encode_queries``).
 
@@ -830,7 +833,8 @@ class ImpactIndex:
         """
         from mllm_sparse_retrieval_tpu.ops.stream import pipeline_dispatch
 
-        plan = self._search_plan(mesh, backend, depth, wire)
+        plan = self._search_plan(mesh, backend, depth, wire,
+                                 doc_filter=doc_filter)
         self._check_wire(plan, q_w)
         out_s: List[List[float]] = []
         out_i: List[List[str]] = []
@@ -922,8 +926,12 @@ class ImpactIndex:
 
     # ---- search internals (plan / dispatch / resolve) ------------------------
     def _search_plan(self, mesh, backend: str, depth: int,
-                     wire: str = "i32") -> dict:
+                     wire: str = "i32", doc_filter=None) -> dict:
         """Resolve backend + device matrix + chunk budget once per search."""
+        if doc_filter is not None and wire != "i32":
+            raise ValueError("doc_filter requires the i32 wire (excluded "
+                             "docs score -inf, which the compact48 24-bit "
+                             "score lane cannot carry)")
         if backend == "auto":
             backend = "taat" if jax.default_backend() == "tpu" else "matmul"
         if backend not in ("taat", "matmul"):
@@ -969,8 +977,11 @@ class ImpactIndex:
         # (sort operands + iota + masked copies); 6x leaves headroom
         per_query = (n_pad // shards) * 4 * 6
         max_b = max(8, int(score_budget // max(per_query, 1)) // 8 * 8)
+        mask_dev = None
+        if doc_filter is not None:
+            mask_dev = doc_filter.device_mask(n_pad, mesh)
         return dict(backend=backend, dev=dev, mesh=mesh, max_b=max_b,
-                    k=min(depth, self._n_valid), wire=wire)
+                    k=min(depth, self._n_valid), wire=wire, mask=mask_dev)
 
     def _check_wire(self, plan, q_w) -> None:
         """compact48 wire preconditions on the query side: integer weights
@@ -1038,6 +1049,7 @@ class ImpactIndex:
         upload with the previous chunk's compute."""
         backend, dev, mesh, k = (plan["backend"], plan["dev"], plan["mesh"],
                                  plan["k"])
+        mask = plan.get("mask")
         if backend == "taat":
             from mllm_sparse_retrieval_tpu.ops.impact_kernel import QUERY_TILE
             b = q_idx.shape[0]
@@ -1053,10 +1065,16 @@ class ImpactIndex:
                     q_idx, q_w = compact
                 q_idx = jax.device_put(q_idx)
                 q_w = jax.device_put(q_w)
+                if mask is not None:
+                    return _taat_topk_filtered(dev, q_idx, q_w, mask,
+                                               self._n_valid, k)
                 fn = _taat_topk48 if plan["wire"] == "compact48" \
                     else _taat_topk
                 return fn(dev, q_idx, q_w, self._n_valid, k)
             q_idx, q_w = (replicated(mesh, q_idx), replicated(mesh, q_w))
+            if mask is not None:
+                return _sharded_taat_topk_filtered(mesh, dev, q_idx, q_w,
+                                                   mask, self._n_valid, k)
             return _sharded_taat_topk(mesh, dev, q_idx, q_w,
                                       self._n_valid, k)
         if mesh is None:
@@ -1065,10 +1083,16 @@ class ImpactIndex:
                 q_idx, q_w = compact
             q_idx = jax.device_put(q_idx)
             q_w = jax.device_put(q_w)
+            if mask is not None:
+                return _impact_topk_filtered(dev, q_idx, q_w, mask,
+                                             self._n_valid, k)
             fn = _impact_topk48 if plan["wire"] == "compact48" \
                 else _impact_topk
             return fn(dev, q_idx, q_w, self._n_valid, k)
         q_idx, q_w = (replicated(mesh, q_idx), replicated(mesh, q_w))
+        if mask is not None:
+            return _sharded_impact_topk_filtered(mesh, dev, q_idx, q_w, mask,
+                                                 self._n_valid, k)
         return _sharded_impact_topk(mesh, dev, q_idx, q_w, self._n_valid, k)
 
     def _resolve_encoded(self, packed_dev, b, wire: str = "i32"
@@ -1183,9 +1207,11 @@ class ImpactIndex:
 # Jitted device programs live in ops/score_programs (a stable leaf module:
 # line shifts HERE must not re-key the minutes-long Pallas compiles there).
 from mllm_sparse_retrieval_tpu.ops.score_programs import (  # noqa: E402
-    _impact_topk, _impact_topk48, _masked_topk, _pack_results, _query_table,
-    _scatter_block, _scores_from_matrix, _sharded_impact_topk,
-    _sharded_merge_topk, _sharded_taat_topk, _sharded_topk_fn, _taat_scores,
-    _taat_topk, _taat_topk48, _unpack_results)
+    _impact_topk, _impact_topk48, _impact_topk_filtered, _masked_topk,
+    _pack_results, _query_table, _scatter_block, _scores_from_matrix,
+    _sharded_impact_topk, _sharded_impact_topk_filtered,
+    _sharded_merge_topk, _sharded_taat_topk, _sharded_taat_topk_filtered,
+    _sharded_topk_fn, _taat_scores, _taat_topk, _taat_topk48,
+    _taat_topk_filtered, _unpack_results)
 from mllm_sparse_retrieval_tpu.ops.packing import (  # noqa: E402
     unpack_topk48 as _unpack_results48)

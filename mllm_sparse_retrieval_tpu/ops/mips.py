@@ -175,3 +175,91 @@ def sharded_mips_topk(
     k, k_local = _sharded_statics(mesh, corpus_sharded.shape[0], n_valid, k)
     fn = _sharded_mips_fn(mesh, n_valid, k, k_local, False)
     return fn(queries, corpus_sharded)
+
+
+# ---- doc-filter variants (round 7) -------------------------------------------
+# Appended after the existing programs (warm-cache rule, see
+# ops/score_programs.py's compact48 note). The filter is a [N] bool
+# operand: excluded rows score -inf before top_k; DenseFlatIndex's
+# filtered resolve drops the sentinel rows (rows become ragged when fewer
+# than k allowed docs exist).
+
+
+def _row_filtered(scores, mask):
+    return jnp.where(mask[None, :], scores, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def mips_topk_packed_filtered(queries: jax.Array, corpus: jax.Array,
+                              mask: jax.Array, k: int) -> jax.Array:
+    """`mips_topk_packed` restricted to mask-allowed rows."""
+    scores = jnp.dot(
+        queries, corpus.T, preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST)
+    return pack_topk(*lax.top_k(_row_filtered(scores, mask),
+                                min(k, corpus.shape[0])))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def mips_topk_packed_q8_filtered(q8, q_scale, corpus8, row_scale,
+                                 mask, k: int) -> jax.Array:
+    """`mips_topk_packed_q8` restricted to mask-allowed rows."""
+    scores = _row_filtered(_q8_scores(q8, q_scale, corpus8, row_scale), mask)
+    return pack_topk(*lax.top_k(scores, min(k, corpus8.shape[0])))
+
+
+def _local_then_global_topk_filtered(queries, corpus_shard, mask_shard,
+                                     n_valid, k, k_local):
+    shard_idx = lax.axis_index(DATA_AXIS)
+    base = shard_idx * corpus_shard.shape[0]
+    scores = jnp.dot(queries, corpus_shard.T,
+                     preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+    return _mask_merge_topk(_row_filtered(scores, mask_shard), base,
+                            n_valid, k, k_local)
+
+
+def _local_then_global_topk_q8_filtered(q8, q_scale, corpus8_shard,
+                                        row_scale_shard, mask_shard,
+                                        n_valid, k, k_local):
+    shard_idx = lax.axis_index(DATA_AXIS)
+    base = shard_idx * corpus8_shard.shape[0]
+    scores = _q8_scores(q8, q_scale, corpus8_shard, row_scale_shard)
+    return _mask_merge_topk(_row_filtered(scores, mask_shard), base,
+                            n_valid, k, k_local)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_mips_fn_filtered(mesh: Mesh, n_valid: int, k: int,
+                              k_local: int, q8: bool):
+    local = _local_then_global_topk_q8_filtered if q8 \
+        else _local_then_global_topk_filtered
+    in_specs = (P(None, None), P(None), P(DATA_AXIS, None), P(DATA_AXIS),
+                P(DATA_AXIS)) if q8 else \
+        (P(None, None), P(DATA_AXIS, None), P(DATA_AXIS))
+    fn = shard_map(
+        functools.partial(local, n_valid=n_valid, k=k, k_local=k_local),
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_mips_topk_filtered(mesh, queries, corpus_sharded, mask_sharded,
+                               n_valid, k):
+    """`sharded_mips_topk` restricted to mask-allowed rows (mask row-sharded
+    like the corpus)."""
+    k, k_local = _sharded_statics(mesh, corpus_sharded.shape[0], n_valid, k)
+    fn = _sharded_mips_fn_filtered(mesh, n_valid, k, k_local, False)
+    return fn(queries, corpus_sharded, mask_sharded)
+
+
+def sharded_mips_topk_q8_filtered(mesh, q8, q_scale, corpus8_sharded,
+                                  row_scale_sharded, mask_sharded,
+                                  n_valid, k):
+    """`sharded_mips_topk_q8` restricted to mask-allowed rows."""
+    k, k_local = _sharded_statics(mesh, corpus8_sharded.shape[0], n_valid, k)
+    fn = _sharded_mips_fn_filtered(mesh, n_valid, k, k_local, True)
+    return fn(q8, q_scale, corpus8_sharded, row_scale_sharded, mask_sharded)

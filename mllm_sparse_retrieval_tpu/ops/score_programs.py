@@ -219,3 +219,79 @@ def _taat_topk48(matrix, q_idx, q_w, n_valid, k):
     q_w = q_w.astype(jnp.float32)
     return _pack_results48(*_masked_topk(
         _taat_scores(matrix, q_idx, q_w), n_valid, k))
+
+
+# ---- doc-filter variants (round 7) -------------------------------------------
+# Appended after the existing programs (same rule as the compact48 block:
+# keep the warm programs' op locations stable). The filter is a [N_pad]
+# bool operand; excluded docs score -inf before top_k, so they are never
+# returned (the resolve paths drop non-positive scores). i32 wire only —
+# the compact48 score lane is 24-bit non-negative and cannot carry the
+# sentinel.
+
+
+def _filtered(scores, mask):
+    return jnp.where(mask[None, :], scores, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "k"))
+def _impact_topk_filtered(matrix, q_idx, q_w, mask, n_valid, k):
+    """`_impact_topk` restricted to mask-allowed doc columns."""
+    q_idx = q_idx.astype(jnp.int32)
+    q_w = q_w.astype(jnp.float32)
+    return _pack_results(*_masked_topk(
+        _filtered(_scores_from_matrix(matrix, q_idx, q_w), mask),
+        n_valid, k))
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "k"))
+def _taat_topk_filtered(matrix, q_idx, q_w, mask, n_valid, k):
+    """`_taat_topk` restricted to mask-allowed doc columns."""
+    q_idx = q_idx.astype(jnp.int32)
+    q_w = q_w.astype(jnp.float32)
+    return _pack_results(*_masked_topk(
+        _filtered(_taat_scores(matrix, q_idx, q_w), mask), n_valid, k))
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_topk_fn_filtered(mesh, shard_cols, n_valid, k, backend):
+    """Filtered counterpart of `_sharded_topk_fn`: the mask shards over the
+    data axis exactly like the doc columns, so each shard filters its own
+    block before the local top-k + ICI merge."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    scores_fn, query_ndims = _SHARDED_SCORERS[backend]
+    kernel_layout = backend != "matmul"
+
+    def local_fn(m, *rest):
+        *query_args, mask = rest
+        base = lax.axis_index(DATA_AXIS) * shard_cols
+        local = m[0] if kernel_layout else m
+        scores = _filtered(scores_fn(local, *query_args), mask)
+        return _pack_results(*_sharded_merge_topk(
+            scores, base, shard_cols, n_valid, k))
+
+    query_specs = tuple(P(*(None,) * nd) for nd in query_ndims)
+    matrix_spec = P(DATA_AXIS, None, None, None) if kernel_layout \
+        else P(None, DATA_AXIS)
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(matrix_spec,) + query_specs + (P(DATA_AXIS),),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _sharded_impact_topk_filtered(mesh, matrix, q_idx, q_w, mask,
+                                  n_valid, k):
+    shard_cols = matrix.shape[1] // mesh.shape[DATA_AXIS]
+    fn = _sharded_topk_fn_filtered(mesh, shard_cols, n_valid, k, "matmul")
+    return fn(matrix, q_idx, q_w, mask)
+
+
+def _sharded_taat_topk_filtered(mesh, matrix, q_idx, q_w, mask, n_valid, k):
+    shard_cols = matrix.shape[2] * matrix.shape[3]
+    fn = _sharded_topk_fn_filtered(mesh, shard_cols, n_valid, k, "taat")
+    return fn(matrix, q_idx, q_w, mask)
