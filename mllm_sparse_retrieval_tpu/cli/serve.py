@@ -106,6 +106,10 @@ def main(argv=None):
                              "string-keyed corpus can never bootstrap over "
                              "POST /documents). Ignored once docs exist: "
                              "their keys are the truth")
+    parser.add_argument("--filters", default=None,
+                        help="JSON file of named doc filters to register at "
+                             "boot: {\"tenant-a\": [doc ids...], ...} "
+                             "(static indexes; more via POST /filters)")
     parser.add_argument("--no-warm", action="store_true",
                         help="skip the per-depth warm-up batch")
     parser.add_argument("--verbose", action="store_true",
@@ -227,13 +231,20 @@ def main(argv=None):
         logger.info("query encoder: family=%s max_text_len=%d",
                     args.family, encoder.max_text_len)
 
+    filters = None
+    if args.filters:
+        import json
+        with open(args.filters) as f:
+            filters = json.load(f)
+        logger.info("registering %d doc filters from %s", len(filters),
+                    args.filters)
     service = RetrievalService(
         dense_index, impact_index, alpha=args.alpha,
         depth_levels=[int(d) for d in args.depths.split(",")],
         default_depth=args.default_depth, backend=args.impact_backend,
         wire=args.impact_wire, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, query_encoder=encoder,
-        live_state_dir=args.live_state)
+        live_state_dir=args.live_state, filters=filters)
     if not args.no_warm:
         _warm(service, logger)
 

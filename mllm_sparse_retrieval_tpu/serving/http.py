@@ -29,6 +29,13 @@ while serving:
   state (segments + tombstones) to the given directory or the server's
   configured ``--live-state`` dir; a restart resumes from it.
 
+Doc filters (tenant scoping, static indexes only — index/filter.py):
+
+- ``POST /filters`` body ``{"name": "tenant-a", "ids": [...],
+  "mode": "allow"|"deny"}`` registers (or replaces) a named filter;
+  ``GET /filters`` lists names. A query object may then carry
+  ``"filter": "tenant-a"`` to search only its allowed docs.
+
 JSON object keys are always strings; for int-keyed impact indexes term keys
 are coerced back to token ids here.
 """
@@ -91,6 +98,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, {"ok": True, "mode": svc.mode})
         elif self.path == "/stats":
             self._reply(200, svc.stats())
+        elif self.path == "/filters":
+            self._reply(200, {"filters": svc.filter_names})
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -98,6 +107,20 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path in ("/documents", "/documents/delete", "/compact",
                          "/save"):
             self._mutate()
+            return
+        if self.path == "/filters":
+            svc: RetrievalService = self.server.service
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                n = svc.register_filter(body["name"],
+                                        [str(i) for i in body["ids"]],
+                                        body.get("mode", "allow"))
+                self._reply(200, {"name": str(body["name"]),
+                                  "allowed": n})
+            except (ValueError, KeyError, TypeError,
+                    json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
             return
         if self.path != "/search":
             self._reply(404, {"error": f"unknown path {self.path}"})
@@ -115,7 +138,8 @@ class _Handler(BaseHTTPRequestHandler):
                     dense=q.get("dense"),
                     depth=q.get("depth"),
                     text=q.get("text"),
-                    image=_decode_image(q.get("image_b64")))
+                    image=_decode_image(q.get("image_b64")),
+                    filter=q.get("filter"))
                 for q in queries
             ]
         except (ValueError, KeyError, TypeError, OSError,

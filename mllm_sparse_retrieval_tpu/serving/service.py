@@ -54,6 +54,7 @@ class QueryRequest:
     depth: int
     text: Optional[str] = None
     image: Optional[np.ndarray] = None   # raw [H, W, 3] float in [0, 1]
+    filter: Optional[str] = None         # registered doc-filter name
 
 
 class RetrievalService:
@@ -83,6 +84,7 @@ class RetrievalService:
         device_batch: Optional[int] = None,
         query_encoder=None,
         live_state_dir: Optional[str] = None,
+        filters: Optional[Mapping] = None,
     ):
         if dense_index is None and impact_index is None:
             raise ValueError("need at least one of dense_index/impact_index")
@@ -149,12 +151,18 @@ class RetrievalService:
             self._fused = FusedHybridSearcher(
                 dense_index, impact_index, alpha=alpha, mesh=mesh,
                 backend=backend)
-        elif self.mode == "hybrid":
-            # live hybrid: the sparse engine searches on this side thread
-            # so the two engines' device work + fetches overlap per batch
+        if self.mode == "hybrid":
+            # host-fused hybrid paths (live indexes; filtered requests) run
+            # the sparse engine on this side thread so the two engines'
+            # device work + fetches overlap per batch
             from concurrent.futures import ThreadPoolExecutor
             self._engine_pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="live-hybrid-sparse")
+                max_workers=1, thread_name_prefix="hybrid-sparse")
+        # named doc filters (tenant scoping, index/filter.py): one DocFilter
+        # per engine per name — the engines' doc orders differ
+        self._filters: Dict[str, Dict[str, object]] = {}
+        for name, ids in (filters or {}).items():
+            self.register_filter(name, ids)
         self._batcher = MicroBatcher(self._run_batch, max_batch=max_batch,
                                      max_wait_ms=max_wait_ms,
                                      name="retrieval-batcher")
@@ -164,19 +172,21 @@ class RetrievalService:
     def search_async(self, terms: Optional[TermsLike] = None,
                      dense=None, depth: Optional[int] = None,
                      text: Optional[str] = None,
-                     image=None) -> Future:
+                     image=None, filter: Optional[str] = None) -> Future:
         return self._batcher.submit(self._validate(terms, dense, depth,
-                                                   text, image))
+                                                   text, image, filter))
 
     def search(self, terms: Optional[TermsLike] = None, dense=None,
                depth: Optional[int] = None, text: Optional[str] = None,
-               image=None, timeout: Optional[float] = 60.0):
+               image=None, filter: Optional[str] = None,
+               timeout: Optional[float] = 60.0):
         """Blocking single-query search -> list of ``(doc_id, score)``,
         score-descending, at most ``depth`` entries. Give ``text`` or
         ``image`` (live model encode; needs a ``query_encoder``) or
-        explicit ``terms``/``dense``."""
-        return self.search_async(terms, dense, depth, text,
-                                 image).result(timeout)
+        explicit ``terms``/``dense``. ``filter`` names a registered doc
+        filter (``register_filter``) to scope the search."""
+        return self.search_async(terms, dense, depth, text, image,
+                                 filter).result(timeout)
 
     def stats(self) -> Dict[str, float]:
         s = self._batcher.stats()
@@ -197,6 +207,31 @@ class RetrievalService:
         for idx in (self.dense_index, self.impact_index):
             if idx is not None and hasattr(idx, "close"):
                 idx.close()       # stops a live index's background compactor
+
+    # ---- named doc filters (tenant scoping) -----------------------------------
+
+    def register_filter(self, name: str, ids, mode: str = "allow") -> int:
+        """Register (or replace) a named doc filter; requests carrying
+        ``filter=name`` search only the allowed docs. Static indexes only —
+        a live corpus would silently invalidate the mask on every add.
+        Returns the allowed-doc count (per the first configured engine)."""
+        from mllm_sparse_retrieval_tpu.index.filter import DocFilter
+        if self.live:
+            raise ValueError("doc filters require static indexes (a live "
+                             "corpus invalidates the mask on every add)")
+        entry: Dict[str, object] = {}
+        if self.dense_index is not None:
+            entry["dense"] = DocFilter.from_ids(self.dense_index.lookup,
+                                                ids, mode)
+        if self.impact_index is not None:
+            entry["sparse"] = DocFilter.from_ids(self.impact_index.doc_ids,
+                                                 ids, mode)
+        self._filters[str(name)] = entry
+        return next(iter(entry.values())).n_allowed
+
+    @property
+    def filter_names(self):
+        return sorted(self._filters)
 
     # ---- live updates (any thread; the live indexes lock internally) ---------
 
@@ -295,11 +330,16 @@ class RetrievalService:
     # ---- validation (caller thread) -----------------------------------------
 
     def _validate(self, terms, dense, depth, text=None,
-                  image=None) -> QueryRequest:
+                  image=None, filter=None) -> QueryRequest:
         depth = self.default_depth if depth is None else int(depth)
         if depth < 1 or depth > self.depth_levels[-1]:
             raise ValueError(f"depth must be in [1, {self.depth_levels[-1]}],"
                              f" got {depth}")
+        if filter is not None:
+            filter = str(filter)
+            if filter not in self._filters:
+                raise ValueError(f"unknown filter {filter!r}; registered: "
+                                 f"{self.filter_names}")
         if text is not None or image is not None:
             if self.query_encoder is None:
                 raise ValueError(
@@ -313,11 +353,13 @@ class RetrievalService:
             if text is not None:
                 if not isinstance(text, str) or not text.strip():
                     raise ValueError("text must be a non-empty string")
-                return QueryRequest(None, None, depth, text)
+                return QueryRequest(None, None, depth, text,
+                                    filter=filter)
             img = np.asarray(image, np.float32)
             if img.ndim != 3 or img.shape[2] != 3:
                 raise ValueError(f"image must be [H, W, 3], got {img.shape}")
-            return QueryRequest(None, None, depth, None, img)
+            return QueryRequest(None, None, depth, None, img,
+                                filter=filter)
         t: Optional[Dict[object, float]] = None
         d: Optional[np.ndarray] = None
         if self.mode in ("sparse", "hybrid"):
@@ -336,7 +378,7 @@ class RetrievalService:
             dim = self.dense_index.dim
             if dim is not None and d.shape[0] != dim:
                 raise ValueError(f"dense dim {d.shape[0]} != index dim {dim}")
-        return QueryRequest(t, d, depth)
+        return QueryRequest(t, d, depth, filter=filter)
 
     # ---- batch execution (dispatcher thread) --------------------------------
 
@@ -393,14 +435,31 @@ class RetrievalService:
 
     def _run_batch(self, reqs: List[QueryRequest]):
         self._encode_media_requests(reqs)
+        if any(r.filter is not None for r in reqs):
+            # sub-batch per filter name: the mask is one program operand,
+            # so each distinct filter in a micro-batch is one device call
+            groups: Dict[Optional[str], List[int]] = {}
+            for i, r in enumerate(reqs):
+                groups.setdefault(r.filter, []).append(i)
+            out: List = [None] * len(reqs)
+            for name, members in groups.items():
+                sub = [reqs[i] for i in members]
+                for i, row in zip(members, self._run_uniform(sub, name)):
+                    out[i] = row
+            return out
+        return self._run_uniform(reqs, None)
+
+    def _run_uniform(self, reqs: List[QueryRequest],
+                     filter_name: Optional[str]):
+        flt = self._filters[filter_name] if filter_name is not None else None
         depth = self._served_depth(reqs)
         n = len(reqs)
         if self.mode == "dense":
-            scores, ids = self._dense_rows(reqs, depth)
+            scores, ids = self._dense_rows(reqs, depth, flt)
         elif self.mode == "sparse":
-            scores, ids = self._sparse_rows(reqs, depth)
-        elif self.live:
-            scores, ids = self._live_hybrid_rows(reqs, depth)
+            scores, ids = self._sparse_rows(reqs, depth, flt)
+        elif self.live or flt is not None:
+            scores, ids = self._hybrid_rows_host(reqs, depth, flt)
         else:
             q_reps = self._padded_dense(reqs)
             q_idx, q_w = self.impact_index.encode_queries(
@@ -422,17 +481,20 @@ class RetrievalService:
             q = np.concatenate([q, np.zeros((pad, q.shape[1]), q.dtype)])
         return q
 
-    def _dense_rows(self, reqs, depth):
+    def _dense_rows(self, reqs, depth, flt=None):
         if self._dense_live:
             return self.dense_index.search_rows(
                 self._padded_dense(reqs), depth,
                 batch_size=self.device_batch, mesh=self.mesh)
         scores, ids = self.dense_index.search_ids(
             self._padded_dense(reqs), depth,
-            batch_size=self.device_batch, mesh=self.mesh)
+            batch_size=self.device_batch, mesh=self.mesh,
+            doc_filter=None if flt is None else flt["dense"])
+        if flt is not None:
+            return scores, ids          # already ragged lists
         return scores.tolist(), ids
 
-    def _sparse_rows(self, reqs, depth):
+    def _sparse_rows(self, reqs, depth, flt=None):
         if self._impact_live:
             return self.impact_index.search_rows(
                 self._padded_terms(reqs), depth, mesh=self.mesh,
@@ -441,14 +503,17 @@ class RetrievalService:
             self._padded_terms(reqs))
         return self.impact_index.search_encoded(
             q_idx, q_w, depth, mesh=self.mesh, backend=self.backend,
-            wire=self.wire)
+            wire="i32" if flt is not None else self.wire,
+            doc_filter=None if flt is None else flt["sparse"])
 
-    def _live_hybrid_rows(self, reqs, depth):
-        """Hybrid over live engines: candidate rows from each, fused with
+    def _hybrid_rows_host(self, reqs, depth, flt=None):
+        """Host-fused hybrid: candidate rows from each engine, fused with
         ``search.fusion.fuse`` itself (dict-shaped runs take its C fast
         path, hostops.fuse_runs — no re-implemented rule to drift, no
-        per-doc Python loop on the dispatcher thread). A doc in one engine
-        only contributes 0 from the other — the asymmetric-run rule.
+        per-doc Python loop on the dispatcher thread). Used for live
+        engines and for filtered requests (the device-fused path's doc
+        permutation has no filter operand). A doc in one engine only
+        contributes 0 from the other — the asymmetric-run rule.
 
         The sparse search runs on a side thread so both engines' device
         work and result fetches overlap instead of adding."""
@@ -458,11 +523,8 @@ class RetrievalService:
 
         cand = max(self.candidate_depth or depth, depth)
         sparse_fut = self._engine_pool.submit(
-            self.impact_index.search_rows, self._padded_terms(reqs), cand,
-            mesh=self.mesh, backend=self.backend, wire=self.wire)
-        d_s, d_i = self.dense_index.search_rows(
-            self._padded_dense(reqs), cand,
-            batch_size=self.device_batch, mesh=self.mesh)
+            lambda: self._sparse_rows(reqs, cand, flt))
+        d_s, d_i = self._dense_rows(reqs, cand, flt)
         s_s, s_i = sparse_fut.result()
         runs = []
         for rows_s, rows_i in ((d_s, d_i), (s_s, s_i)):
