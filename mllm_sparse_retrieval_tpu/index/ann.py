@@ -25,8 +25,10 @@ import numpy as np
 
 from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
 from mllm_sparse_retrieval_tpu.ops.ann import (ann_topk_packed,
+                                               ann_topk_packed_filtered,
                                                ip_projection,
-                                               sharded_ann_topk)
+                                               sharded_ann_topk,
+                                               sharded_ann_topk_filtered)
 from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -97,16 +99,28 @@ class DenseANNIndex(DenseFlatIndex):
         self._corpus_r_dev = None
 
     # ---- per-chunk program -------------------------------------------------------
-    def _dispatch_chunk(self, chunk_f32: np.ndarray, depth: int, mesh):
+    def _dispatch_chunk(self, chunk_f32: np.ndarray, depth: int, mesh,
+                        mask=None):
         k = min(depth, self._n_valid)
         q = jax.device_put(
             np.ascontiguousarray(np.asarray(chunk_f32, dtype=self.dtype))) \
             if mesh is None else jnp.asarray(chunk_f32, dtype=self.dtype)
         if mesh is None:
             c = max(min(self.candidates, self._n_valid), k)
+            if mask is not None:
+                # stage-1 masking: the candidate pool is drawn from allowed
+                # rows only, so selectivity never starves the rescore
+                return ann_topk_packed_filtered(
+                    q, self._corpus_dev, self._corpus_r_dev, self._proj_dev,
+                    mask, k, c, recall_target=self.recall_target)
             return ann_topk_packed(q, self._corpus_dev, self._corpus_r_dev,
                                    self._proj_dev, k, c,
                                    recall_target=self.recall_target)
+        if mask is not None:
+            return sharded_ann_topk_filtered(
+                mesh, q, self._corpus_dev, self._corpus_r_dev,
+                self._proj_dev, mask, self._n_valid, depth, self.candidates,
+                recall_target=self.recall_target)
         return sharded_ann_topk(mesh, q, self._corpus_dev,
                                 self._corpus_r_dev, self._proj_dev,
                                 self._n_valid, depth, self.candidates,

@@ -156,3 +156,85 @@ def sharded_ann_topk(
     fn = _sharded_ann_fn(mesh, n_valid, k, k_local, candidates,
                          float(recall_target))
     return fn(q, corpus_sharded, corpus_r_sharded, proj)
+
+
+# ---- doc-filter variants (round 7) -------------------------------------------
+# Appended (warm-cache rule). Masking happens on the STAGE-1 scores, so
+# the candidate pool itself is drawn from allowed rows only — filter
+# selectivity cannot starve the rescore pool below min(candidates,
+# n_allowed); the rescore re-mask keeps -inf on any padding stragglers.
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "candidates", "recall_target"))
+def ann_topk_packed_filtered(
+    q: jax.Array,
+    corpus: jax.Array,
+    corpus_r: jax.Array,
+    proj: jax.Array,
+    mask: jax.Array,        # [N] bool
+    k: int,
+    candidates: int,
+    recall_target: float = 0.95,
+) -> jax.Array:
+    """`ann_topk_packed` restricted to mask-allowed rows."""
+    q_r = jnp.dot(q, proj, preferred_element_type=jnp.float32)
+    s1 = jnp.dot(q_r, corpus_r.T, preferred_element_type=jnp.float32)
+    s1 = jnp.where(mask[None, :], s1, -jnp.inf)
+    _, c_idx = lax.approx_max_k(s1, candidates, recall_target=recall_target)
+    scores = _rescore_exact(q, corpus, c_idx)
+    scores = jnp.where(jnp.take(mask, c_idx), scores, -jnp.inf)
+    vals, pos = lax.top_k(scores, k)
+    return pack_topk(vals, jnp.take_along_axis(c_idx, pos, axis=1))
+
+
+def _ann_local_filtered(q, corpus_shard, corpus_r_shard, proj, mask_shard,
+                        *, n_valid, k, k_local, candidates, recall_target):
+    shard_rows = corpus_shard.shape[0]
+    base = lax.axis_index(DATA_AXIS) * shard_rows
+    q_r = jnp.dot(q, proj, preferred_element_type=jnp.float32)
+    s1 = jnp.dot(q_r, corpus_r_shard.T, preferred_element_type=jnp.float32)
+    row_ids = base + lax.broadcasted_iota(jnp.int32, (1, shard_rows), 1)
+    s1 = jnp.where((row_ids < n_valid) & mask_shard[None, :], s1, -jnp.inf)
+    _, c_idx = lax.approx_max_k(s1, candidates,
+                                recall_target=recall_target)
+    scores = _rescore_exact(q, corpus_shard, c_idx)
+    gidx = c_idx + base
+    allowed = jnp.take(mask_shard, c_idx) & (gidx < n_valid)
+    scores = jnp.where(allowed, scores, -jnp.inf)
+    local_vals, local_pos = lax.top_k(scores, k_local)
+    local_gidx = jnp.take_along_axis(gidx, local_pos, axis=1)
+    all_vals = lax.all_gather(local_vals, DATA_AXIS, axis=1, tiled=True)
+    all_gidx = lax.all_gather(local_gidx, DATA_AXIS, axis=1, tiled=True)
+    vals, pos = lax.top_k(all_vals, k)
+    return vals, jnp.take_along_axis(all_gidx, pos, axis=1)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_ann_fn_filtered(mesh: Mesh, n_valid: int, k: int, k_local: int,
+                             candidates: int, recall_target: float):
+    fn = shard_map(
+        functools.partial(_ann_local_filtered, n_valid=n_valid, k=k,
+                          k_local=k_local, candidates=candidates,
+                          recall_target=recall_target),
+        mesh=mesh,
+        in_specs=(P(None, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(None, None), P(DATA_AXIS)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_ann_topk_filtered(mesh, q, corpus_sharded, corpus_r_sharded,
+                              proj, mask_sharded, n_valid, k, candidates,
+                              recall_target=0.95):
+    """`sharded_ann_topk` restricted to mask-allowed rows (mask row-sharded
+    like the corpus; candidates apply per shard, drawn from allowed rows)."""
+    shard_rows = corpus_sharded.shape[0] // mesh.shape[DATA_AXIS]
+    k = min(k, n_valid)
+    k_local = min(k, shard_rows)
+    candidates = max(min(candidates, shard_rows), k_local)
+    fn = _sharded_ann_fn_filtered(mesh, n_valid, k, k_local, candidates,
+                                  float(recall_target))
+    return fn(q, corpus_sharded, corpus_r_sharded, proj, mask_sharded)

@@ -140,6 +140,32 @@ def test_dense_filter_int8_and_mesh(corpus):
     _tie_rows_equal(got_m, (np.asarray(ref_s).tolist(), ref_i))
 
 
+def test_ann_filter_matches_exact_subindex(corpus):
+    """ANN + filter: stage-1 masking draws the candidate pool from allowed
+    rows only, so at saturated candidates the result equals the exact
+    filtered search (same docs, f32-rounding-equal scores)."""
+    from mllm_sparse_retrieval_tpu.index import DenseANNIndex
+
+    _, _, reps, allowed, _, denses = corpus
+    ann = DenseANNIndex(rank=16, candidates=64)   # full rank (d=16)
+    ids = sorted(reps)
+    ann.add(np.stack([reps[i] for i in ids]), ids)
+    filt = DocFilter.from_ids(ann.lookup, allowed)
+    got = ann.search_ids(denses, 8, batch_size=4, doc_filter=filt)
+    sub = _dense({i: reps[i] for i in allowed})
+    ref_s, ref_i = sub.search_ids(denses, 8, batch_size=4)
+    _tie_rows_equal(got, (np.asarray(ref_s).tolist(), ref_i))
+    # mesh form
+    mesh = make_mesh()
+    got_m = ann.search_ids(denses, 8, batch_size=4, mesh=mesh,
+                           doc_filter=filt)
+    _tie_rows_equal(got_m, (np.asarray(ref_s).tolist(), ref_i))
+    # highly selective filter: fewer allowed docs than depth -> ragged
+    tiny = DocFilter.from_ids(ann.lookup, ids[:3])
+    _, rows = ann.search_ids(denses[:2], 8, doc_filter=tiny)
+    assert all(set(r) == set(ids[:3]) for r in rows)
+
+
 def test_doc_filter_validation_and_cache(corpus):
     ids, _, reps, _, _, _ = corpus
     with pytest.raises(ValueError, match="bool"):
