@@ -32,9 +32,11 @@ def main(argv=None):
     parser.add_argument("--learning-rate", type=float, default=5e-5)
     parser.add_argument("--num-epochs", type=int, default=5)
     parser.add_argument("--lr-schedule", default="linear",
-                        choices=["linear", "constant"],
+                        choices=["linear", "cosine", "constant"],
                         help="HF Trainer defaults to linear decay; the "
-                             "reference trains with it implicitly")
+                             "reference trains with it implicitly. cosine "
+                             "= warmup + cosine decay to 0 (beyond-"
+                             "reference recipe knob)")
     parser.add_argument("--tau", type=float, default=0.05)
     parser.add_argument("--lora-rank", type=int, default=8)
     parser.add_argument("--lora-alpha", type=float, default=16)

@@ -125,7 +125,9 @@ class TrainConfig:
     warmup_steps: int = 0
     # 'linear' reproduces HF Trainer's default lr_scheduler_type (decay to 0
     # over total_steps — the reference trains with it implicitly,
-    # src/train.py never overrides it); 'constant' holds learning_rate.
+    # src/train.py never overrides it); 'cosine' = warmup + cosine decay
+    # (the standard production recipe, beyond the reference); 'constant'
+    # holds learning_rate.
     lr_schedule: str = "constant"
     total_steps: int = 0                  # required for 'linear' decay
     # HF Trainer's implicit default (max_grad_norm=1.0) — the reference

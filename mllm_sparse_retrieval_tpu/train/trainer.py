@@ -180,6 +180,9 @@ class ContrastiveTrainer:
                     "loading pairs with LoRA adapters (QLoRA), matching "
                     "the reference's prepare_model_for_kbit_training")
 
+        if cfg.lr_schedule not in ("linear", "cosine", "constant"):
+            raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}: "
+                             "'linear', 'cosine', or 'constant'")
         if cfg.lr_schedule == "linear":
             # HF Trainer's default scheduler (the reference never overrides
             # it): optional linear warmup, then linear decay to 0.
@@ -195,6 +198,15 @@ class ContrastiveTrainer:
                     [cfg.warmup_steps])
             else:
                 schedule = decay
+        elif cfg.lr_schedule == "cosine":
+            # beyond the reference recipe: the standard production schedule
+            # (HF lr_scheduler_type='cosine'), warmup then cosine to 0
+            if cfg.total_steps <= 0:
+                raise ValueError("lr_schedule='cosine' needs total_steps")
+            schedule = optax.warmup_cosine_decay_schedule(
+                init_value=0.0, peak_value=cfg.learning_rate,
+                warmup_steps=cfg.warmup_steps,
+                decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1))
         else:
             schedule = cfg.learning_rate
             if cfg.warmup_steps > 0:

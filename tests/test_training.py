@@ -338,6 +338,30 @@ def test_linear_lr_schedule_decays_to_zero(tiny_setup):
                            TrainConfig(lr_schedule="linear"))
 
 
+def test_cosine_lr_schedule_learns_and_decays(tiny_setup):
+    """lr_schedule='cosine' (beyond-reference recipe knob): warmup + cosine
+    decay to ~0 by total_steps; training improves, then flattens."""
+    params, arch, tok, template, examples = tiny_setup
+    tcfg = TrainConfig(learning_rate=3e-3, tau=0.1, lr_schedule="cosine",
+                       warmup_steps=2, total_steps=10,
+                       shard_optimizer_state=False, lora_dropout=0.0)
+    adapters = lora_lib.init_lora(jax.random.PRNGKey(0), params, arch,
+                                  rank=4, alpha=8)
+    trainer = ContrastiveTrainer(params, arch, adapters, tcfg)
+    collate = make_collator(tok, template, arch)
+    batch = collate(examples)
+    losses = [trainer.train_on_batch(batch) for _ in range(12)]
+    assert losses[6] < losses[0]
+    assert abs(losses[-1] - losses[-2]) < 1e-4   # lr ~0 past total_steps
+
+    with pytest.raises(ValueError, match="total_steps"):
+        ContrastiveTrainer(params, arch, adapters,
+                           TrainConfig(lr_schedule="cosine"))
+    with pytest.raises(ValueError, match="lr_schedule"):
+        ContrastiveTrainer(params, arch, adapters,
+                           TrainConfig(lr_schedule="bogus"))
+
+
 def test_grad_accum_identical_micros_match_single_micro(tiny_setup):
     """grad_accum_steps=2 on a batch whose two microbatches are IDENTICAL
     must produce exactly the single-microbatch step: averaged grads of two
