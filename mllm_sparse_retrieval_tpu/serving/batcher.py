@@ -47,6 +47,13 @@ class MicroBatcher:
         self._lock = threading.Lock()
         self.n_batches = 0
         self.n_items = 0
+        self.n_errors = 0
+        # per-batch run_batch latency histogram (Prometheus-style
+        # cumulative buckets; only the dispatcher thread writes)
+        self.latency_bounds = (0.001, 0.0025, 0.005, 0.01, 0.025, 0.05,
+                               0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+        self._lat_counts = [0] * (len(self.latency_bounds) + 1)  # +inf
+        self._lat_sum = 0.0
         self._thread = threading.Thread(target=self._loop, name=name,
                                         daemon=True)
         self._thread.start()
@@ -69,8 +76,18 @@ class MicroBatcher:
 
     def stats(self) -> Dict[str, float]:
         b, i = self.n_batches, self.n_items
-        return {"batches": b, "items": i,
+        return {"batches": b, "items": i, "errors": self.n_errors,
                 "mean_batch_size": (i / b) if b else 0.0}
+
+    def latency_histogram(self):
+        """(bucket upper bounds, cumulative counts incl. +inf, sum_seconds,
+        count) of per-batch ``run_batch`` wall time — the /metrics shape."""
+        cum = []
+        total = 0
+        for c in self._lat_counts:
+            total += c
+            cum.append(total)
+        return self.latency_bounds, cum, self._lat_sum, total
 
     # ---- dispatcher thread --------------------------------------------------
 
@@ -100,6 +117,7 @@ class MicroBatcher:
 
     def _dispatch(self, batch) -> None:
         items = [item for item, _ in batch]
+        t0 = time.monotonic()
         try:
             results = self._run_batch(items)
             if len(results) != len(items):
@@ -107,9 +125,18 @@ class MicroBatcher:
                     f"run_batch returned {len(results)} results for "
                     f"{len(items)} items")
         except BaseException as e:  # noqa: BLE001 — fail the futures, keep serving
+            self.n_errors += 1
             for _, fut in batch:
                 fut.set_exception(e)
             return
+        dt = time.monotonic() - t0
+        slot = 0
+        for bound in self.latency_bounds:
+            if dt <= bound:
+                break
+            slot += 1
+        self._lat_counts[slot] += 1
+        self._lat_sum += dt
         self.n_batches += 1
         self.n_items += len(items)
         for (_, fut), res in zip(batch, results):

@@ -15,6 +15,8 @@ the device). Endpoints:
 - ``GET /healthz``  -> ``{"ok": true, "mode": ...}``
 - ``GET /stats``    -> micro-batcher counters (batches, items, mean size;
   plus live doc/segment counts when serving live indexes).
+- ``GET /metrics``  -> the same counters plus a per-batch latency
+  histogram in Prometheus text exposition format (scrape-ready).
 
 When the service wraps LIVE indexes (index/live.py) the corpus is mutable
 while serving:
@@ -76,6 +78,42 @@ def _normalize_terms(raw, int_keyed: bool):
     return {str(k): float(w) for k, w in pairs}
 
 
+def _prometheus_metrics(svc: RetrievalService) -> str:
+    """Prometheus text exposition (0.0.4) of the service counters: request
+    / batch / error totals, coalescing ratio, per-batch latency histogram,
+    and (live services) per-engine doc/segment gauges."""
+    s = svc.stats()
+    lines = [
+        "# TYPE retrieval_requests_total counter",
+        f"retrieval_requests_total {int(s['items'])}",
+        "# TYPE retrieval_batches_total counter",
+        f"retrieval_batches_total {int(s['batches'])}",
+        "# TYPE retrieval_batch_errors_total counter",
+        f"retrieval_batch_errors_total {int(s['errors'])}",
+        "# TYPE retrieval_mean_batch_size gauge",
+        f"retrieval_mean_batch_size {s['mean_batch_size']:.6g}",
+        f'retrieval_info{{mode="{svc.mode}",live="{int(svc.live)}"}} 1',
+    ]
+    for engine in ("dense", "sparse"):
+        if f"{engine}_docs" in s:
+            lines += [
+                f'retrieval_live_docs{{engine="{engine}"}} '
+                f'{int(s[engine + "_docs"])}',
+                f'retrieval_live_segments{{engine="{engine}"}} '
+                f'{int(s[engine + "_segments"])}',
+            ]
+    bounds, cum, lat_sum, count = svc._batcher.latency_histogram()
+    lines.append("# TYPE retrieval_batch_latency_seconds histogram")
+    for bound, c in zip(bounds, cum[:-1]):
+        lines.append(
+            f'retrieval_batch_latency_seconds_bucket{{le="{bound:g}"}} {c}')
+    lines.append(
+        f'retrieval_batch_latency_seconds_bucket{{le="+Inf"}} {cum[-1]}')
+    lines.append(f"retrieval_batch_latency_seconds_sum {lat_sum:.6f}")
+    lines.append(f"retrieval_batch_latency_seconds_count {count}")
+    return "\n".join(lines) + "\n"
+
+
 class _Handler(BaseHTTPRequestHandler):
     # the server instance carries .service (see make_server)
     protocol_version = "HTTP/1.1"
@@ -100,6 +138,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, svc.stats())
         elif self.path == "/filters":
             self._reply(200, {"filters": svc.filter_names})
+        elif self.path == "/metrics":
+            body = _prometheus_metrics(svc).encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 

@@ -138,6 +138,45 @@ def test_filters_rejected_on_live_service():
         svc.close()
 
 
+def test_http_prometheus_metrics(stack):
+    """GET /metrics: Prometheus text format with correct counters and a
+    monotone cumulative latency histogram."""
+    _, _, _, impact, _, _, rng = stack
+    svc = RetrievalService(impact_index=impact, depth_levels=(10,),
+                           backend="matmul", max_batch=8, max_wait_ms=5.0)
+    server = make_server(svc, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = "http://127.0.0.1:%d" % server.server_address[1]
+    try:
+        for _ in range(3):
+            svc.search(terms={1: 2.0}, depth=10)
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        metrics = {}
+        for line in text.splitlines():
+            if line.startswith("#") or not line:
+                continue
+            name, value = line.rsplit(" ", 1)
+            metrics[name] = float(value)
+        assert metrics["retrieval_requests_total"] == 3
+        assert metrics["retrieval_batch_errors_total"] == 0
+        assert metrics["retrieval_batches_total"] >= 1
+        assert metrics['retrieval_info{mode="sparse",live="0"}'] == 1
+        assert metrics["retrieval_batch_latency_seconds_count"] == \
+            metrics["retrieval_batches_total"]
+        buckets = [(k, v) for k, v in metrics.items()
+                   if k.startswith("retrieval_batch_latency_seconds_bucket")]
+        counts = [v for _, v in buckets]
+        assert counts == sorted(counts)                 # cumulative
+        assert counts[-1] == metrics["retrieval_batches_total"]
+        assert metrics["retrieval_batch_latency_seconds_sum"] > 0
+    finally:
+        server.shutdown()
+        server.server_close()
+        svc.close()
+
+
 def test_http_filters_roundtrip(stack):
     ids, sparse, _, impact, _, tenants, rng = stack
     svc = RetrievalService(impact_index=impact, depth_levels=(10,),
