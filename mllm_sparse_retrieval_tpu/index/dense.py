@@ -278,6 +278,11 @@ class DenseFlatIndex:
                 len(self._lookup_arr) != len(self.lookup):
             self._lookup_arr = np.asarray(self.lookup)
             self._lookup_arr_src = self.lookup
+        # -inf fill rows (filter allowing < depth docs) carry ARBITRARY
+        # indices on TPU (equal-score tie order) which can be mesh padding
+        # rows >= n_valid — clamp before the fancy index; the keep-mask
+        # below drops those entries
+        idx = np.minimum(idx, len(self._lookup_arr) - 1)
         ids = self._lookup_arr[idx].tolist()
         if doc_filter is not None:
             keep = scores > -np.inf

@@ -62,8 +62,10 @@ class DocFilter:
     def device_mask(self, n_padded: int, mesh=None):
         """The mask padded to ``n_padded`` (pad positions False) on device,
         replicated (single chip) or sharded over the mesh's data axis to
-        match the engines' doc sharding. Cached per (n_padded, mesh)."""
-        key = (int(n_padded), None if mesh is None else id(mesh))
+        match the engines' doc sharding. Cached per (n_padded, mesh) —
+        keyed on the Mesh OBJECT (hashable), not id(): a reused address
+        after GC must not alias a differently-sharded placement."""
+        key = (int(n_padded), mesh)
         dev = self._device.get(key)
         if dev is not None:
             return dev

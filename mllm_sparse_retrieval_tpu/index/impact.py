@@ -1115,6 +1115,11 @@ class ImpactIndex:
                 len(self._doc_ids_arr) != len(self.doc_ids):
             self._doc_ids_arr = np.asarray(self.doc_ids)
             self._doc_ids_arr_src = self.doc_ids
+        # -inf fill rows (doc_filter allowing < k docs) carry ARBITRARY
+        # column indices on TPU (equal-score tie order, CLAUDE.md), which
+        # can land in the padding columns >= n_valid — clamp before the
+        # fancy index; the score<=0 drop below removes those rows anyway
+        idx = np.minimum(idx, len(self._doc_ids_arr) - 1)
         ids_rows = self._doc_ids_arr[idx]       # [b, k] str array
         out_scores = scores.tolist()
         out_ids = ids_rows.tolist()

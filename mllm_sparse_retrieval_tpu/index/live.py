@@ -237,39 +237,60 @@ class _LiveBase:
             self._closed = True
         self._compact_wake.set()
 
-    def _swap(self, version: int, new: Tuple[_Segment, ...]) -> bool:
-        """Install ``new`` iff NOTHING mutated since ``version`` was read —
-        including tombstone-only deletes, which change no tuple identity
-        but must not be resurrected by a merge built from older sets
-        (compaction runs lock-free; a concurrent update simply wins and
-        the next compaction picks it up)."""
+    def _install_merge(self, head: Tuple[_Segment, ...],
+                       merged_over: Tuple[_Segment, ...],
+                       tombs: Sequence[Set[str]],
+                       merged: _Segment) -> bool:
+        """Install ``merged`` in place of ``merged_over`` iff the merge is
+        still valid: the snapshot's ``head + merged_over`` prefix is intact
+        (segment identity) and no tombstone landed on a MERGED segment
+        since its set ``tombs[i]`` was read. Everything else composes
+        without a retry — appended deltas stay as the tail, and deletes
+        that only touched ``head`` segments live on those segment objects,
+        untouched by the splice. (A bare global version check here
+        livelocks under sustained writes: any mutation anywhere would
+        abort a merge it cannot actually invalidate.)"""
+        n_head = len(head)
+        n_merged = len(merged_over)
         with self._lock:
-            if self._version == version:
-                self._segments = new
-                self._version += 1
-                return True
-        return False
+            cur = self._segments
+            if len(cur) < n_head + n_merged:
+                return False
+            if any(a is not b for a, b in zip(cur[:n_head], head)):
+                return False
+            window = cur[n_head:n_head + n_merged]
+            if any(a is not b for a, b in zip(window, merged_over)):
+                return False
+            if any(seg.tombstones is not t
+                   for seg, t in zip(window, tombs)):
+                return False
+            tail = cur[n_head + n_merged:]
+            mid = (merged,) if merged.id_set else ()
+            self._segments = head + mid + tail
+            self._version += 1
+            return True
 
     def compact(self) -> None:
-        """Merge ALL segments minus tombstones into one fresh base segment."""
+        """Merge ALL segments minus tombstones into one fresh base segment
+        (plus any deltas appended while the merge ran)."""
         while True:
-            segs, tombs, version = self._versioned_snapshot()
+            segs, tombs, _ = self._versioned_snapshot()
             if not segs:
                 return
             merged = self._merge_segments(segs, tombs)
-            if self._swap(version, (merged,) if merged.id_set else ()):
+            if self._install_merge((), segs, tombs, merged):
                 return
 
     def _compact_deltas(self) -> None:
         """Merge delta segments only, keeping the base (and its warm device
         matrices / compiled programs) untouched."""
         while True:
-            segs, tombs, version = self._versioned_snapshot()
+            segs, tombs, _ = self._versioned_snapshot()
             if len(segs) - 1 <= self.max_delta_segments:
                 return
             merged = self._merge_segments(segs[1:], tombs[1:])
-            if self._swap(version, (segs[0], merged)):
-                return
+            if self._install_merge(segs[:1], segs[1:], tombs[1:], merged):
+                continue      # appended-while-merging deltas may still exceed
 
     # -- persistence ------------------------------------------------------------
     # Layout: <dir>/live.json manifest + one artifact per segment (the

@@ -159,6 +159,10 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(body.get("ids"), (list, tuple)):
+                    # a bare string would iterate character-by-character —
+                    # a silently wrong tenant scope, not an error
+                    raise ValueError("'ids' must be a list")
                 n = svc.register_filter(body["name"],
                                         [str(i) for i in body["ids"]],
                                         body.get("mode", "allow"))

@@ -263,22 +263,53 @@ def test_live_impact_auto_compaction_bound():
 # ---------------------------------------------------------------------------
 
 def test_delete_racing_compaction_is_never_resurrected():
-    """A delete landing between a compaction's snapshot and its swap must
-    abort the swap (the merged segment was built from pre-delete
-    tombstones): version check, not tuple identity."""
+    """A delete landing between a compaction's snapshot and its install
+    must abort the install (the merged segment was built from pre-delete
+    tombstone sets): per-merged-segment tombstone identity check."""
     live = LiveDenseIndex(None, bucket_min=4)
     live.add_documents(np.eye(4, dtype=np.float32), list("abcd"))
 
-    segs, tombs, version = live._versioned_snapshot()
+    segs, tombs, _ = live._versioned_snapshot()
     merged = live._merge_segments(segs, tombs)          # pre-delete merge
     assert live.delete_documents(["b"]) == 1            # racing delete
-    assert not live._swap(version, (merged,)), \
+    assert not live._install_merge((), segs, tombs, merged), \
         "stale merge installed over a newer delete"
     # the retry loop (compact) sees the delete and converges correctly
     live.compact()
     _, ids = live.search_rows(np.eye(4, dtype=np.float32), 4)
     assert all("b" not in row for row in ids)
     assert live.num_docs == 3
+
+
+def test_unrelated_mutations_do_not_abort_delta_merge():
+    """The livelock fix: a delete on the BASE segment and an appended delta
+    must NOT invalidate a delta merge — the install splices around them
+    (base deletes live on the base segment object; new deltas become the
+    tail)."""
+    live = LiveDenseIndex(None, bucket_min=4, max_delta_segments=8)
+    live.add_documents(np.eye(4, dtype=np.float32), list("abcd"))   # base
+    live.compact()
+    live.add_documents(np.ones((1, 4), np.float32), ["x"])          # delta 1
+    live.add_documents(np.ones((1, 4), np.float32) * 2, ["y"])      # delta 2
+
+    segs, tombs, _ = live._versioned_snapshot()
+    merged = live._merge_segments(segs[1:], tombs[1:])
+    # racing, NON-conflicting mutations: base-only delete + appended delta
+    live.delete_documents(["a"])
+    live.add_documents(np.ones((1, 4), np.float32) * 3, ["z"])
+    assert live._install_merge(segs[:1], segs[1:], tombs[1:], merged), \
+        "non-conflicting mutations aborted the merge (livelock regression)"
+    # state: base(with 'a' tombstoned) + merged(x,y) + tail delta(z)
+    assert live.num_segments == 3
+    assert live.num_docs == 3 + 2 + 1
+    _, ids = live.search_rows(np.ones((1, 4), np.float32), 10)
+    assert set(ids[0]) == {"b", "c", "d", "x", "y", "z"}
+    # but a delete ON a merged delta does abort
+    segs2, tombs2, _ = live._versioned_snapshot()
+    merged2 = live._merge_segments(segs2[1:], tombs2[1:])
+    live.delete_documents(["x"])
+    assert not live._install_merge(segs2[:1], segs2[1:], tombs2[1:],
+                                   merged2)
 
 
 def test_save_snapshot_is_atomic_vs_replace_add(tmp_path):

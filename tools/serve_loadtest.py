@@ -220,15 +220,20 @@ def start_writers(service, base_url, args, rng):
     counters = {"writes": 0, "deletes": 0, "lat": []}
     lock = threading.Lock()
 
+    # numpy Generators are not thread-safe: one independent stream per
+    # writer (deterministic given the parent seed)
+    streams = rng.spawn(args.writers)
+
     def payload(wid, n):
+        w_rng = streams[wid]
         doc = {"id": f"w{wid}_{n}"}
         if service.impact_index is not None:
-            picked = rng.choice(args.terms, size=min(8, args.terms),
-                                replace=False)
-            doc["terms"] = {str(int(t)): float(rng.integers(1, 50))
+            picked = w_rng.choice(args.terms, size=min(8, args.terms),
+                                  replace=False)
+            doc["terms"] = {str(int(t)): float(w_rng.integers(1, 50))
                             for t in picked}
         if service.dense_index is not None:
-            doc["dense"] = rng.normal(size=args.dim).astype(
+            doc["dense"] = w_rng.normal(size=args.dim).astype(
                 np.float32).tolist()
         return doc
 
