@@ -277,6 +277,88 @@ def check_decoder_flash():
     print(f"OK decoder flash path engaged at T={T} (rel diff {rel:.1e})")
 
 
+def check_doc_filters():
+    """Filtered search on REAL TPU tie behavior: a filter allowing fewer
+    docs than the requested depth forces -inf fill entries whose indices
+    are arbitrary on chip (equal-score tie order) — the resolve paths must
+    clamp before fancy-indexing (round-7 fix) and serve ONLY allowed docs."""
+    from mllm_sparse_retrieval_tpu.index import DenseFlatIndex, DocFilter
+    from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+
+    rng = np.random.default_rng(5)
+    n_docs, vocab, k = 3000, 500, 16
+    doc_terms = np.stack([rng.choice(vocab, k, replace=False)
+                          for _ in range(n_docs)]).astype(np.int32)
+    doc_weights = rng.integers(1, 400, size=(n_docs, k)).astype(np.float32)
+    impact = ImpactIndex.from_packed_arrays(doc_terms, doc_weights,
+                                            term_keys=range(vocab))
+    q = [dict(zip(rng.choice(vocab, 12, replace=False).tolist(),
+                  rng.integers(1, 300, 12).tolist())) for _ in range(16)]
+    allow = [impact.doc_ids[i] for i in range(0, 40)]     # 40 << depth 100
+    filt = DocFilter.from_ids(impact.doc_ids, allow)
+    for b in ("matmul", "taat"):
+        s, ids = impact.search(q, depth=100, backend=b, doc_filter=filt)
+        for row_s, row_i in zip(s, ids):
+            assert set(row_i) <= set(allow), f"{b}: filtered leak on chip"
+            assert all(x > 0 for x in row_s)
+    # sub-index oracle parity (matmul)
+    sub = ImpactIndex.from_packed_arrays(doc_terms[:40], doc_weights[:40],
+                                         term_keys=range(vocab),
+                                         doc_ids=allow)
+    ref_s, ref_i = sub.search(q, depth=100, backend="matmul")
+    got_s, got_i = impact.search(q, depth=100, backend="matmul",
+                                 doc_filter=filt)
+    for a, b_, ra, rb in zip(got_s, got_i, ref_s, ref_i):
+        assert sorted(zip(a, b_)) == sorted(zip(ra, rb)), \
+            "filtered != sub-index on chip"
+    print("OK impact doc filters on chip (taat+matmul, depth >> allowed)")
+
+    dense = DenseFlatIndex()
+    reps = rng.normal(size=(n_docs, 64)).astype(np.float32)
+    dense.add(reps, impact.doc_ids)
+    dfilt = DocFilter.from_ids(dense.lookup, allow)
+    ds, di = dense.search_ids(reps[:8], 100, doc_filter=dfilt)
+    for row_s, row_i in zip(ds, di):
+        assert len(row_i) == len(allow) == len(row_s)
+        assert set(row_i) == set(allow)
+        assert all(np.isfinite(x) for x in row_s)
+    print("OK dense doc filters on chip (ragged rows, -inf clamp)")
+
+
+def check_ann_tier():
+    """ANN prefilter on chip: approx_max_k runs the REAL TPU partial
+    reduction here (CPU falls back to exact sort) — full-rank + saturated
+    candidates must still match the exact index; low-rank recall on a
+    spectral corpus must clear a floor."""
+    from mllm_sparse_retrieval_tpu.index import DenseANNIndex, DenseFlatIndex
+
+    rng = np.random.default_rng(6)
+    n, d = 20000, 128
+    reps = rng.normal(size=(n, d)).astype(np.float32)
+    reps *= (np.arange(1, d + 1, dtype=np.float32) ** -0.75)[None, :]
+    reps /= np.linalg.norm(reps, axis=1, keepdims=True)
+    ids = [str(i) for i in range(n)]
+    q = reps[rng.choice(n, 64, replace=False)]
+
+    exact = DenseFlatIndex()
+    exact.add(reps, ids)
+    _, ei = exact.search_ids(q, 10, batch_size=64)
+
+    full = DenseANNIndex(rank=d, candidates=256)
+    full.add(reps, ids)
+    _, fi = full.search_ids(q, 10, batch_size=64)
+    full_rec = sum(len(set(a) & set(b)) for a, b in zip(fi, ei)) / (10 * 64)
+    assert full_rec >= 0.99, f"full-rank ANN recall {full_rec} on chip"
+
+    ann = DenseANNIndex(rank=32, candidates=256)
+    ann.add(reps, ids)
+    _, ai = ann.search_ids(q, 10, batch_size=64)
+    rec = sum(len(set(a) & set(b)) for a, b in zip(ai, ei)) / (10 * 64)
+    assert rec >= 0.9, f"rank-32 ANN recall {rec} on chip (spectral corpus)"
+    print(f"OK ANN tier on chip: full-rank recall {full_rec:.3f}, "
+          f"rank-32 recall {rec:.3f} @10 over {n} docs")
+
+
 def check_graft_entry():
     import __graft_entry__ as g
 
@@ -299,6 +381,8 @@ def main():
     check_flash_layer()
     check_flash_shard_map()
     check_decoder_flash()
+    check_doc_filters()
+    check_ann_tier()
     check_graft_entry()
     print(f"ALL TPU CHECKS PASSED in {time.time() - t0:.0f}s")
 
