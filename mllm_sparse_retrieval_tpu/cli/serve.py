@@ -248,8 +248,44 @@ def main(argv=None):
     if not args.no_warm:
         _warm(service, logger)
 
+    reload_fn = None
+    if not service.live:
+        def reload_fn(body):
+            """POST /reload loader: fresh artifacts with THIS server's
+            dtype/ANN flags; paths default to the boot-time ones."""
+            import jax.numpy as jnp
+
+            d = s = None
+            reps_path = body.get("passage_reps", args.passage_reps)
+            sparse_path = body.get("sparse_index", args.sparse_index)
+            if (reps_path is None) != (args.passage_reps is None) or \
+                    (sparse_path is None) != (args.sparse_index is None):
+                raise ValueError("reload must keep the serving mode: give "
+                                 "the same artifact kinds as at boot")
+            if reps_path:
+                from mllm_sparse_retrieval_tpu.index.dense import (
+                    DenseFlatIndex)
+                d = DenseFlatIndex.load(
+                    reps_path,
+                    dtype={"bfloat16": jnp.bfloat16, "int8": jnp.int8}.get(
+                        args.dense_dtype, jnp.float32))
+                if args.ann_rank:
+                    from mllm_sparse_retrieval_tpu.index.ann import (
+                        DenseANNIndex)
+                    d = DenseANNIndex.from_flat(
+                        d, rank=args.ann_rank,
+                        candidates=args.ann_candidates)
+            if sparse_path:
+                from mllm_sparse_retrieval_tpu.index.impact import (
+                    ImpactIndex)
+                s = ImpactIndex.load(sparse_path)
+            logger.info("reload: dense=%s sparse=%s",
+                        "-" if d is None else d.size,
+                        "-" if s is None else s.num_docs)
+            return d, s
+
     server = make_server(service, args.host, args.port,
-                         verbose=args.verbose)
+                         verbose=args.verbose, reload_fn=reload_fn)
     logger.info("serving mode=%s on http://%s:%d", service.mode,
                 *server.server_address[:2])
     try:

@@ -31,6 +31,12 @@ while serving:
   state (segments + tombstones) to the given directory or the server's
   configured ``--live-state`` dir; a restart resumes from it.
 
+- ``POST /reload`` body ``{}`` or ``{"passage_reps": path,
+  "sparse_index": path}`` (static serving only) -> zero-downtime hot swap
+  to freshly built artifacts: loaded with the server's boot-time
+  dtype/ANN flags, registered filters rebuilt against the new doc orders,
+  in-flight batches finish on the old engines.
+
 Doc filters (tenant scoping, static indexes only — index/filter.py):
 
 - ``POST /filters`` body ``{"name": "tenant-a", "ids": [...],
@@ -154,6 +160,28 @@ class _Handler(BaseHTTPRequestHandler):
                          "/save"):
             self._mutate()
             return
+        if self.path == "/reload":
+            svc: RetrievalService = self.server.service
+            reload_fn = getattr(self.server, "reload_fn", None)
+            try:
+                if reload_fn is None:
+                    raise ValueError(
+                        "no reload loader configured (cli.serve wires one "
+                        "for static artifact serving)")
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                dense, impact = reload_fn(body)
+                svc.reload_indexes(dense, impact)
+                self._reply(200, {
+                    "ok": True,
+                    "dense_docs": None if dense is None else dense.size,
+                    "sparse_docs": None if impact is None
+                    else impact.num_docs,
+                    "filters_rebuilt": svc.filter_names})
+            except (ValueError, KeyError, TypeError, OSError,
+                    json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+            return
         if self.path == "/filters":
             svc: RetrievalService = self.server.service
             try:
@@ -245,12 +273,18 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(service: RetrievalService, host: str = "127.0.0.1",
-                port: int = 0, verbose: bool = False) -> ThreadingHTTPServer:
+                port: int = 0, verbose: bool = False,
+                reload_fn=None) -> ThreadingHTTPServer:
     """Bind (but do not start) the threading HTTP server; ``port=0`` picks
     a free port (``server.server_address[1]``). Call ``serve_forever()`` on
-    the result, or run it from a daemon thread in tests."""
+    the result, or run it from a daemon thread in tests.
+
+    ``reload_fn(body) -> (dense_index, impact_index)`` enables
+    ``POST /reload`` (zero-downtime hot swap of static artifacts):
+    cli.serve wires one that re-applies its own dtype/ANN flags."""
     server = ThreadingHTTPServer((host, port), _Handler)
     server.daemon_threads = True
     server.service = service
     server.verbose = verbose
+    server.reload_fn = reload_fn
     return server

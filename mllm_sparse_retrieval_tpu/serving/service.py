@@ -158,6 +158,10 @@ class RetrievalService:
             from concurrent.futures import ThreadPoolExecutor
             self._engine_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="hybrid-sparse")
+        # serializes reload_indexes against batch execution: a batch must
+        # never mix old engines with filters built for the new ones
+        import threading
+        self._swap_lock = threading.Lock()
         # named doc filters (tenant scoping, index/filter.py): one DocFilter
         # per engine per name — the engines' doc orders differ
         self._filters: Dict[str, Dict[str, object]] = {}
@@ -219,15 +223,72 @@ class RetrievalService:
         if self.live:
             raise ValueError("doc filters require static indexes (a live "
                              "corpus invalidates the mask on every add)")
-        entry: Dict[str, object] = {}
-        if self.dense_index is not None:
-            entry["dense"] = DocFilter.from_ids(self.dense_index.lookup,
-                                                ids, mode)
-        if self.impact_index is not None:
-            entry["sparse"] = DocFilter.from_ids(self.impact_index.doc_ids,
-                                                 ids, mode)
-        self._filters[str(name)] = entry
-        return next(iter(entry.values())).n_allowed
+        ids = [str(i) for i in ids]
+        entry: Dict[str, object] = {"ids": ids, "mode": mode}
+        with self._swap_lock:      # masks must match the CURRENT engines
+            if self.dense_index is not None:
+                entry["dense"] = DocFilter.from_ids(self.dense_index.lookup,
+                                                    ids, mode)
+            if self.impact_index is not None:
+                entry["sparse"] = DocFilter.from_ids(
+                    self.impact_index.doc_ids, ids, mode)
+            self._filters[str(name)] = entry
+        return entry["dense" if "dense" in entry else "sparse"].n_allowed
+
+    def reload_indexes(self, dense_index=None, impact_index=None) -> None:
+        """Zero-downtime hot swap to freshly built STATIC indexes (the
+        ops loop: rebuild offline, swap in place — no restart, no dropped
+        requests). The engine presence pattern must match the serving mode;
+        registered filters rebuild against the new doc orders from their
+        stored id lists; the device-fused hybrid searcher rebuilds its doc
+        permutation. In-flight batches finish on the old engines (their
+        objects stay alive); the dispatcher picks up the new ones on its
+        next batch — reference swaps are atomic under the GIL."""
+        if self.live:
+            raise ValueError("reload_indexes is for static serving; a live "
+                             "service mutates in place (add/delete/compact)")
+        from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
+                                                          LiveImpactIndex)
+        if isinstance(dense_index, LiveDenseIndex) or \
+                isinstance(impact_index, LiveImpactIndex):
+            raise ValueError("reload_indexes takes static indexes")
+        if (dense_index is None) != (self.dense_index is None) or \
+                (impact_index is None) != (self.impact_index is None):
+            raise ValueError(
+                f"mode={self.mode!r} service needs "
+                f"{'dense ' if self.dense_index is not None else ''}"
+                f"{'sparse' if self.impact_index is not None else ''}"
+                " replacement indexes (presence must match)")
+        new_fused = None
+        if self.mode == "hybrid":
+            from mllm_sparse_retrieval_tpu.search.device_fusion import (
+                FusedHybridSearcher)
+            new_fused = FusedHybridSearcher(
+                dense_index, impact_index, alpha=self.alpha, mesh=self.mesh,
+                backend=self.backend)
+        new_filters: Dict[str, Dict[str, object]] = {}
+        for name, entry in self._filters.items():
+            from mllm_sparse_retrieval_tpu.index.filter import DocFilter
+            fresh: Dict[str, object] = {"ids": entry["ids"],
+                                        "mode": entry["mode"]}
+            if dense_index is not None:
+                fresh["dense"] = DocFilter.from_ids(
+                    dense_index.lookup, entry["ids"], entry["mode"])
+            if impact_index is not None:
+                fresh["sparse"] = DocFilter.from_ids(
+                    impact_index.doc_ids, entry["ids"], entry["mode"])
+            new_filters[name] = fresh
+        # the lock serializes this with batch execution (the dispatcher
+        # holds it for each batch), so no batch mixes old engines with
+        # filters built for the new ones; in-flight old objects stay alive
+        with self._swap_lock:
+            if new_fused is not None:
+                self._fused = new_fused
+            self._filters = new_filters
+            if dense_index is not None:
+                self.dense_index = dense_index
+            if impact_index is not None:
+                self.impact_index = impact_index
 
     @property
     def filter_names(self):
@@ -451,6 +512,11 @@ class RetrievalService:
 
     def _run_uniform(self, reqs: List[QueryRequest],
                      filter_name: Optional[str]):
+        with self._swap_lock:
+            return self._run_uniform_locked(reqs, filter_name)
+
+    def _run_uniform_locked(self, reqs: List[QueryRequest],
+                            filter_name: Optional[str]):
         flt = self._filters[filter_name] if filter_name is not None else None
         depth = self._served_depth(reqs)
         n = len(reqs)
