@@ -33,9 +33,13 @@ from mllm_sparse_retrieval_tpu.cli.common import get_logger
 
 def _doc_payload(result, start: int, count: int, send_dense: bool,
                  send_terms: bool):
-    """EncodeResult rows -> /documents JSON entries (term ids merged by
-    sum over duplicate slots — ``ImpactIndex.add``'s dict semantics)."""
+    """EncodeResult rows -> (/documents JSON entries, skipped ids). Term
+    ids merge by sum over duplicate slots (``ImpactIndex.add``'s dict
+    semantics). Docs whose every sparse weight quantized to zero are
+    SKIPPED when the server needs terms — one degenerate doc must not 400
+    (and abort) the whole ingest batch."""
     docs = []
+    skipped = []
     for j in range(start, start + count):
         doc = {"id": result.ids[j]}
         if send_dense:
@@ -47,9 +51,12 @@ def _doc_payload(result, start: int, count: int, send_dense: bool,
                 if w > 0:
                     terms[str(int(t))] = terms.get(str(int(t)), 0.0) \
                         + float(w)
+            if not terms:
+                skipped.append(result.ids[j])
+                continue
             doc["terms"] = terms
         docs.append(doc)
-    return docs
+    return docs, skipped
 
 
 def _post(server: str, path: str, payload: dict, timeout: float = 300.0):
@@ -108,6 +115,7 @@ def main(argv=None):
     from mllm_sparse_retrieval_tpu.pipelines.encode import encode_examples
 
     total = 0
+    n_skipped = 0
     # encode in model-batch multiples, POST in --post-batch slices; the
     # server ingests while it serves (live layer, index/live.py)
     chunk = max(args.post_batch, args.batch_size)
@@ -120,13 +128,19 @@ def main(argv=None):
             lora=lora)
         for off in range(0, len(result.ids), args.post_batch):
             n = min(args.post_batch, len(result.ids) - off)
-            out = _post(args.server, "/documents",
-                        {"documents": _doc_payload(result, off, n,
-                                                   send_dense, send_terms)})
-            total += out["added"]
+            docs, skipped = _doc_payload(result, off, n, send_dense,
+                                         send_terms)
+            if skipped:
+                n_skipped += len(skipped)
+                logger.warning("skipping %d all-zero-sparse docs "
+                               "(first: %s)", len(skipped), skipped[0])
+            if docs:
+                out = _post(args.server, "/documents", {"documents": docs})
+                total += out["added"]
         logger.info("ingested %d/%d", min(start + chunk, len(examples)),
                     len(examples))
-    logger.info("done: %d documents added", total)
+    logger.info("done: %d documents added%s", total,
+                f", {n_skipped} skipped (empty sparse)" if n_skipped else "")
 
     if args.compact_after:
         logger.info("compact: %s", _post(args.server, "/compact", {}))

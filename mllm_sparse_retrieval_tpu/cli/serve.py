@@ -55,6 +55,29 @@ def _warm(service, logger) -> None:
         logger.info("warmed text-encode program")
 
 
+def _load_static_artifacts(args, reps_path, sparse_path):
+    """Load static index artifacts with ``args``' dtype/ANN flags — the
+    ONE loader used at boot and by POST /reload, so the two can never
+    diverge."""
+    dense = impact = None
+    if reps_path:
+        import jax.numpy as jnp
+
+        from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
+        dense = DenseFlatIndex.load(
+            reps_path,
+            dtype={"bfloat16": jnp.bfloat16, "int8": jnp.int8}.get(
+                args.dense_dtype, jnp.float32))
+        if args.ann_rank:
+            from mllm_sparse_retrieval_tpu.index.ann import DenseANNIndex
+            dense = DenseANNIndex.from_flat(dense, rank=args.ann_rank,
+                                            candidates=args.ann_candidates)
+    if sparse_path:
+        from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
+        impact = ImpactIndex.load(sparse_path)
+    return dense, impact
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--passage-reps", default=None,
@@ -174,27 +197,17 @@ def main(argv=None):
             and args.sparse_index is None and args.live_empty is None:
         parser.error(f"--live-state {args.live_state} holds no save yet; "
                      "give artifacts or --live-empty MODE for the first boot")
-    if not live_resumed and args.passage_reps:
-        import jax.numpy as jnp
-
-        from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
-        dense_index = DenseFlatIndex.load(
-            args.passage_reps,
-            dtype={"bfloat16": jnp.bfloat16, "int8": jnp.int8}.get(
-                args.dense_dtype, jnp.float32))
-        if args.ann_rank:
-            from mllm_sparse_retrieval_tpu.index.ann import DenseANNIndex
-            dense_index = DenseANNIndex.from_flat(
-                dense_index, rank=args.ann_rank,
-                candidates=args.ann_candidates)
-            logger.info("ANN tier: rank=%d candidates=%d", args.ann_rank,
-                        args.ann_candidates)
-        logger.info("dense index: %d vectors", dense_index.size)
-    if not live_resumed and args.sparse_index:
-        from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
-        impact_index = ImpactIndex.load(args.sparse_index)
-        logger.info("impact index: %d docs / %d terms",
-                    impact_index.num_docs, impact_index.num_terms)
+    if not live_resumed and (args.passage_reps or args.sparse_index):
+        dense_index, impact_index = _load_static_artifacts(
+            args, args.passage_reps, args.sparse_index)
+        if dense_index is not None:
+            if args.ann_rank:
+                logger.info("ANN tier: rank=%d candidates=%d",
+                            args.ann_rank, args.ann_candidates)
+            logger.info("dense index: %d vectors", dense_index.size)
+        if impact_index is not None:
+            logger.info("impact index: %d docs / %d terms",
+                        impact_index.num_docs, impact_index.num_terms)
     if (args.live or args.live_empty or args.live_state) and not live_resumed:
         from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
                                                           LiveImpactIndex)
@@ -252,33 +265,15 @@ def main(argv=None):
     if not service.live:
         def reload_fn(body):
             """POST /reload loader: fresh artifacts with THIS server's
-            dtype/ANN flags; paths default to the boot-time ones."""
-            import jax.numpy as jnp
-
-            d = s = None
+            dtype/ANN flags (the SAME loader as boot — no divergence);
+            paths default to the boot-time ones."""
             reps_path = body.get("passage_reps", args.passage_reps)
             sparse_path = body.get("sparse_index", args.sparse_index)
             if (reps_path is None) != (args.passage_reps is None) or \
                     (sparse_path is None) != (args.sparse_index is None):
                 raise ValueError("reload must keep the serving mode: give "
                                  "the same artifact kinds as at boot")
-            if reps_path:
-                from mllm_sparse_retrieval_tpu.index.dense import (
-                    DenseFlatIndex)
-                d = DenseFlatIndex.load(
-                    reps_path,
-                    dtype={"bfloat16": jnp.bfloat16, "int8": jnp.int8}.get(
-                        args.dense_dtype, jnp.float32))
-                if args.ann_rank:
-                    from mllm_sparse_retrieval_tpu.index.ann import (
-                        DenseANNIndex)
-                    d = DenseANNIndex.from_flat(
-                        d, rank=args.ann_rank,
-                        candidates=args.ann_candidates)
-            if sparse_path:
-                from mllm_sparse_retrieval_tpu.index.impact import (
-                    ImpactIndex)
-                s = ImpactIndex.load(sparse_path)
+            d, s = _load_static_artifacts(args, reps_path, sparse_path)
             logger.info("reload: dense=%s sparse=%s",
                         "-" if d is None else d.size,
                         "-" if s is None else s.num_docs)

@@ -130,10 +130,6 @@ class _LiveBase:
                  background_compaction: bool = False):
         self._lock = threading.Lock()
         self._segments: Tuple[_Segment, ...] = ()
-        # bumped under the lock by EVERY mutation, including tombstone-only
-        # ones that leave the segment tuple identity unchanged — compaction
-        # and save() key their consistency checks on this, not on the tuple
-        self._version = 0
         self.max_delta_segments = int(max_delta_segments)
         # serving mode: auto-compaction moves off the mutating caller's
         # thread (otherwise one unlucky add pays the whole O(corpus) merge
@@ -148,15 +144,15 @@ class _LiveBase:
         with self._lock:
             return self._segments
 
-    def _versioned_snapshot(self):
-        """(segments, per-segment tombstone sets, version) read atomically —
-        the tombstone sets are the exact objects current AT the version, so
-        a later delete (which replaces, never mutates, a set) can't tear a
-        reader that uses these."""
+    def _atomic_snapshot(self):
+        """(segments, per-segment tombstone sets) read atomically — the
+        tombstone sets are the exact objects current at the read, so a
+        later delete (which replaces, never mutates, a set) can't tear a
+        reader; _install_merge keys its conflict checks on these
+        identities."""
         with self._lock:
             return (self._segments,
-                    tuple(s.tombstones for s in self._segments),
-                    self._version)
+                    tuple(s.tombstones for s in self._segments))
 
     @property
     def num_docs(self) -> int:
@@ -179,8 +175,6 @@ class _LiveBase:
                     # set without holding the lock
                     seg.tombstones = seg.tombstones | present
                     hit += len(present)
-            if hit:
-                self._version += 1
         return hit
 
     def _append_segment(self, seg: _Segment, new_ids: Set[str]) -> None:
@@ -193,7 +187,6 @@ class _LiveBase:
                 if dup:
                     old.tombstones = old.tombstones | dup
             self._segments = self._segments + (seg,)
-            self._version += 1
             need_merge = len(self._segments) - 1 > self.max_delta_segments
         if need_merge:
             if self.background_compaction:
@@ -267,14 +260,13 @@ class _LiveBase:
             tail = cur[n_head + n_merged:]
             mid = (merged,) if merged.id_set else ()
             self._segments = head + mid + tail
-            self._version += 1
             return True
 
     def compact(self) -> None:
         """Merge ALL segments minus tombstones into one fresh base segment
         (plus any deltas appended while the merge ran)."""
         while True:
-            segs, tombs, _ = self._versioned_snapshot()
+            segs, tombs = self._atomic_snapshot()
             if not segs:
                 return
             merged = self._merge_segments(segs, tombs)
@@ -283,14 +275,16 @@ class _LiveBase:
 
     def _compact_deltas(self) -> None:
         """Merge delta segments only, keeping the base (and its warm device
-        matrices / compiled programs) untouched."""
+        matrices / compiled programs) untouched. Loops until the delta
+        count is within bounds: both a conflicting install (retry the
+        merge) and a successful one (deltas appended while merging may
+        still exceed the bound) re-check."""
         while True:
-            segs, tombs, _ = self._versioned_snapshot()
+            segs, tombs = self._atomic_snapshot()
             if len(segs) - 1 <= self.max_delta_segments:
                 return
             merged = self._merge_segments(segs[1:], tombs[1:])
-            if self._install_merge(segs[:1], segs[1:], tombs[1:], merged):
-                continue      # appended-while-merging deltas may still exceed
+            self._install_merge(segs[:1], segs[1:], tombs[1:], merged)
 
     # -- persistence ------------------------------------------------------------
     # Layout: <dir>/live.json manifest + one artifact per segment (the
@@ -304,7 +298,7 @@ class _LiveBase:
         # tombstones are read in the SAME atomic snapshot as the tuple: a
         # replace-add racing the save would otherwise tombstone a doc in a
         # persisted segment while its replacement segment is absent
-        segs, tombs, _ = self._versioned_snapshot()
+        segs, tombs = self._atomic_snapshot()
         entries = []
         for i, (seg, tomb) in enumerate(zip(segs, tombs)):
             entries.append({

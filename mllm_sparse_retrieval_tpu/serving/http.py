@@ -178,9 +178,13 @@ class _Handler(BaseHTTPRequestHandler):
                     "sparse_docs": None if impact is None
                     else impact.num_docs,
                     "filters_rebuilt": svc.filter_names})
-            except (ValueError, KeyError, TypeError, OSError,
+            except (ValueError, KeyError, TypeError,
                     json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — corrupt artifacts,
+                # loader/engine faults: a structured 500 beats a dropped
+                # connection (same policy as /search)
+                self._reply(500, {"error": str(e)})
             return
         if self.path == "/filters":
             svc: RetrievalService = self.server.service

@@ -134,13 +134,7 @@ class RetrievalService:
         # index was BUILT with one (query_canonical), so id-collision
         # merges match the artifact path exactly.
         self.query_encoder = query_encoder
-        self._cmap = None
-        if (query_encoder is not None and impact_index is not None
-                and getattr(impact_index, "query_canonical", False)):
-            from mllm_sparse_retrieval_tpu.sparse import canonical_id_map
-            self._cmap = canonical_id_map(
-                query_encoder.tokenizer.get_vocab(),
-                query_encoder.sparse_cfg.is_filtered)
+        self._cmap = self._build_cmap(impact_index)
         from mllm_sparse_retrieval_tpu.serving.batcher import MicroBatcher
 
         self.alpha = float(alpha)
@@ -212,6 +206,20 @@ class RetrievalService:
             if idx is not None and hasattr(idx, "close"):
                 idx.close()       # stops a live index's background compactor
 
+    def _build_cmap(self, impact_index):
+        """The query-encode canonical map for ONE sparse index: applied iff
+        that index was BUILT with canonical id-collision merges
+        (query_canonical), mirroring search.engine._query_cmap — derived
+        per index so reload_indexes can re-derive it for a replacement
+        artifact whose flag differs."""
+        if (self.query_encoder is None or impact_index is None
+                or not getattr(impact_index, "query_canonical", False)):
+            return None
+        from mllm_sparse_retrieval_tpu.sparse import canonical_id_map
+        return canonical_id_map(
+            self.query_encoder.tokenizer.get_vocab(),
+            self.query_encoder.sparse_cfg.is_filtered)
+
     # ---- named doc filters (tenant scoping) -----------------------------------
 
     def register_filter(self, name: str, ids, mode: str = "allow") -> int:
@@ -224,15 +232,23 @@ class RetrievalService:
             raise ValueError("doc filters require static indexes (a live "
                              "corpus invalidates the mask on every add)")
         ids = [str(i) for i in ids]
-        entry: Dict[str, object] = {"ids": ids, "mode": mode}
-        with self._swap_lock:      # masks must match the CURRENT engines
-            if self.dense_index is not None:
-                entry["dense"] = DocFilter.from_ids(self.dense_index.lookup,
-                                                    ids, mode)
-            if self.impact_index is not None:
-                entry["sparse"] = DocFilter.from_ids(
-                    self.impact_index.doc_ids, ids, mode)
-            self._filters[str(name)] = entry
+        while True:
+            # O(n_docs) mask builds happen OUTSIDE the lock (they would
+            # stall every search batch); install re-checks the engines and
+            # retries if a reload swapped them mid-build
+            with self._swap_lock:
+                dense, impact = self.dense_index, self.impact_index
+            entry: Dict[str, object] = {"ids": ids, "mode": mode}
+            if dense is not None:
+                entry["dense"] = DocFilter.from_ids(dense.lookup, ids, mode)
+            if impact is not None:
+                entry["sparse"] = DocFilter.from_ids(impact.doc_ids, ids,
+                                                     mode)
+            with self._swap_lock:
+                if self.dense_index is dense and \
+                        self.impact_index is impact:
+                    self._filters[str(name)] = entry
+                    break
         return entry["dense" if "dense" in entry else "sparse"].n_allowed
 
     def reload_indexes(self, dense_index=None, impact_index=None) -> None:
@@ -259,6 +275,14 @@ class RetrievalService:
                 f"{'dense ' if self.dense_index is not None else ''}"
                 f"{'sparse' if self.impact_index is not None else ''}"
                 " replacement indexes (presence must match)")
+        if dense_index is not None and self.dense_index.dim is not None \
+                and dense_index.dim is not None \
+                and dense_index.dim != self.dense_index.dim:
+            # an ops mistake to catch HERE, not as shape errors failing
+            # whole micro-batches of already-validated in-flight queries
+            raise ValueError(
+                f"replacement dense dim {dense_index.dim} != serving dim "
+                f"{self.dense_index.dim} (a dim migration needs a restart)")
         new_fused = None
         if self.mode == "hybrid":
             from mllm_sparse_retrieval_tpu.search.device_fusion import (
@@ -266,29 +290,45 @@ class RetrievalService:
             new_fused = FusedHybridSearcher(
                 dense_index, impact_index, alpha=self.alpha, mesh=self.mesh,
                 backend=self.backend)
-        new_filters: Dict[str, Dict[str, object]] = {}
-        for name, entry in self._filters.items():
-            from mllm_sparse_retrieval_tpu.index.filter import DocFilter
-            fresh: Dict[str, object] = {"ids": entry["ids"],
-                                        "mode": entry["mode"]}
-            if dense_index is not None:
-                fresh["dense"] = DocFilter.from_ids(
-                    dense_index.lookup, entry["ids"], entry["mode"])
-            if impact_index is not None:
-                fresh["sparse"] = DocFilter.from_ids(
-                    impact_index.doc_ids, entry["ids"], entry["mode"])
-            new_filters[name] = fresh
-        # the lock serializes this with batch execution (the dispatcher
-        # holds it for each batch), so no batch mixes old engines with
-        # filters built for the new ones; in-flight old objects stay alive
-        with self._swap_lock:
-            if new_fused is not None:
-                self._fused = new_fused
-            self._filters = new_filters
-            if dense_index is not None:
-                self.dense_index = dense_index
-            if impact_index is not None:
-                self.impact_index = impact_index
+        # the canonical map tracks the SPARSE index's query_canonical flag
+        # (see __init__) — the replacement artifact may differ
+        new_cmap = self._build_cmap(impact_index)
+        from mllm_sparse_retrieval_tpu.index.filter import DocFilter
+        while True:
+            # O(n_docs) filter rebuilds run OUTSIDE the lock (snapshot the
+            # registry, rebuild, install with a re-check so a registration
+            # racing the reload is never silently discarded)
+            with self._swap_lock:
+                snapshot = dict(self._filters)
+            new_filters: Dict[str, Dict[str, object]] = {}
+            for name, entry in snapshot.items():
+                fresh: Dict[str, object] = {"ids": entry["ids"],
+                                            "mode": entry["mode"]}
+                if dense_index is not None:
+                    fresh["dense"] = DocFilter.from_ids(
+                        dense_index.lookup, entry["ids"], entry["mode"])
+                if impact_index is not None:
+                    fresh["sparse"] = DocFilter.from_ids(
+                        impact_index.doc_ids, entry["ids"], entry["mode"])
+                new_filters[name] = fresh
+            # the lock serializes the install with batch execution (the
+            # dispatcher holds it for each whole batch), so no batch mixes
+            # old engines with new filters; old objects stay alive for
+            # in-flight work
+            with self._swap_lock:
+                if any(self._filters.get(n) is not e
+                       for n, e in snapshot.items()) or \
+                        len(self._filters) != len(snapshot):
+                    continue      # a registration raced us: rebuild
+                if new_fused is not None:
+                    self._fused = new_fused
+                self._filters = new_filters
+                self._cmap = new_cmap
+                if dense_index is not None:
+                    self.dense_index = dense_index
+                if impact_index is not None:
+                    self.impact_index = impact_index
+                return
 
     @property
     def filter_names(self):
@@ -495,6 +535,13 @@ class RetrievalService:
         return out
 
     def _run_batch(self, reqs: List[QueryRequest]):
+        # one lock hold for the WHOLE micro-batch (media encode + every
+        # filter group): a reload must never land between two groups of
+        # one batch — "no batch mixes epochs"
+        with self._swap_lock:
+            return self._run_batch_locked(reqs)
+
+    def _run_batch_locked(self, reqs: List[QueryRequest]):
         self._encode_media_requests(reqs)
         if any(r.filter is not None for r in reqs):
             # sub-batch per filter name: the mask is one program operand,
@@ -512,11 +559,7 @@ class RetrievalService:
 
     def _run_uniform(self, reqs: List[QueryRequest],
                      filter_name: Optional[str]):
-        with self._swap_lock:
-            return self._run_uniform_locked(reqs, filter_name)
-
-    def _run_uniform_locked(self, reqs: List[QueryRequest],
-                            filter_name: Optional[str]):
+        # caller (_run_batch) holds _swap_lock
         flt = self._filters[filter_name] if filter_name is not None else None
         depth = self._served_depth(reqs)
         n = len(reqs)

@@ -269,7 +269,7 @@ def test_delete_racing_compaction_is_never_resurrected():
     live = LiveDenseIndex(None, bucket_min=4)
     live.add_documents(np.eye(4, dtype=np.float32), list("abcd"))
 
-    segs, tombs, _ = live._versioned_snapshot()
+    segs, tombs = live._atomic_snapshot()
     merged = live._merge_segments(segs, tombs)          # pre-delete merge
     assert live.delete_documents(["b"]) == 1            # racing delete
     assert not live._install_merge((), segs, tombs, merged), \
@@ -292,7 +292,7 @@ def test_unrelated_mutations_do_not_abort_delta_merge():
     live.add_documents(np.ones((1, 4), np.float32), ["x"])          # delta 1
     live.add_documents(np.ones((1, 4), np.float32) * 2, ["y"])      # delta 2
 
-    segs, tombs, _ = live._versioned_snapshot()
+    segs, tombs = live._atomic_snapshot()
     merged = live._merge_segments(segs[1:], tombs[1:])
     # racing, NON-conflicting mutations: base-only delete + appended delta
     live.delete_documents(["a"])
@@ -305,7 +305,7 @@ def test_unrelated_mutations_do_not_abort_delta_merge():
     _, ids = live.search_rows(np.ones((1, 4), np.float32), 10)
     assert set(ids[0]) == {"b", "c", "d", "x", "y", "z"}
     # but a delete ON a merged delta does abort
-    segs2, tombs2, _ = live._versioned_snapshot()
+    segs2, tombs2 = live._atomic_snapshot()
     merged2 = live._merge_segments(segs2[1:], tombs2[1:])
     live.delete_documents(["x"])
     assert not live._install_merge(segs2[:1], segs2[1:], tombs2[1:],
