@@ -414,9 +414,155 @@ fail:
     return NULL;
 }
 
+/* merge_topk_rows(seg_scores, seg_ids, tombstones, drop_pad, pad_id,
+ *                 depth) -> (score_rows, id_rows)
+ *
+ * Exact semantics of index.live._merge_rows: per query, candidates
+ * concatenate in segment order (skipping tombstoned ids and, for
+ * segments with drop_pad true, the reserved pad id), stable-sort by
+ * descending score (ties keep insertion order -> older segment first),
+ * truncate to depth. This is the live-serving host merge — per-candidate
+ * Python loops here serialize with the device pipeline.
+ *
+ * seg_scores/seg_ids: lists (one per segment) of lists (one per query)
+ * of lists; tombstones: list of sets; drop_pad: list of ints. Shape
+ * surprises raise and the Python caller falls back. */
+typedef struct {
+    double score;
+    Py_ssize_t ord;
+    PyObject *id;        /* borrowed */
+} Cand;
+
+static int
+cand_cmp(const void *a, const void *b)
+{
+    const Cand *x = (const Cand *)a, *y = (const Cand *)b;
+    if (x->score > y->score) return -1;
+    if (x->score < y->score) return 1;
+    return (x->ord < y->ord) ? -1 : 1;   /* stable: insertion order */
+}
+
+static PyObject *
+merge_topk_rows(PyObject *self, PyObject *args)
+{
+    PyObject *seg_scores, *seg_ids, *tombs, *drop_pad, *pad_id;
+    Py_ssize_t depth;
+    if (!PyArg_ParseTuple(args, "O!O!O!O!On", &PyList_Type, &seg_scores,
+                          &PyList_Type, &seg_ids, &PyList_Type, &tombs,
+                          &PyList_Type, &drop_pad, &pad_id, &depth))
+        return NULL;
+    Py_ssize_t n_seg = PyList_GET_SIZE(seg_scores);
+    if (PyList_GET_SIZE(seg_ids) != n_seg ||
+        PyList_GET_SIZE(tombs) != n_seg ||
+        PyList_GET_SIZE(drop_pad) != n_seg || n_seg == 0) {
+        PyErr_SetString(PyExc_ValueError, "merge: segment arity mismatch");
+        return NULL;
+    }
+    PyObject *first = PyList_GET_ITEM(seg_scores, 0);
+    if (!PyList_Check(first)) {
+        PyErr_SetString(PyExc_TypeError, "merge: rows must be lists");
+        return NULL;
+    }
+    Py_ssize_t b = PyList_GET_SIZE(first);
+    PyObject *out_s = PyList_New(b);
+    PyObject *out_i = PyList_New(b);
+    Cand *cands = NULL;
+    Py_ssize_t cap = 0;
+    if (!out_s || !out_i)
+        goto fail;
+
+    for (Py_ssize_t q = 0; q < b; q++) {
+        Py_ssize_t n_cand = 0;
+        for (Py_ssize_t s = 0; s < n_seg; s++) {
+            PyObject *sc_rows = PyList_GET_ITEM(seg_scores, s);
+            PyObject *id_rows = PyList_GET_ITEM(seg_ids, s);
+            if (!PyList_Check(sc_rows) || !PyList_Check(id_rows) ||
+                PyList_GET_SIZE(sc_rows) <= q ||
+                PyList_GET_SIZE(id_rows) <= q) {
+                PyErr_SetString(PyExc_ValueError, "merge: short segment");
+                goto fail;
+            }
+            PyObject *srow = PyList_GET_ITEM(sc_rows, q);
+            PyObject *irow = PyList_GET_ITEM(id_rows, q);
+            if (!PyList_Check(srow) || !PyList_Check(irow)) {
+                PyErr_SetString(PyExc_TypeError, "merge: rows must be lists");
+                goto fail;
+            }
+            PyObject *tomb = PyList_GET_ITEM(tombs, s);
+            long pad = PyLong_AsLong(PyList_GET_ITEM(drop_pad, s));
+            if (pad < 0 && PyErr_Occurred())
+                goto fail;
+            Py_ssize_t m = PyList_GET_SIZE(srow);
+            if (PyList_GET_SIZE(irow) < m)
+                m = PyList_GET_SIZE(irow);
+            if (n_cand + m > cap) {
+                cap = (n_cand + m) * 2 + 16;
+                Cand *grown = (Cand *)PyMem_Realloc(cands,
+                                                    cap * sizeof(Cand));
+                if (!grown) {
+                    PyErr_NoMemory();
+                    goto fail;
+                }
+                cands = grown;
+            }
+            for (Py_ssize_t j = 0; j < m; j++) {
+                PyObject *doc = PyList_GET_ITEM(irow, j);
+                int dead = PySet_Contains(tomb, doc);
+                if (dead < 0)
+                    goto fail;
+                if (!dead && pad) {
+                    dead = PyObject_RichCompareBool(doc, pad_id, Py_EQ);
+                    if (dead < 0)
+                        goto fail;
+                }
+                if (dead)
+                    continue;
+                double sc = PyFloat_AsDouble(PyList_GET_ITEM(srow, j));
+                if (sc == -1.0 && PyErr_Occurred())
+                    goto fail;
+                cands[n_cand].score = sc;
+                cands[n_cand].ord = n_cand;
+                cands[n_cand].id = doc;
+                n_cand++;
+            }
+        }
+        qsort(cands, (size_t)n_cand, sizeof(Cand), cand_cmp);
+        Py_ssize_t take = n_cand < depth ? n_cand : depth;
+        PyObject *row_s = PyList_New(take);
+        PyObject *row_i = PyList_New(take);
+        if (!row_s || !row_i) {
+            Py_XDECREF(row_s);
+            Py_XDECREF(row_i);
+            goto fail;
+        }
+        for (Py_ssize_t j = 0; j < take; j++) {
+            PyObject *f = PyFloat_FromDouble(cands[j].score);
+            if (!f) {
+                Py_DECREF(row_s);
+                Py_DECREF(row_i);
+                goto fail;
+            }
+            PyList_SET_ITEM(row_s, j, f);
+            Py_INCREF(cands[j].id);
+            PyList_SET_ITEM(row_i, j, cands[j].id);
+        }
+        PyList_SET_ITEM(out_s, q, row_s);
+        PyList_SET_ITEM(out_i, q, row_i);
+    }
+    PyMem_Free(cands);
+    return Py_BuildValue("NN", out_s, out_i);
+fail:
+    PyMem_Free(cands);
+    Py_XDECREF(out_s);
+    Py_XDECREF(out_i);
+    return NULL;
+}
+
 static PyMethodDef methods[] = {
     {"build_runs", build_runs, METH_VARARGS,
      "Assemble a run dict (make_run semantics) at C speed."},
+    {"merge_topk_rows", merge_topk_rows, METH_VARARGS,
+     "Per-query stable descending merge of per-segment top-k rows."},
     {"stack_rows", stack_rows, METH_VARARGS,
      "Fill [B, W] int32 buffers from per-row array attributes."},
     {"encode_terms", encode_terms, METH_VARARGS,

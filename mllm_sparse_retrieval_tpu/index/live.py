@@ -48,6 +48,7 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
+from mllm_sparse_retrieval_tpu import hostops as _hostops
 from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
 from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
 
@@ -100,17 +101,37 @@ def _merge_rows(
     Candidates concatenate in segment order and sort stably by descending
     score, so equal scores rank older-segment-first — deterministic, and ids
     never duplicate because adds tombstone their id everywhere else.
+
+    The per-candidate loop is the live-serving host merge (it serializes
+    with the device pipeline — CLAUDE.md serving rule 3): list-shaped
+    inputs take the C path (hostops.merge_topk_rows), bit-parity tested
+    in tests/test_hostops.py; this Python body is the fallback and the
+    semantic reference.
     """
+    # snapshot the tombstone set objects ONCE (deletes replace, never
+    # mutate, them) so both paths see one consistent view per merge
+    tombs = [seg.tombstones for seg in segments]
+    pads = [1 if seg.n_pad else 0 for seg in segments]
+    native = _hostops.get()
+    if native is not None and \
+            all(type(p[0]) is list and type(p[1]) is list
+                for p in per_segment):
+        try:
+            return native.merge_topk_rows(
+                [p[0] for p in per_segment], [p[1] for p in per_segment],
+                tombs, pads, _PAD_ID, int(depth))
+        except (TypeError, ValueError):
+            pass        # surprising row shapes — the Python path handles them
     b = len(per_segment[0][0])
     out_s: List[List[float]] = []
     out_i: List[List[str]] = []
     for q in range(b):
         cand_s: List[float] = []
         cand_i: List[str] = []
-        for (seg_scores, seg_ids), seg in zip(per_segment, segments):
-            tomb = seg.tombstones
+        for (seg_scores, seg_ids), tomb, pad in zip(per_segment, tombs,
+                                                    pads):
             for s, i in zip(seg_scores[q], seg_ids[q]):
-                if i in tomb or (seg.n_pad and i == _PAD_ID):
+                if i in tomb or (pad and i == _PAD_ID):
                     continue
                 cand_s.append(float(s))
                 cand_i.append(i)

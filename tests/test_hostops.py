@@ -292,3 +292,48 @@ def test_fuse_runs_native_bit_parity():
     else:
         with pytest.raises(want_err):
             fuse(bad, [1.0])
+
+
+@needs_native
+def test_merge_topk_rows_bit_parity():
+    """C live-segment merge == the Python reference in index.live, on
+    ragged rows with ties (stable order matters), tombstones, and pads."""
+    import numpy as np
+
+    from mllm_sparse_retrieval_tpu.index import live as live_mod
+
+    rng = np.random.default_rng(0)
+    n_seg, b = 4, 12
+
+    class Seg:
+        def __init__(self, tombstones, n_pad):
+            self.tombstones = tombstones
+            self.n_pad = n_pad
+
+    per_segment, segments = [], []
+    for s in range(n_seg):
+        scores, ids = [], []
+        for q in range(b):
+            m = int(rng.integers(0, 9))
+            # integer scores force ties across and within segments
+            scores.append([float(x) for x in rng.integers(0, 6, m)])
+            ids.append([f"s{s}d{rng.integers(0, 30)}" for _ in range(m)]
+                       + ([live_mod._PAD_ID] if m and s % 2 else []))
+            if m and s % 2:          # pad entry needs a score too
+                scores[-1].append(float(rng.integers(0, 6)))
+        per_segment.append((scores, ids))
+        tomb = {f"s{s}d{j}" for j in rng.integers(0, 30, 4)}
+        segments.append(Seg(tomb, n_pad=1 if s % 2 else 0))
+
+    got = native.merge_topk_rows(
+        [p[0] for p in per_segment], [p[1] for p in per_segment],
+        [seg.tombstones for seg in segments],
+        [1 if seg.n_pad else 0 for seg in segments],
+        live_mod._PAD_ID, 6)
+
+    # force the Python reference by hiding the native module
+    import unittest.mock as mock
+    with mock.patch.object(live_mod._hostops, "get", lambda: None):
+        ref = live_mod._merge_rows(per_segment, segments, 6)
+    assert got[0] == ref[0]          # exact floats, exact order
+    assert got[1] == ref[1]          # stable tie order preserved
