@@ -48,6 +48,12 @@ def main(argv=None):
                              "run fusion in Python; 'device' = on-device "
                              "fused top-k, one packed fetch per chunk "
                              "(fusion run/recall only)")
+    parser.add_argument("--fusion-rule", default="minmax",
+                        choices=["minmax", "rrf"],
+                        help="hybrid fusion formula: minmax = the "
+                             "reference's weighted min-max sum; rrf = "
+                             "Reciprocal Rank Fusion (scale-free, "
+                             "host-path only)")
     parser.add_argument("--ann-rank", type=int, default=0,
                         help="enable the ANN dense tier: low-rank prefilter "
                              "dimensionality (0 = exact flat search; see "
@@ -78,6 +84,9 @@ def main(argv=None):
     if args.ann_rank and args.dense_dtype == "int8":
         parser.error("--ann-rank is incompatible with --dense-dtype int8 "
                      "(pick ONE approximation; bf16 composes with ANN)")
+    if args.fusion_rule == "rrf" and args.fusion_mode == "device":
+        parser.error("--fusion-rule rrf is host-path only (the device-"
+                     "fused program implements the min-max rule)")
     if args.passage_reps is None and args.sparse_index is None:
         parser.error("need --passage-reps and/or --sparse-index")
     if args.fusion_mode == "device" and (
@@ -135,6 +144,7 @@ def main(argv=None):
             impact_backend=args.impact_backend,
             impact_wire=args.impact_wire,
             fusion_mode=args.fusion_mode,
+            fusion_rule=args.fusion_rule,
             metrics=[m for m in args.metrics.split(",") if m],
             get_target=lambda qid: corpus.get_target(qid, args.query_type))
     timer.close()

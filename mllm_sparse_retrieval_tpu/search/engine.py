@@ -112,6 +112,7 @@ def run_search(
     impact_backend: str = "auto",
     impact_wire: str = "i32",
     fusion_mode: str = "host",
+    fusion_rule: str = "minmax",
     metrics: Sequence[str] = (),
 ) -> SearchOutput:
     """Encode queries live and search the given indexes.
@@ -141,6 +142,12 @@ def run_search(
     if fusion_mode not in ("host", "device"):
         raise ValueError(f"fusion_mode must be 'host' or 'device', "
                          f"got {fusion_mode!r}")
+    if fusion_rule not in ("minmax", "rrf"):
+        raise ValueError(f"fusion_rule must be 'minmax' or 'rrf', "
+                         f"got {fusion_rule!r}")
+    if fusion_rule == "rrf" and fusion_mode == "device":
+        raise ValueError("fusion_rule='rrf' is host-path only (the "
+                         "device-fused program implements the min-max rule)")
     if fusion_mode == "device" and (dense_index is None or impact_index is None):
         raise ValueError("fusion_mode='device' needs BOTH a dense and an "
                          "impact index (it is the hybrid serving path)")
@@ -197,9 +204,15 @@ def run_search(
                                   scores_sorted=True)
 
     if dense_index is not None and impact_index is not None:
-        out.fusion_run = fuse(
-            [out.dense_run, out.sparse_run],
-            [search_cfg.alpha, 1.0 - search_cfg.alpha])
+        if fusion_rule == "rrf":
+            from mllm_sparse_retrieval_tpu.search.fusion import fuse_rrf
+            out.fusion_run = fuse_rrf(
+                [out.dense_run, out.sparse_run],
+                [search_cfg.alpha, 1.0 - search_cfg.alpha])
+        else:
+            out.fusion_run = fuse(
+                [out.dense_run, out.sparse_run],
+                [search_cfg.alpha, 1.0 - search_cfg.alpha])
 
     if get_target is not None:
         if out.dense_run:

@@ -102,6 +102,37 @@ def fuse(runs: Sequence[Run], weights: Sequence[float]) -> Dict[str, Dict[str, f
     return fused
 
 
+def fuse_rrf(runs: Sequence[Run], weights: Sequence[float] = None,
+             k: int = 60) -> Dict[str, Dict[str, float]]:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) — the other standard
+    hybrid rule beside the reference's min-max sum: per query,
+    ``score(doc) = sum_i w_i / (k + rank_i(doc))`` with 1-based ranks by
+    descending score (stable — ties keep insertion order, the repo rule);
+    a doc missing from a run contributes 0 there. Unlike min-max, RRF is
+    scale-free (no min/max bookkeeping), so it tolerates uncalibrated
+    engines; ``k=60`` is the paper's default. Beyond-reference capability
+    (``src/hybrid.py`` implements min-max only)."""
+    if weights is None:
+        weights = [1.0] * len(runs)
+    fused: Dict[str, Dict[str, float]] = {}
+    qids = set()
+    for run in runs:
+        qids.update(run.keys())
+    for qid in qids:
+        out: Dict[str, float] = {}
+        for run, weight in zip(runs, weights):
+            entry = run.get(qid)
+            if entry is None:
+                continue
+            docs = entry["docs"] if isinstance(entry, dict) and \
+                "docs" in entry else entry
+            ordered = sorted(docs.items(), key=_SCORE, reverse=True)
+            for rank, (doc, _) in enumerate(ordered, 1):
+                out[doc] = out.get(doc, 0.0) + weight / (k + rank)
+        fused[qid] = out
+    return fused
+
+
 def explain_fusion(runs: Sequence[Run], weights: Sequence[float],
                    qid: str, docid: str) -> Dict:
     """Breakdown of one fused (query, doc) score: per-run raw score,

@@ -141,3 +141,48 @@ def test_make_run_accepts_numpy_rows():
     run = make_run(["q1", "q2"], scores, ids)
     assert run["q1"]["docs"] == {"a": 3.0, "b": 2.0}
     assert run["q2"]["max_score"] == 5.0 and run["q2"]["min_score"] == 1.0
+
+
+def test_fuse_rrf_hand_computed_and_properties():
+    """Reciprocal Rank Fusion: hand-checked formula, stable tie ranks,
+    missing-run contributes 0, scale invariance (min-max's weakness)."""
+    from mllm_sparse_retrieval_tpu.search.fusion import fuse_rrf
+
+    runs = [
+        {"q": {"docs": {"a": 30.0, "b": 20.0, "c": 10.0},
+               "max_score": 30.0, "min_score": 10.0}},
+        {"q": {"docs": {"b": 0.9, "d": 0.8},
+               "max_score": 0.9, "min_score": 0.8}},
+    ]
+    out = fuse_rrf(runs, k=60)["q"]
+    assert out["a"] == pytest.approx(1 / 61)
+    assert out["b"] == pytest.approx(1 / 62 + 1 / 61)   # rank 2 + rank 1
+    assert out["c"] == pytest.approx(1 / 63)
+    assert out["d"] == pytest.approx(1 / 62)
+    # weights scale per-run contributions
+    w = fuse_rrf(runs, weights=[2.0, 1.0], k=60)["q"]
+    assert w["a"] == pytest.approx(2 / 61)
+    # scale-free: multiplying one run's scores by 1000 changes nothing
+    runs_scaled = [
+        {"q": {"docs": {k: v * 1000 for k, v in
+                        runs[0]["q"]["docs"].items()},
+               "max_score": 30000.0, "min_score": 10000.0}},
+        runs[1],
+    ]
+    assert fuse_rrf(runs_scaled, k=60)["q"] == out
+    # plain-dict (fused-run) shape accepted too
+    plain = [{"q": {"a": 3.0, "b": 2.0}}, {"q": {"b": 1.0}}]
+    p = fuse_rrf(plain, k=10)["q"]
+    assert p["b"] == pytest.approx(1 / 12 + 1 / 11)
+
+
+def test_run_search_fusion_rule_validation():
+    from mllm_sparse_retrieval_tpu.search.engine import run_search
+
+    with pytest.raises(ValueError, match="fusion_rule"):
+        run_search([], None, None, None, None, query_type="text",
+                   sparse_cfg=None, search_cfg=None, fusion_rule="bogus")
+    with pytest.raises(ValueError, match="host-path"):
+        run_search([], None, None, None, None, query_type="text",
+                   sparse_cfg=None, search_cfg=None, fusion_rule="rrf",
+                   fusion_mode="device")
