@@ -87,6 +87,12 @@ def main(argv=None):
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--alpha", type=float, default=0.5)
+    parser.add_argument("--fusion-rule", default="minmax",
+                        choices=["minmax", "rrf"],
+                        help="hybrid fusion formula: minmax = reference-"
+                             "parity weighted min-max (device-fused fast "
+                             "path); rrf = Reciprocal Rank Fusion (scale-"
+                             "free; host-fused)")
     parser.add_argument("--depths", default="10,100,1000",
                         help="comma-separated servable depth levels (one "
                              "compiled program each)")
@@ -257,7 +263,8 @@ def main(argv=None):
         default_depth=args.default_depth, backend=args.impact_backend,
         wire=args.impact_wire, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, query_encoder=encoder,
-        live_state_dir=args.live_state, filters=filters)
+        live_state_dir=args.live_state, filters=filters,
+        fusion_rule=args.fusion_rule)
     if not args.no_warm:
         _warm(service, logger)
 

@@ -85,6 +85,7 @@ class RetrievalService:
         query_encoder=None,
         live_state_dir: Optional[str] = None,
         filters: Optional[Mapping] = None,
+        fusion_rule: str = "minmax",
     ):
         if dense_index is None and impact_index is None:
             raise ValueError("need at least one of dense_index/impact_index")
@@ -138,8 +139,14 @@ class RetrievalService:
         from mllm_sparse_retrieval_tpu.serving.batcher import MicroBatcher
 
         self.alpha = float(alpha)
+        if fusion_rule not in ("minmax", "rrf"):
+            raise ValueError(f"fusion_rule must be 'minmax' or 'rrf', "
+                             f"got {fusion_rule!r}")
+        # rrf routes hybrid through the host-fused path (the device-fused
+        # program implements the min-max rule)
+        self.fusion_rule = fusion_rule
         self._engine_pool = None
-        if self.mode == "hybrid" and not self.live:
+        if self.mode == "hybrid" and not self.live and fusion_rule != "rrf":
             from mllm_sparse_retrieval_tpu.search.device_fusion import (
                 FusedHybridSearcher)
             self._fused = FusedHybridSearcher(
@@ -284,7 +291,7 @@ class RetrievalService:
                 f"replacement dense dim {dense_index.dim} != serving dim "
                 f"{self.dense_index.dim} (a dim migration needs a restart)")
         new_fused = None
-        if self.mode == "hybrid":
+        if self.mode == "hybrid" and self.fusion_rule != "rrf":
             from mllm_sparse_retrieval_tpu.search.device_fusion import (
                 FusedHybridSearcher)
             new_fused = FusedHybridSearcher(
@@ -567,7 +574,7 @@ class RetrievalService:
             scores, ids = self._dense_rows(reqs, depth, flt)
         elif self.mode == "sparse":
             scores, ids = self._sparse_rows(reqs, depth, flt)
-        elif self.live or flt is not None:
+        elif self.live or flt is not None or self.fusion_rule == "rrf":
             scores, ids = self._hybrid_rows_host(reqs, depth, flt)
         else:
             q_reps = self._padded_dense(reqs)
@@ -646,7 +653,11 @@ class RetrievalService:
                                    "max_score": float(srow[0]),
                                    "min_score": float(srow[-1])}
             runs.append(run)
-        fused = fuse(runs, [self.alpha, 1.0 - self.alpha])
+        if self.fusion_rule == "rrf":
+            from mllm_sparse_retrieval_tpu.search.fusion import fuse_rrf
+            fused = fuse_rrf(runs, [self.alpha, 1.0 - self.alpha])
+        else:
+            fused = fuse(runs, [self.alpha, 1.0 - self.alpha])
         out_s: List[List[float]] = []
         out_i: List[List[object]] = []
         score_of = operator.itemgetter(1)

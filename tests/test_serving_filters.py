@@ -123,6 +123,47 @@ def test_service_hybrid_filtered_matches_host_fuse(stack):
         svc.close()
 
 
+def test_service_rrf_hybrid_matches_fuse_rrf(stack):
+    """fusion_rule='rrf': static hybrid routes through the host-fused path
+    and matches fuse_rrf over the engines' candidate runs exactly."""
+    from mllm_sparse_retrieval_tpu.search.fusion import fuse_rrf
+
+    ids, sparse, reps, impact, dense, _, rng = stack
+    alpha = 0.5
+    svc = RetrievalService(dense, impact, alpha=alpha, depth_levels=(10,),
+                           backend="matmul", max_batch=4, max_wait_ms=5.0,
+                           fusion_rule="rrf")
+    try:
+        assert not hasattr(svc, "_fused")   # device searcher never built
+        terms = [{int(t): 2.0 for t in rng.choice(30, 4, replace=False)}
+                 for _ in range(3)]
+        denses = _int_reps(rng, 3, 8)
+        got = [svc.search(terms=t, dense=d)
+               for t, d in zip(terms, denses)]
+        d_s, d_i = dense.search_ids(denses, 10)
+        s_s, s_i = impact.search(terms, 10, backend="matmul")
+        runs = []
+        for rows_s, rows_i in ((np.asarray(d_s).tolist(), d_i),
+                               (s_s, s_i)):
+            run = {}
+            for q in range(3):
+                if len(rows_i[q]):
+                    run[str(q)] = {
+                        "docs": dict(zip(rows_i[q], map(float, rows_s[q]))),
+                        "max_score": float(max(rows_s[q])),
+                        "min_score": float(min(rows_s[q]))}
+            runs.append(run)
+        fused = fuse_rrf(runs, [alpha, 1 - alpha])
+        for q, row in enumerate(got):
+            ref = sorted(fused[str(q)].items(), key=lambda kv: -kv[1])[:10]
+            assert _row_set(row) == _row_set(ref), q
+    finally:
+        svc.close()
+    with pytest.raises(ValueError, match="fusion_rule"):
+        RetrievalService(dense, impact, depth_levels=(10,),
+                         fusion_rule="bogus")
+
+
 def test_filters_rejected_on_live_service():
     live = LiveImpactIndex(None)
     live.add_documents([("a", {1: 2})])
