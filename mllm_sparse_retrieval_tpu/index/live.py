@@ -158,6 +158,7 @@ class _LiveBase:
         self.background_compaction = bool(background_compaction)
         self._compact_wake = threading.Event()
         self._compactor: Optional[threading.Thread] = None
+        self._search_pool = None     # lazy; overlaps delta-segment fetches
         self._closed = False
 
     # -- snapshot / bookkeeping (callers hold no lock) -------------------------
@@ -215,6 +216,29 @@ class _LiveBase:
             else:
                 self._compact_deltas()
 
+    def _search_segments(self, segs, search_one):
+        """Run ``search_one(pos, seg)`` for every segment with the DELTAS
+        overlapped on a small thread pool while the base runs on the
+        caller's thread: each per-segment search blocks on its own
+        device->host fetch, so a sequential loop serializes base + N delta
+        round trips; overlapping hides the deltas behind the base (the
+        device still executes programs serially — only the host-side
+        dispatch/fetch waits overlap). Results come back in segment order."""
+        if len(segs) == 1:
+            return [search_one(0, segs[0])]
+        with self._lock:
+            pool = self._search_pool
+            if pool is None and not self._closed:
+                from concurrent.futures import ThreadPoolExecutor
+                pool = self._search_pool = ThreadPoolExecutor(
+                    max_workers=4, thread_name_prefix="live-seg-search")
+        if pool is None:                   # closed: sequential fallback
+            return [search_one(pos, seg) for pos, seg in enumerate(segs)]
+        futs = [pool.submit(search_one, pos, seg)
+                for pos, seg in enumerate(segs[1:], 1)]
+        first = search_one(0, segs[0])
+        return [first] + [f.result() for f in futs]
+
     def _kick_compactor(self) -> None:
         with self._lock:
             if self._closed:
@@ -245,11 +269,15 @@ class _LiveBase:
             time.sleep(0.005)
 
     def close(self) -> None:
-        """Stop the background compactor (if any). Idempotent; the index
-        remains searchable, only auto-compaction stops."""
+        """Stop the background compactor and search pool (if any).
+        Idempotent; the index remains searchable (single-threaded), only
+        the helpers stop."""
         with self._lock:
             self._closed = True
+            pool, self._search_pool = self._search_pool, None
         self._compact_wake.set()
+        if pool is not None:
+            pool.shutdown(wait=False)
 
     def _install_merge(self, head: Tuple[_Segment, ...],
                        merged_over: Tuple[_Segment, ...],
@@ -423,13 +451,15 @@ class LiveDenseIndex(_LiveBase):
         if not segs:
             b = np.asarray(q_reps).shape[0]
             return [[] for _ in range(b)], [[] for _ in range(b)]
-        per_segment = []
-        for pos, seg in enumerate(segs):
+
+        def search_one(pos, seg):
             d_f = _fetch_depth(depth, seg.drop_count, seg.index.size)
             scores, ids = seg.index.search_ids(
                 q_reps, d_f, batch_size=batch_size,
                 mesh=mesh if pos == 0 else None)
-            per_segment.append((np.asarray(scores).tolist(), ids))
+            return np.asarray(scores).tolist(), ids
+
+        per_segment = self._search_segments(segs, search_one)
         return _merge_rows(per_segment, segs, depth)
 
     # -- compaction --------------------------------------------------------------
@@ -556,16 +586,18 @@ class LiveImpactIndex(_LiveBase):
         segs = tuple(s for s in self._snapshot() if s.index.num_docs)
         if not segs:
             return [[] for _ in terms_list], [[] for _ in terms_list]
-        per_segment = []
-        for pos, seg in enumerate(segs):
+
+        def search_one(pos, seg):
             idx: ImpactIndex = seg.index
             d_f = _fetch_depth(depth, seg.drop_count, idx.num_docs)
             q_idx, q_w = idx.encode_queries(terms_list)
-            per_segment.append(idx.search_encoded(
+            return idx.search_encoded(
                 q_idx, q_w, d_f,
                 mesh=mesh if pos == 0 else None,
                 backend=backend if pos == 0 else "matmul",
-                wire=wire if pos == 0 else "i32"))
+                wire=wire if pos == 0 else "i32")
+
+        per_segment = self._search_segments(segs, search_one)
         return _merge_rows(per_segment, segs, depth)
 
     # -- compaction --------------------------------------------------------------

@@ -3,9 +3,13 @@
 Wraps the three engine modes the framework serves —
 
 - ``sparse``:  :class:`ImpactIndex` (TAAT Pallas kernel / matmul backend),
-- ``dense``:   :class:`DenseFlatIndex` (f32 / bf16 / int8 MIPS),
+- ``dense``:   :class:`DenseFlatIndex` (f32 / bf16 / int8 MIPS) or the
+  ANN tier (:class:`DenseANNIndex`),
 - ``hybrid``:  :class:`FusedHybridSearcher` (both top-k fused ON DEVICE,
-  one packed fetch — the serving path, search/device_fusion.py)
+  one packed fetch — search/device_fusion.py) under the default min-max
+  rule on static indexes; live / filtered / RRF hybrid fuses candidate
+  runs on the host (``search.fusion``) with the engines overlapped on a
+  side thread
 
 — behind a :class:`MicroBatcher`, so concurrent single queries coalesce
 into one compiled-program call. Depths are quantized up to fixed levels
