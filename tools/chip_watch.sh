@@ -65,4 +65,5 @@ run corpus_e2e     python tools/corpus_e2e.py
 run latency_i32    python tools/latency_profile.py --wire i32 --depth 1000
 run latency_c48    python tools/latency_profile.py --wire compact48 --depth 1000
 run ann_ab         python tools/ann_ab.py
+run live_ab        python tools/live_ab.py
 echo "ALL DONE $(date -u +%FT%TZ)" >> "$STATUS"
