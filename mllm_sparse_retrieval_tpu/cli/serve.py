@@ -127,6 +127,14 @@ def main(argv=None):
                         help="live-state directory: resume from it when it "
                              "holds a save (artifact args are then ignored), "
                              "save to it on shutdown and on POST /save")
+    parser.add_argument("--live-impl", default="arena",
+                        choices=["arena", "segments"],
+                        help="live-index implementation: 'arena' (default; "
+                             "in-place device scatter + tombstone mask — "
+                             "near-static read cost, index/arena.py) or "
+                             "'segments' (Lucene-style delta segments + "
+                             "host merge, index/live.py). Resume from "
+                             "--live-state keeps the saved impl")
     parser.add_argument("--live-term-keys", default=None,
                         choices=["int", "str"],
                         help="sparse term key space for an EMPTY live "
@@ -215,20 +223,25 @@ def main(argv=None):
             logger.info("impact index: %d docs / %d terms",
                         impact_index.num_docs, impact_index.num_terms)
     if (args.live or args.live_empty or args.live_state) and not live_resumed:
-        from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
-                                                          LiveImpactIndex)
+        if args.live_impl == "arena":
+            from mllm_sparse_retrieval_tpu.index.arena import (
+                ArenaDenseIndex as DenseLive, ArenaImpactIndex as ImpactLive)
+        else:
+            from mllm_sparse_retrieval_tpu.index.live import (
+                LiveDenseIndex as DenseLive, LiveImpactIndex as ImpactLive)
         want = args.live_empty or (
             "hybrid" if dense_index is not None and impact_index is not None
             else "dense" if dense_index is not None else "sparse")
         # background_compaction: merges run off the request threads (one
-        # unlucky POST /documents must not pay an O(corpus) merge inline)
+        # unlucky POST /documents must not pay an O(corpus) merge inline;
+        # arena compaction is inline but bounded by the capacity policy)
         if want in ("dense", "hybrid"):
-            dense_index = LiveDenseIndex(dense_index,
-                                         background_compaction=True)
+            dense_index = DenseLive(dense_index,
+                                    background_compaction=True)
         if want in ("sparse", "hybrid"):
-            impact_index = LiveImpactIndex(impact_index,
-                                           term_keys=args.live_term_keys,
-                                           background_compaction=True)
+            impact_index = ImpactLive(impact_index,
+                                      term_keys=args.live_term_keys,
+                                      background_compaction=True)
     if args.live or args.live_empty or args.live_state:
         logger.info("live mode: corpus is mutable while serving "
                     "(POST /documents, /documents/delete, /compact, /save)")

@@ -131,6 +131,16 @@ class ImpactIndex:
         self._mesh = None
         self._n_valid = 0
         self._i16_ok = None  # cached _int16_exact() result
+        # Arena (mutable) capacity reservation — index/arena.py: when set,
+        # device matrices are padded to >= doc_capacity columns and
+        # term_capacity (+1) rows, and _n_valid covers the whole padded
+        # width, so in-place appends (scatter_append_triples) never change
+        # a compiled program's shape. Reserved columns/rows are all-zero:
+        # zero impact scores are dropped at resolve, exactly like docs
+        # sharing no query term, so reserved capacity is invisible until
+        # something is scattered into it.
+        self.doc_capacity: Optional[int] = None
+        self.term_capacity: Optional[int] = None
         # True iff this index's term ids were canonicalized at build
         # (from_selected_terms with a canonical_map): queries must then be
         # folded through the SAME map, and must NOT be otherwise — the
@@ -321,6 +331,11 @@ class ImpactIndex:
             return self._dev[key]
         n = self.doc_terms.shape[0]
         t = len(self.term_to_idx)
+        # capacity mode (arena): pad the matrix to the reservation and mask
+        # NOTHING by position — reserved all-zero columns score 0 and are
+        # dropped at resolve; tombstones ride a DocFilter mask instead
+        n_eff = max(n, self.doc_capacity or 0)
+        t_eff = max(t, self.term_capacity or 0)
         self._n_valid = n
         n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         if kernel_layout:
@@ -328,13 +343,15 @@ class ImpactIndex:
                 padded_doc_columns)
             np_dtype = np.int16 if dtype == "i16" else np.float32
             shard_cols = padded_doc_columns(
-                -(-max(n, 1) // n_shards), np_dtype, tile=_DOC_TILE)
+                -(-max(n_eff, 1) // n_shards), np_dtype, tile=_DOC_TILE)
             n_pad = shard_cols * n_shards
         else:
-            n_pad = _round_up(max(n, 1), _DOC_TILE * n_shards)
+            n_pad = _round_up(max(n_eff, 1), _DOC_TILE * n_shards)
+        if self.doc_capacity is not None:
+            self._n_valid = n_pad
 
         itemsize = 2 if dtype == "i16" else 4
-        per_device = (t + 1) * n_pad * itemsize
+        per_device = (t_eff + 1) * n_pad * itemsize
         if mesh is not None:
             per_device //= mesh.shape[DATA_AXIS]
         # already-cached forms (mixed-backend use keeps both the i16 and f32
@@ -343,7 +360,8 @@ class ImpactIndex:
         if mesh is not None:
             cached //= mesh.shape[DATA_AXIS]
         if per_device + cached > self.hbm_budget_bytes:
-            shards = -(-((t + 1) * n_pad * itemsize) // self.hbm_budget_bytes)
+            shards = -(-((t_eff + 1) * n_pad * itemsize)
+                       // self.hbm_budget_bytes)
             raise MemoryError(
                 f"impact matrix needs {per_device / 1e9:.1f} GB per device "
                 f"(terms={t}, docs_pad={n_pad}, {dtype}; "
@@ -356,11 +374,11 @@ class ImpactIndex:
 
         np_dtype = np.int16 if dtype == "i16" else np.float32
         if mesh is None:
-            dev = self._place_chunked(t, n_pad, np_dtype, kernel_layout)
+            dev = self._place_chunked(t_eff, n_pad, np_dtype, kernel_layout)
             self._dev[key] = dev
             return dev
 
-        matrix = np.zeros((t + 1, n_pad), np.float32)
+        matrix = np.zeros((t_eff + 1, n_pad), np.float32)
         # CSR rows are contiguous per term: expand offsets to row indices.
         counts = np.diff(self.csr_offsets).astype(np.int64)
         term_rows = np.repeat(np.arange(t, dtype=np.int64), counts) + 1
@@ -373,9 +391,9 @@ class ImpactIndex:
             # [T+1, D*shard] -> [D, T+1, s, shard/s]: shard-major so each
             # device's slice is its contiguous doc block, pre-shaped
             matrix = np.ascontiguousarray(
-                matrix.reshape(t + 1, n_shards, shard_cols)
+                matrix.reshape(t_eff + 1, n_shards, shard_cols)
                 .transpose(1, 0, 2)
-            ).reshape(n_shards, t + 1, s_lanes, shard_cols // s_lanes)
+            ).reshape(n_shards, t_eff + 1, s_lanes, shard_cols // s_lanes)
 
         from jax.sharding import NamedSharding, PartitionSpec as P
         spec = P(DATA_AXIS, None, None, None) if kernel_layout \
@@ -419,9 +437,10 @@ class ImpactIndex:
         # those temps stay ~2 GB next to the matrix itself
         ent_per = min(ent_per, 2_000_000, _round_up(nnz, 65536))
         counts = np.diff(self.csr_offsets)
-        # matrix row r holds term r-1 (row 0 is the query-padding slot)
-        rows_all = (np.repeat(np.arange(t, dtype=np.int64), counts) + 1
-                    ).astype(np.int32)
+        # matrix row r holds term r-1 (row 0 is the query-padding slot);
+        # counts has the REAL term count — t may include arena row capacity
+        rows_all = (np.repeat(np.arange(counts.size, dtype=np.int64),
+                              counts) + 1).astype(np.int32)
         cols_all = self.csr_docs.astype(np.int32, copy=False)
         w_all = self.csr_weights.astype(np_dtype)
         lane_w = max(n_pad // s_lanes, 1)
@@ -449,6 +468,44 @@ class ImpactIndex:
         the next search)."""
         self._dev = None
         self._mesh = None
+
+    def scatter_append_triples(self, term_idx, doc_pos, weights) -> None:
+        """Scatter (term idx, doc column, weight) triples into every CACHED
+        single-chip device matrix IN PLACE (the donated `_scatter_block`
+        update — compiled program shapes unchanged, so warm searches keep
+        their executables). The arena live path's append primitive
+        (index/arena.py); requires `doc_capacity`/`term_capacity` headroom —
+        callers must grow/compact before positions or term ids exceed the
+        reservation. Mesh-sharded forms are dropped instead (rebuilt lazily
+        on the next mesh search; multi-chip scatter would need per-shard
+        column routing and mutation-while-serving is a single-chip serving
+        feature). No-op when nothing is materialized yet."""
+        if not self._dev:
+            return
+        rows = (np.asarray(term_idx, np.int64) + 1).astype(np.int32)
+        cols = np.asarray(doc_pos, np.int32)
+        vals = np.asarray(weights)
+        # pad the triple count to a power of two (>= 1024) so repeated
+        # appends of varying sizes share a handful of compiled scatters;
+        # padding entries write weight 0 to row 0, absorbed by its zero
+        # invariant (same trick as _place_chunked's tail block)
+        n_tr = max(1024, 1 << int(np.ceil(np.log2(max(rows.size, 1)))))
+        if n_tr > rows.size:
+            pad = n_tr - rows.size
+            rows = np.concatenate([rows, np.zeros(pad, np.int32)])
+            cols = np.concatenate([cols, np.zeros(pad, np.int32)])
+            vals = np.concatenate([vals, np.zeros(pad, vals.dtype)])
+        for key in list(self._dev):
+            dev = self._dev[key]
+            if self._mesh is not None or dev.ndim == 4:
+                del self._dev[key]
+                continue
+            kernel_layout = dev.ndim == 3
+            np_dtype = np.int16 if key.startswith("i16") else np.float32
+            self._dev[key] = _scatter_block(
+                dev, jax.device_put(rows), jax.device_put(cols),
+                jax.device_put(vals.astype(np_dtype)),
+                dev.shape[-1], kernel_layout)
 
     # ---- query encoding -----------------------------------------------------------
     def encode_queries(

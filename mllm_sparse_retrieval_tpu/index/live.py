@@ -147,6 +147,9 @@ def _merge_rows(
 class _LiveBase:
     """Shared segment bookkeeping for the dense and sparse live indexes."""
 
+    live_capable = True      # serving.service protocol flag (also on the
+                             # arena classes, index/arena.py)
+
     def __init__(self, max_delta_segments: int,
                  background_compaction: bool = False):
         self._lock = threading.Lock()

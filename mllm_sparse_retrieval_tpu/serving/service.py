@@ -93,12 +93,13 @@ class RetrievalService:
     ):
         if dense_index is None and impact_index is None:
             raise ValueError("need at least one of dense_index/impact_index")
-        from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
-                                                          LiveImpactIndex)
         self.dense_index = dense_index
         self.impact_index = impact_index
-        self._dense_live = isinstance(dense_index, LiveDenseIndex)
-        self._impact_live = isinstance(impact_index, LiveImpactIndex)
+        # protocol flag carried by BOTH live families: the segment classes
+        # (index/live.py) and the arena classes (index/arena.py)
+        self._dense_live = bool(getattr(dense_index, "live_capable", False))
+        self._impact_live = bool(getattr(impact_index, "live_capable",
+                                         False))
         self.live = self._dense_live or self._impact_live
         self.mode = ("hybrid" if dense_index is not None
                      and impact_index is not None
@@ -274,10 +275,8 @@ class RetrievalService:
         if self.live:
             raise ValueError("reload_indexes is for static serving; a live "
                              "service mutates in place (add/delete/compact)")
-        from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
-                                                          LiveImpactIndex)
-        if isinstance(dense_index, LiveDenseIndex) or \
-                isinstance(impact_index, LiveImpactIndex):
+        if getattr(dense_index, "live_capable", False) or \
+                getattr(impact_index, "live_capable", False):
             raise ValueError("reload_indexes takes static indexes")
         if (dense_index is None) != (self.dense_index is None) or \
                 (impact_index is None) != (self.impact_index is None):
@@ -680,19 +679,28 @@ def load_live_state(directory: str, dense_dtype=None,
     the persisted device dtype (e.g. load an f32 save as int8);
     ``background_compaction`` is the serving-mode merge scheduler
     (index/live.py)."""
+    import json
     import os
 
+    from mllm_sparse_retrieval_tpu.index.arena import (ArenaDenseIndex,
+                                                       ArenaImpactIndex)
     from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
                                                       LiveImpactIndex)
+    by_kind = {"dense": LiveDenseIndex, "impact": LiveImpactIndex,
+               "dense-arena": ArenaDenseIndex, "impact-arena": ArenaImpactIndex}
     dense = impact = None
     d_dir = os.path.join(directory, "dense")
     s_dir = os.path.join(directory, "sparse")
     bc = {"background_compaction": background_compaction}
     if os.path.exists(os.path.join(d_dir, "live.json")):
+        with open(os.path.join(d_dir, "live.json")) as f:
+            kind = json.load(f)["kind"]
         kw = dict(bc) if dense_dtype is None else {"dtype": dense_dtype, **bc}
-        dense = LiveDenseIndex.load(d_dir, **kw)
+        dense = by_kind[kind].load(d_dir, **kw)
     if os.path.exists(os.path.join(s_dir, "live.json")):
-        impact = LiveImpactIndex.load(s_dir, **bc)
+        with open(os.path.join(s_dir, "live.json")) as f:
+            kind = json.load(f)["kind"]
+        impact = by_kind[kind].load(s_dir, **bc)
     if dense is None and impact is None:
         raise FileNotFoundError(f"no live state under {directory}")
     return dense, impact

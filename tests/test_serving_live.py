@@ -39,9 +39,11 @@ def _row_set(row):
     return {(d, round(float(s), 4)) for d, s in row}
 
 
-@pytest.fixture()
-def live_pair():
-    """Live dense + sparse indexes over the SAME 40-doc corpus + queries."""
+@pytest.fixture(params=["segments", "arena"])
+def live_pair(request):
+    """Live dense + sparse indexes over the SAME 40-doc corpus + queries —
+    parametrized over BOTH live implementations (segment classes and the
+    arena classes), which must be interchangeable behind the service."""
     rng = np.random.default_rng(11)
     dim, vocab = 12, np.arange(50)
     ids = [f"d{i}" for i in range(40)]
@@ -50,10 +52,16 @@ def live_pair():
 
     impact = ImpactIndex()
     impact.add_many(sorted(sparse_docs.items()))
-    live_s = LiveImpactIndex(impact)
     dense = DenseFlatIndex()
     dense.add(np.stack([reps[i] for i in ids]), ids)
-    live_d = LiveDenseIndex(dense, bucket_min=8)
+    if request.param == "arena":
+        from mllm_sparse_retrieval_tpu.index import (ArenaDenseIndex,
+                                                     ArenaImpactIndex)
+        live_s = ArenaImpactIndex(impact, doc_headroom=64, term_headroom=32)
+        live_d = ArenaDenseIndex(dense, doc_headroom=64)
+    else:
+        live_s = LiveImpactIndex(impact)
+        live_d = LiveDenseIndex(dense, bucket_min=8)
 
     terms = [{int(t): float(rng.integers(1, 8))
               for t in rng.choice(vocab, 4, replace=False)}

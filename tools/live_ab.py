@@ -11,6 +11,12 @@ alternating reps (cancels relay drift):
   C) LiveImpactIndex, base + 4 deltas + tombstones   (steady-state serving)
   D/E/F) the same trio for DenseFlatIndex / LiveDenseIndex
 
+Round 8 adds the ARENA implementation (index/arena.py) beside each live
+leg: base-only (should be ~the static program) and post-mutation
+steady state (same adds + tombstones as the segment legs; cost = one
+fused filter `where`). The arena wraps its OWN copy of the corpus so
+capacity-mode placement never perturbs the static/segment legs.
+
 Usage: python tools/live_ab.py [--docs 25010] [--terms 20000] [--reps 4]
 Smoke: JAX_PLATFORMS=cpu python tools/live_ab.py --smoke
 """
@@ -33,7 +39,8 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_traceback_in_locations_limit", 0)
 
-from mllm_sparse_retrieval_tpu.index import (DenseFlatIndex,   # noqa: E402
+from mllm_sparse_retrieval_tpu.index import (ArenaDenseIndex,  # noqa: E402
+                                             ArenaImpactIndex, DenseFlatIndex,
                                              LiveDenseIndex, LiveImpactIndex)
 from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex  # noqa: E402
 
@@ -89,11 +96,22 @@ def main():
     def sparse_live():
         live_s.search_rows(terms, args.depth, backend=args.backend)
 
+    # the arena wraps its OWN copy (adoption drops device caches and
+    # re-places with capacity — must not touch the static leg's index)
+    impact_b = ImpactIndex.from_packed_arrays(doc_t.copy(), doc_w.copy(),
+                                              term_keys=range(args.terms))
+    arena_s = ArenaImpactIndex(impact_b,
+                               doc_headroom=4 * args.delta_docs + 1024)
+
+    def sparse_arena():
+        arena_s.search_rows(terms, args.depth, backend=args.backend)
+
     # warm + measure A/B interleaved
-    sparse_static(), sparse_live()
+    sparse_static(), sparse_live(), sparse_arena()
     rows = {}
     for name, fn in (("sparse_static", sparse_static),
-                     ("sparse_live_base", sparse_live)):
+                     ("sparse_live_base", sparse_live),
+                     ("sparse_arena_base", sparse_arena)):
         rows[name] = _best(fn, args.reps)
 
     # C: steady-state live (4 deltas + tombstones in base and deltas)
@@ -103,10 +121,14 @@ def main():
                      for t in rng.choice(args.terms, 8, replace=False)})
                 for i in ids]
         live_s.add_documents(docs)
-    live_s.delete_documents([impact.doc_ids[i] for i in range(0, 200, 2)]
-                            + [f"n0_{i}" for i in range(0, 50)])
-    sparse_live()
+        arena_s.add_documents(docs)
+    dead = [impact.doc_ids[i] for i in range(0, 200, 2)] \
+        + [f"n0_{i}" for i in range(0, 50)]
+    live_s.delete_documents(dead)
+    arena_s.delete_documents(dead)
+    sparse_live(), sparse_arena()
     rows["sparse_live_deltas"] = _best(sparse_live, args.reps)
+    rows["sparse_arena_mutated"] = _best(sparse_arena, args.reps)
 
     # dense trio
     reps = rng.normal(size=(args.docs, args.dim)).astype(np.float32)
@@ -123,27 +145,45 @@ def main():
     def dense_live():
         live_d.search_rows(q, args.depth, batch_size=args.batch)
 
-    dense_static(), dense_live()
+    dense_b = DenseFlatIndex()
+    dense_b.add(reps, [str(i) for i in range(args.docs)])
+    arena_d = ArenaDenseIndex(dense_b,
+                              doc_headroom=4 * args.delta_docs + 1024)
+
+    def dense_arena():
+        arena_d.search_rows(q, args.depth, batch_size=args.batch)
+
+    dense_static(), dense_live(), dense_arena()
     for name, fn in (("dense_static", dense_static),
-                     ("dense_live_base", dense_live)):
+                     ("dense_live_base", dense_live),
+                     ("dense_arena_base", dense_arena)):
         rows[name] = _best(fn, args.reps)
     for d in range(4):
-        live_d.add_documents(
-            rng.normal(size=(args.delta_docs, args.dim)).astype(np.float32),
-            [f"m{d}_{i}" for i in range(args.delta_docs)])
-    live_d.delete_documents([str(i) for i in range(0, 200, 2)])
-    dense_live()
+        block = rng.normal(size=(args.delta_docs, args.dim)
+                           ).astype(np.float32)
+        ids = [f"m{d}_{i}" for i in range(args.delta_docs)]
+        live_d.add_documents(block, ids)
+        arena_d.add_documents(block, ids)
+    dead_d = [str(i) for i in range(0, 200, 2)]
+    live_d.delete_documents(dead_d)
+    arena_d.delete_documents(dead_d)
+    dense_live(), dense_arena()
     rows["dense_live_deltas"] = _best(dense_live, args.reps)
+    rows["dense_arena_mutated"] = _best(dense_arena, args.reps)
 
     for name, t in rows.items():
         print(f"[{name}] {t * 1e3:.1f} ms/batch -> "
               f"{args.batch / t:.0f} QPS", flush=True)
     for eng in ("sparse", "dense"):
         base = rows[f"{eng}_static"]
-        print(f"{eng} live overhead: base-only "
+        print(f"{eng} live overhead vs static: segments base-only "
               f"{rows[f'{eng}_live_base'] / base - 1:+.1%}, "
-              f"4 deltas+tombstones "
-              f"{rows[f'{eng}_live_deltas'] / base - 1:+.1%}", flush=True)
+              f"segments 4 deltas+tombstones "
+              f"{rows[f'{eng}_live_deltas'] / base - 1:+.1%}; "
+              f"ARENA base-only "
+              f"{rows[f'{eng}_arena_base'] / base - 1:+.1%}, "
+              f"ARENA mutated "
+              f"{rows[f'{eng}_arena_mutated'] / base - 1:+.1%}", flush=True)
 
 
 if __name__ == "__main__":
