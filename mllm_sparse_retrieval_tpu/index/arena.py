@@ -21,12 +21,18 @@ that supports in-place scatter. The arena design exploits that:
   cached device matrix IN PLACE. Compiled program shapes never change, so
   the warm executables — including the minutes-to-compile Pallas TAAT
   kernel — keep serving.
-- **delete = tombstone bit.** Deletes clear a host-side live-mask bit;
-  searches pass the mask as a :class:`~..index.filter.DocFilter` (the
-  already-compiled filtered program variants). `add_documents` has Lucene
-  ``updateDocument`` semantics: re-adding an id tombstones the old copy.
-  With zero tombstones the impact path serves the UNFILTERED program —
-  bit-identical cost to a static index.
+- **delete = tombstone bit (+ zeroed columns for impact).** Deletes clear
+  a host-side live-mask bit. The IMPACT arena additionally scatters zeros
+  over the dead doc's populated (term row, doc column) cells in every
+  cached device matrix: impact scores are non-negative and zero-score
+  docs are dropped at resolve, so single-chip searches serve the
+  UNFILTERED static program — tombstones or not — at bit-identical static
+  cost with no compact48 wire downgrade. The DENSE arena (zero inner
+  products can outrank negative true scores) and MESH searches (mutations
+  drop sharded forms) pass the mask as a
+  :class:`~..index.filter.DocFilter` (already-compiled filtered program
+  variants). `add_documents` has Lucene ``updateDocument`` semantics:
+  re-adding an id tombstones the old copy.
 - **compact = rebuild.** When capacity (docs or terms) runs out, the arena
   repacks live documents into a fresh inner index with doubled-as-needed
   headroom (the only O(corpus) event; device re-placement is the round-4
@@ -158,25 +164,36 @@ class _ArenaBase:
 
     def delete_documents(self, ids: Sequence[str]) -> int:
         with self._rw.write():
-            hit = 0
+            dead: List[int] = []
             for i in ids:
                 pos = self._pos.pop(str(i), None)
                 if pos is not None:
                     self._live[pos] = False
-                    hit += 1
-            if hit:
-                self._tomb_count += hit
+                    dead.append(pos)
+            if dead:
+                self._tomb_count += len(dead)
                 self._filter = None
-            return hit
+                self._on_tombstoned(dead)
+            return len(dead)
 
     def _tombstone_for_update(self, new_ids) -> None:
         """updateDocument semantics (caller holds the write lock)."""
+        dead: List[int] = []
         for i in new_ids:
             pos = self._pos.pop(i, None)
             if pos is not None:
                 self._live[pos] = False
-                self._tomb_count += 1
-                self._filter = None
+                dead.append(pos)
+        if dead:
+            self._tomb_count += len(dead)
+            self._filter = None
+            self._on_tombstoned(dead)
+
+    def _on_tombstoned(self, positions: List[int]) -> None:
+        """Subclass hook, called under the write lock with the positions
+        that just went dead. Default: nothing (the live-mask DocFilter
+        handles exclusion)."""
+        return None
 
     def _live_filter(self) -> DocFilter:
         """Cached allow-mask over current positions (called under the read
@@ -359,6 +376,43 @@ class ArenaImpactIndex(_ArenaBase):
             elif self._pend_count:
                 self._fold_pending()
 
+    # -- tombstones = zeroed doc columns ----------------------------------------
+    # Impact scores are non-negative and zero-score docs are dropped at
+    # resolve (the Lucene "only matching docs" rule, ImpactIndex line
+    # ~139/_resolve_encoded) — so scattering ZEROS over a tombstoned doc's
+    # (term row, doc column) cells removes it from every cached device
+    # matrix outright. Single-chip searches then serve the UNFILTERED
+    # static program even with tombstones: no filtered program variant, no
+    # compact48 -> i32 wire downgrade, bit-identical static cost. The
+    # live-mask DocFilter remains only for mesh searches (mutations drop
+    # mesh forms, so per-shard zero routing is not worth building).
+
+    def _on_tombstoned(self, positions: List[int]) -> None:
+        inner = self._inner
+        if not inner._dev:
+            return
+        self._scatter_zeros(positions)
+
+    def _scatter_zeros(self, positions: Sequence[int]) -> None:
+        """Write zeros over the given doc positions' populated cells in
+        every cached single-chip device matrix (caller holds the write
+        lock). Idempotent."""
+        inner = self._inner
+        pos = np.asarray(list(positions), np.int64)
+        if pos.size == 0:
+            return
+        rows_t = inner.doc_terms[pos]          # [m, k] term idx (pad = 0)
+        rows_w = inner.doc_weights[pos]        # [m, k] weights (pad = 0)
+        ri, ci = np.nonzero(rows_w > 0)
+        if ri.size == 0:
+            return
+        inner.scatter_append_triples(
+            rows_t[ri, ci], pos[ri].astype(np.int32),
+            np.zeros(ri.size, np.float32))
+
+    def _dead_positions(self) -> np.ndarray:
+        return np.nonzero(~self._live)[0]
+
     def _fold_pending(self) -> None:
         """Rebuild the inner CSR from the (already-appended) packed rows so
         a FRESH device materialization sees every doc; cached device forms
@@ -375,26 +429,34 @@ class ArenaImpactIndex(_ArenaBase):
                     mesh=None, backend: str = "auto", wire: str = "i32"
                     ) -> Tuple[List[List[float]], List[List[str]]]:
         """Batch impact search over live documents (the ragged-row
-        ``ImpactIndex.search`` contract). With zero tombstones this IS the
-        static search program; tombstones add one fused ``where`` via the
-        filtered variants (wire falls back to i32 — the -inf sentinel does
-        not fit compact48's 24-bit score lane)."""
+        ``ImpactIndex.search`` contract). Single-chip this IS the static
+        search program, tombstones or not — deletes zeroed the dead doc
+        columns in place (see `_on_tombstoned`), so no filtered variant
+        and no wire downgrade. Mesh searches carry the live-mask
+        DocFilter instead (wire falls back to i32 there — the -inf
+        sentinel does not fit compact48's 24-bit score lane)."""
         if self._needs_fold(mesh, backend):
             # a fresh device form would be built from the (stale) CSR: fold
             # the appended rows in and materialize the form NOW, under the
             # write lock — so add-scatters racing later searches always see
-            # (and cover) every cached form
+            # (and cover) every cached form. A fresh SINGLE-CHIP form is
+            # rebuilt from a CSR that still contains tombstoned docs:
+            # re-zero the dead columns (idempotent over already-zeroed
+            # cached forms) so deletes never resurrect.
             with self._rw.write():
                 if self._pend_count:
                     self._fold_pending()
                 dtype, kernel = self._resolve_form(backend)
                 if self._inner.num_docs:
                     self._inner._materialize(mesh, dtype, kernel)
+                    if mesh is None and self._tomb_count:
+                        self._scatter_zeros(self._dead_positions())
         with self._rw.read():
             inner = self._inner
             if not inner.num_docs:
                 return [[] for _ in terms_list], [[] for _ in terms_list]
-            doc_filter = self._live_filter() if self._tomb_count else None
+            doc_filter = self._live_filter() \
+                if (self._tomb_count and mesh is not None) else None
             if doc_filter is not None and wire != "i32":
                 wire = "i32"
             q_idx, q_w = inner.encode_queries(terms_list)

@@ -258,6 +258,57 @@ def test_arena_impact_zero_score_docs_still_excluded():
     assert ids[0] == ["a"] and scores[0] == [6.0]
 
 
+def test_arena_impact_delete_serves_unfiltered_single_chip():
+    """Impact deletes zero the dead doc's matrix columns in place, so the
+    single-chip search must serve the UNFILTERED static program (no
+    DocFilter ever built) and keep the compact48 wire."""
+    arena = _small_arena(None)
+    arena.add_documents([("a", {1: 3, 2: 2}), ("b", {1: 7}),
+                         ("c", {2: 5})])
+    arena.search_rows([{1: 1}], depth=5, backend="matmul")  # materialize
+    arena.delete_documents(["b"])
+    scores, ids = arena.search_rows([{1: 2, 2: 1}], depth=5,
+                                    backend="matmul", wire="compact48")
+    assert dict(zip(ids[0], scores[0])) == {"a": 8.0, "c": 5.0}
+    assert arena._filter is None, \
+        "single-chip impact search with tombstones must not build a filter"
+    assert arena._tomb_count == 1
+
+
+def test_arena_impact_delete_survives_fresh_materialization():
+    """The CSR still holds tombstoned docs until compaction; a FRESH
+    device form built from it must re-zero the dead columns (the
+    resurrect guard in search_rows' write-side block)."""
+    arena = _small_arena(None)
+    arena.add_documents([("a", {1: 3}), ("b", {1: 7}), ("c", {2: 5})])
+    arena.search_rows([{1: 1}], depth=5, backend="matmul")
+    arena.delete_documents(["b"])
+    # force every cached form away: the next search rebuilds from CSR
+    arena._inner.drop_device_cache()
+    scores, ids = arena.search_rows([{1: 1}], depth=5, backend="matmul")
+    assert ids[0] == ["a"] and scores[0] == [3.0]
+    # and again after a pending-fold rebuild (add triggers no fold, the
+    # fresh-form search does)
+    arena.add_documents([("d", {1: 2})])
+    arena._inner.drop_device_cache()
+    scores, ids = arena.search_rows([{1: 1}], depth=5, backend="matmul")
+    assert dict(zip(ids[0], scores[0])) == {"a": 3.0, "d": 2.0}
+
+
+def test_arena_impact_update_zeroes_old_copy():
+    """updateDocument: the old copy's columns are zeroed at re-add time —
+    the replaced doc must not appear twice nor with stale scores, with no
+    filter involved."""
+    arena = _small_arena(None)
+    arena.add_documents([("a", {1: 10}), ("b", {2: 4})])
+    arena.search_rows([{1: 1}], depth=5, backend="matmul")
+    arena.add_documents([("a", {1: 2, 2: 1})])      # replace in place
+    scores, ids = arena.search_rows([{1: 3, 2: 1}], depth=5,
+                                    backend="matmul")
+    assert arena._filter is None
+    assert dict(zip(ids[0], scores[0])) == {"a": 7.0, "b": 4.0}
+
+
 def test_arena_impact_i16_overflowing_append():
     """A weight past int16 must invalidate any cached i16 kernel matrix
     (silent int16 overflow would corrupt scores) and keep serving
