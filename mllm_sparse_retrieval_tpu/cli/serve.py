@@ -180,6 +180,16 @@ def main(argv=None):
     from mllm_sparse_retrieval_tpu.cli.common import enable_compilation_cache
     enable_compilation_cache()
 
+    # --mesh (the shared CLI flag): serve over every local device — the
+    # impact matrix column-shards and the dense corpus row-shards across
+    # the data axis (ICI collectives merge per-shard top-k), lifting the
+    # single-chip HBM ceiling device_count-fold
+    mesh = None
+    if args.mesh:
+        from mllm_sparse_retrieval_tpu.parallel import make_mesh
+        mesh = make_mesh(model_parallel=args.model_parallel)
+        logger.info("serving over a %s-device mesh", mesh.devices.size)
+
     dense_index = None
     impact_index = None
     live_resumed = False
@@ -277,7 +287,7 @@ def main(argv=None):
         wire=args.impact_wire, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, query_encoder=encoder,
         live_state_dir=args.live_state, filters=filters,
-        fusion_rule=args.fusion_rule)
+        fusion_rule=args.fusion_rule, mesh=mesh)
     if not args.no_warm:
         _warm(service, logger)
 

@@ -209,6 +209,103 @@ def test_service_hybrid_parity(indexes):
         svc.close()
 
 
+def test_service_mesh_parity(indexes):
+    """Mesh serving (the `cli.serve --mesh` path): rows served over the
+    virtual 8-device data-axis mesh equal the single-chip service's in
+    every mode (tie-aware set comparison, the repo-wide rule)."""
+    from mllm_sparse_retrieval_tpu.parallel import make_mesh
+    impact, dense, dim, n_terms = indexes
+    mesh = make_mesh()
+    terms, denses = _queries(n_terms, dim)
+    modes = (dict(impact_index=impact),
+             dict(dense_index=dense),
+             dict(dense_index=dense, impact_index=impact))
+    for kw in modes:
+        svc_m = RetrievalService(depth_levels=(10,), max_batch=8,
+                                 max_wait_ms=10.0, backend="matmul",
+                                 mesh=mesh, **kw)
+        svc_1 = RetrievalService(depth_levels=(10,), max_batch=8,
+                                 max_wait_ms=10.0, backend="matmul", **kw)
+        try:
+            for t, d in zip(terms, denses):
+                q = {}
+                if "impact_index" in kw:
+                    q["terms"] = t
+                if "dense_index" in kw:
+                    q["dense"] = d
+                got = svc_m.search(depth=10, **q)
+                ref = svc_1.search(depth=10, **q)
+                # sharded reductions reassociate f32 adds: compare ids as
+                # sets and scores with a tolerance (sorted descending on
+                # both sides already)
+                assert {i for i, _ in got} == {i for i, _ in ref}, \
+                    f"mesh/single id divergence in mode {svc_m.mode}"
+                np.testing.assert_allclose(
+                    sorted(float(s) for _, s in got),
+                    sorted(float(s) for _, s in ref),
+                    rtol=1e-5, atol=1e-4)
+        finally:
+            svc_m.close()
+            svc_1.close()
+
+
+def test_cli_serve_mesh_boot(tmp_path):
+    """`cli.serve --mesh` boots over static artifacts on the virtual
+    8-device mesh, warms, and serves a hybrid query."""
+    import socket
+    import urllib.request
+
+    from mllm_sparse_retrieval_tpu.cli import serve as serve_cli
+
+    impact = ImpactIndex()
+    impact.add("a", {"w1": 5, "w2": 2})
+    impact.add("b", {"w2": 9})
+    impact.finalize()
+    impact.save(str(tmp_path / "sparse"))
+    dense = DenseFlatIndex()
+    dense.add(np.eye(4, dtype=np.float32)[:2], ["a", "b"])
+    (tmp_path / "dense").mkdir()
+    dense.save_shard(str(tmp_path / "dense" / "corpus_0.pkl"))
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    boot_error = []
+
+    def run():
+        try:
+            serve_cli.main(["--sparse-index", str(tmp_path / "sparse"),
+                            "--passage-reps", str(tmp_path / "dense"),
+                            "--mesh", "--port", str(port),
+                            "--depths", "10", "--impact-backend", "matmul",
+                            "--max-wait-ms", "2"])
+        except BaseException as e:                     # pragma: no cover
+            boot_error.append(e)
+
+    threading.Thread(target=run, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    for _ in range(300):
+        if boot_error:
+            pytest.fail(f"serve CLI died at boot: {boot_error[0]!r}")
+        try:
+            urllib.request.urlopen(base + "/healthz", timeout=5)
+            break
+        except Exception:
+            time.sleep(0.2)
+    else:
+        pytest.fail("serve CLI never came up")
+    body = json.dumps({"queries": [
+        {"terms": {"w2": 2.0}, "dense": [0.0, 1.0, 0.0, 0.0],
+         "depth": 10}]}).encode()
+    req = urllib.request.Request(base + "/search", data=body,
+                                 headers={"Content-Type":
+                                          "application/json"})
+    out = json.loads(urllib.request.urlopen(req, timeout=30).read())
+    assert [d for d, _ in out["results"][0]] == ["b", "a"]
+    # daemon thread; the server dies with the test process
+
+
 def test_service_depth_quantization_cuts_back(indexes):
     impact, _, dim, n_terms = indexes
     terms, _ = _queries(n_terms, dim, n=2)
