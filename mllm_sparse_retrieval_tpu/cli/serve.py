@@ -175,6 +175,10 @@ def main(argv=None):
     if args.ann_rank and args.dense_dtype == "int8":
         parser.error("--ann-rank is incompatible with --dense-dtype int8 "
                      "(pick ONE approximation; bf16 composes with ANN)")
+    if args.mesh and args.impact_wire == "compact48":
+        parser.error("--impact-wire compact48 is single-chip only (the "
+                     "packed 48-bit lane cannot carry mesh-global doc "
+                     "positions); drop --mesh or use the i32 wire")
 
     logger = get_logger("serve")
     from mllm_sparse_retrieval_tpu.cli.common import enable_compilation_cache

@@ -435,34 +435,68 @@ class ArenaImpactIndex(_ArenaBase):
         and no wire downgrade. Mesh searches carry the live-mask
         DocFilter instead (wire falls back to i32 there — the -inf
         sentinel does not fit compact48's 24-bit score lane)."""
-        if self._needs_fold(mesh, backend):
-            # a fresh device form would be built from the (stale) CSR: fold
-            # the appended rows in and materialize the form NOW, under the
-            # write lock — so add-scatters racing later searches always see
-            # (and cover) every cached form. A fresh SINGLE-CHIP form is
-            # rebuilt from a CSR that still contains tombstoned docs:
-            # re-zero the dead columns (idempotent over already-zeroed
-            # cached forms) so deletes never resurrect.
-            with self._rw.write():
-                if self._pend_count:
-                    self._fold_pending()
-                dtype, kernel = self._resolve_form(backend)
-                if self._inner.num_docs:
-                    self._inner._materialize(mesh, dtype, kernel)
-                    if mesh is None and self._tomb_count:
-                        self._scatter_zeros(self._dead_positions())
-        with self._rw.read():
-            inner = self._inner
-            if not inner.num_docs:
+        for _ in range(4):
+            if self._needs_fold(mesh, backend):
+                # a fresh device form would be built from the (stale) CSR:
+                # fold the appended rows in and materialize the form NOW,
+                # under the write lock — so add-scatters racing later
+                # searches always see (and cover) every cached form. A fresh
+                # SINGLE-CHIP form is rebuilt from a CSR that still contains
+                # tombstoned docs: re-zero the dead columns (idempotent over
+                # already-zeroed cached forms) so deletes never resurrect.
+                with self._rw.write():
+                    self._fold_and_materialize(mesh, backend)
+            with self._rw.read():
+                inner = self._inner
+                if not inner.num_docs:
+                    return ([[] for _ in terms_list],
+                            [[] for _ in terms_list])
+                if self._form_stale(mesh, backend):
+                    # a write between the unlocked _needs_fold check and
+                    # this read lock invalidated the form this search plan
+                    # resolves to (e.g. an add with weight >= 32768 dropped
+                    # the cached i16 forms): materializing it HERE would
+                    # rebuild from the CSR under only the read lock — no
+                    # re-zero of tombstoned columns, deletes resurrect
+                    # (ADVICE r4). Loop back to the write-side path.
+                    continue
+                return self._search_locked(terms_list, depth, mesh,
+                                           backend, wire)
+        # pathological writer churn: run the search exclusively — no racing
+        # invalidation is possible under the write lock.
+        with self._rw.write():
+            self._fold_and_materialize(mesh, backend)
+            if not self._inner.num_docs:
                 return [[] for _ in terms_list], [[] for _ in terms_list]
-            doc_filter = self._live_filter() \
-                if (self._tomb_count and mesh is not None) else None
-            if doc_filter is not None and wire != "i32":
-                wire = "i32"
-            q_idx, q_w = inner.encode_queries(terms_list)
-            return inner.search_encoded(q_idx, q_w, depth, mesh=mesh,
-                                        backend=backend, wire=wire,
-                                        doc_filter=doc_filter)
+            return self._search_locked(terms_list, depth, mesh, backend,
+                                       wire)
+
+    def _fold_and_materialize(self, mesh, backend: str) -> None:
+        """Write-side form preparation: fold appended rows into the CSR,
+        materialize the form this search plan resolves to, and re-zero
+        tombstoned columns on a fresh single-chip form. Caller holds the
+        write lock."""
+        if self._pend_count:
+            self._fold_pending()
+        dtype, kernel = self._resolve_form(backend)
+        if self._inner.num_docs:
+            self._inner._materialize(mesh, dtype, kernel)
+            if mesh is None and self._tomb_count:
+                self._scatter_zeros(self._dead_positions())
+
+    def _search_locked(self, terms_list, depth, mesh, backend: str,
+                       wire: str):
+        """The search body; caller holds the read or write lock and has
+        verified the device form is current."""
+        inner = self._inner
+        doc_filter = self._live_filter() \
+            if (self._tomb_count and mesh is not None) else None
+        if doc_filter is not None and wire != "i32":
+            wire = "i32"
+        q_idx, q_w = inner.encode_queries(terms_list)
+        return inner.search_encoded(q_idx, q_w, depth, mesh=mesh,
+                                    backend=backend, wire=wire,
+                                    doc_filter=doc_filter)
 
     def _resolve_form(self, backend: str) -> Tuple[str, bool]:
         """(dtype, kernel_layout) the search plan will materialize —
@@ -472,6 +506,20 @@ class ArenaImpactIndex(_ArenaBase):
         use_taat = backend == "taat"
         dtype = "i16" if use_taat and self._inner._int16_exact() else "f32"
         return dtype, use_taat
+
+    def _form_stale(self, mesh, backend: str) -> bool:
+        """Precise under-lock staleness check: True when `search_encoded`
+        would MATERIALIZE a device form (rather than hit the cache) — i.e.
+        the scatter invariant does not cover this search. Unlike
+        `_needs_fold` this is exact for mesh searches too (no conservative
+        always-True), so it can gate a retry loop. Appended-but-unfolded
+        rows (`_pend_count`) do NOT make cached forms stale: add-scatters
+        already wrote them into every cached device matrix."""
+        inner = self._inner
+        if inner._dev is None or inner._mesh is not mesh:
+            return True
+        dtype, use_taat = self._resolve_form(backend)
+        return (dtype + ("/kernel" if use_taat else "")) not in inner._dev
 
     def _needs_fold(self, mesh, backend: str) -> bool:
         """True when this search would materialize a device form the

@@ -295,6 +295,45 @@ def test_arena_impact_delete_survives_fresh_materialization():
     assert dict(zip(ids[0], scores[0])) == {"a": 3.0, "d": 2.0}
 
 
+def test_arena_impact_race_invalidated_form_does_not_resurrect():
+    """ADVICE r4 (medium): a write that invalidates cached device forms
+    BETWEEN search_rows' unlocked _needs_fold check and its read lock
+    (e.g. an add with weight >= 32768 dropping the i16 forms) must not
+    let the read-locked search materialize a fresh form straight from the
+    CSR — that form still holds tombstoned docs at full weight and, with
+    no re-zero and no filter, deletes resurrect and the bad form stays
+    cached. The fix re-checks staleness under the read lock and loops
+    back to the write-side fold/materialize/re-zero path."""
+    arena = _small_arena(None)
+    arena.add_documents([("a", {1: 3}), ("dead", {1: 9}), ("c", {2: 5})])
+    arena.search_rows([{1: 1}], depth=5, backend="matmul")   # warm form
+    arena.delete_documents(["dead"])                         # zeroed cols
+
+    orig = arena._needs_fold
+    state = {"raced": False}
+
+    def stale_needs_fold(mesh, backend):
+        if not state["raced"]:
+            state["raced"] = True
+            ans = orig(mesh, backend)          # the unlocked check: False
+            arena._inner.drop_device_cache()   # the racing invalidation
+            return ans
+        return orig(mesh, backend)
+
+    arena._needs_fold = stale_needs_fold
+    try:
+        scores, ids = arena.search_rows([{1: 1}], depth=5,
+                                        backend="matmul")
+    finally:
+        arena._needs_fold = orig
+    assert state["raced"]
+    assert ids[0] == ["a"] and scores[0] == [3.0], \
+        "deleted doc resurrected through a race-built device form"
+    # the recovered form must be the re-zeroed one, i.e. cached + clean
+    scores, ids = arena.search_rows([{1: 1}], depth=5, backend="matmul")
+    assert ids[0] == ["a"] and scores[0] == [3.0]
+
+
 def test_arena_impact_update_zeroes_old_copy():
     """updateDocument: the old copy's columns are zeroed at re-add time —
     the replaced doc must not appear twice nor with stale scores, with no
