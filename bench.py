@@ -87,12 +87,9 @@ def build_queries(rng):
 
 def bench_tpu(doc_terms, doc_weights, q_idx, q_w):
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    # caller frames in MLIR locations leak into the Mosaic payload and bust
-    # the persistent cache on any caller-line drift (see
-    # cli/common.enable_compilation_cache)
-    jax.config.update("jax_traceback_in_locations_limit", 0)
+    from mllm_sparse_retrieval_tpu.cli.common import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
 
     t0 = time.time()

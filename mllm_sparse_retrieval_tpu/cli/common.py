@@ -114,6 +114,54 @@ def enable_compilation_cache(path: str = "/root/repo/.jax_cache") -> None:
         jax.config.update("jax_traceback_in_locations_limit", 0)
     except Exception:
         pass
+    stabilize_cache_key()
+
+
+def stabilize_cache_key() -> None:
+    """Strip the relay BUILD STAMP from the persistent-cache key.
+
+    ``cache_key.get`` hashes ``backend.platform_version`` verbatim; through
+    the axon relay that string is e.g.::
+
+        PJRT C API
+        axon 0.1.0; SerializedExecutable v9; compile-cache v14; compat c49
+        TFRT TPU v5 lite
+        Built on Nov 12 2025 14:16:36 (1762985796) cl/831091709
+
+    The final line is a rolling build stamp: every relay redeploy (i.e.
+    every fresh VM) re-keys the ENTIRE committed cache even when the
+    executable format is unchanged — the cause of the cross-VM re-keys
+    VERDICT r4 #3 tracks (BENCH_r04's 49.9 s taat recompile; round 9's
+    ~10 min one). The semantically meaningful compatibility markers —
+    ``SerializedExecutable v9``, ``compile-cache v14``, ``compat c49``,
+    the TPU generation — are on the OTHER lines and stay in the key, so a
+    real format bump still re-keys correctly; only ``Built on ...`` /
+    ``cl/NNN`` stamps are dropped. No effect off-TPU or if the private
+    module moves (best-effort try/except); tools/cache_probe.py records
+    the raw/canonical strings per session for cross-VM diffing.
+    """
+    import re
+
+    try:
+        from jax._src import cache_key as ck
+        if getattr(ck, "_mllm_stabilized", False):
+            return
+        orig = ck._hash_platform
+
+        def _hash_platform(hash_obj, backend):
+            version = backend.platform_version
+            canon = "\n".join(
+                line for line in version.splitlines()
+                if not re.match(r"\s*Built on ", line))
+            canon = re.sub(r"\bcl/\d+\b", "", canon)
+            ck._hash_string(hash_obj, backend.platform)
+            ck._hash_string(hash_obj, canon)
+
+        _hash_platform._mllm_orig = orig
+        ck._hash_platform = _hash_platform
+        ck._mllm_stabilized = True
+    except Exception:
+        pass
 
 
 def build_everything(args, mode_for_captions: str = "full"):

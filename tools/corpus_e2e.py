@@ -26,9 +26,9 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_traceback_in_locations_limit", 0)
+from mllm_sparse_retrieval_tpu.cli.common import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 from mllm_sparse_retrieval_tpu.configs import (ModelConfig, ModelFamily,
                                                SearchConfig, SparseConfig)

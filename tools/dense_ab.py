@@ -34,9 +34,9 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     # the harness can smoke-test on CPU
     jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_traceback_in_locations_limit", 0)
+from mllm_sparse_retrieval_tpu.cli.common import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 import jax.numpy as jnp                                          # noqa: E402
 
