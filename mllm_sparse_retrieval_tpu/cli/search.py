@@ -62,6 +62,14 @@ def main(argv=None):
     parser.add_argument("--ann-candidates", type=int, default=1024,
                         help="rescored candidate pool per query when "
                              "--ann-rank is set")
+    parser.add_argument("--eval-mode", default="host",
+                        choices=["host", "device"],
+                        help="device: compute recall (and --metrics) from "
+                             "on-device target ranks — fetches ~28 KB of "
+                             "ranks per batch instead of the depth-sized "
+                             "run (the reference-default depth-1000 "
+                             "fetch), bit-equal metrics; no TREC runs are "
+                             "materialized (incompatible with --save-dir)")
     parser.add_argument("--metrics", default="",
                         help="extra ranking metrics beyond recall, comma-"
                              "separated from {mrr,ndcg,map} (the reference "
@@ -93,6 +101,15 @@ def main(argv=None):
             args.passage_reps is None or args.sparse_index is None):
         parser.error("--fusion-mode device needs both --passage-reps "
                      "and --sparse-index")
+    if args.eval_mode == "device":
+        if args.save_dir:
+            parser.error("--eval-mode device never materializes runs; "
+                         "drop --save-dir or use --eval-mode host")
+        if args.passage_reps and args.sparse_index \
+                and args.fusion_mode != "device":
+            parser.error("--eval-mode device with both indexes needs "
+                         "--fusion-mode device (host fusion materializes "
+                         "the runs this mode avoids fetching)")
 
     logger = get_logger("search")
     timer = StepTimer(logger)
@@ -145,6 +162,7 @@ def main(argv=None):
             impact_wire=args.impact_wire,
             fusion_mode=args.fusion_mode,
             fusion_rule=args.fusion_rule,
+            eval_mode=args.eval_mode,
             metrics=[m for m in args.metrics.split(",") if m],
             get_target=lambda qid: corpus.get_target(qid, args.query_type))
     timer.close()

@@ -247,6 +247,53 @@ class FusedHybridSearcher:
             return out
         return [], []
 
+    def eval_ranks(
+        self,
+        q_reps: np.ndarray,
+        q_idx: np.ndarray, q_w: np.ndarray,
+        tgt: np.ndarray,                       # [B, T] DENSE doc positions
+        depth: int,
+        qids: Optional[Sequence[str]] = None,  # enables self-hit removal
+        out_depth: Optional[int] = None,
+        lookahead: int = 3,
+    ) -> np.ndarray:
+        """Target hit ranks from the fused top-k, never fetching the run —
+        the device evaluation consumer (eval/device_eval.py): chains
+        ``ops.eval_ranks.ranks_from_packed`` onto each chunk's fused packed
+        result (rule ``'finite'`` — the -inf union-shortfall fill the host
+        resolve drops; self-hit removal already happened INSIDE the fusion
+        program, so no self position is passed) and fetches one [B, 1+T]
+        int32 array per chunk instead of the [B, 2*out_k] run. Target
+        positions are dense-lookup order (``dense_doc_pos``)."""
+        import jax
+
+        from mllm_sparse_retrieval_tpu.eval.device_eval import (
+            _pad_rows, _ranks_pipeline)
+        from mllm_sparse_retrieval_tpu.ops.eval_ranks import ranks_from_packed
+
+        self._check_fresh()
+        plan, out_k = self._prep(depth, out_depth)
+        self_all = self._self_indices(qids, q_reps.shape[0])
+
+        def chunk_iter():
+            pos = 0
+            for ch in self._batch_chunks(plan, q_reps, q_idx, q_w, self_all):
+                yield ch + (pos,)
+                pos += ch[-1]
+
+        def dispatch(item):
+            chunk_i, chunk_w, dense_chunk, self_chunk, take, pos = item
+            packed = self._dispatch_fused(plan, chunk_i, chunk_w,
+                                          dense_chunk, self_chunk, out_k)
+            bp = packed.shape[0]
+            tgt_c = jax.device_put(_pad_rows(tgt[pos:pos + take], bp, -1))
+            no_self = jax.device_put(
+                np.full(bp, -1, np.int32))
+            return ranks_from_packed(packed, tgt_c, no_self,
+                                     rule="finite"), take
+
+        return _ranks_pipeline(chunk_iter(), dispatch, lookahead)
+
     def search_run(
         self,
         q_reps: np.ndarray,

