@@ -64,7 +64,20 @@ def _targets_of(get_target: Callable, qid: str) -> set:
 def _iter_ranked(run, get_target, max_k):
     """Yield ``(hit ranks (1-based, ascending, <= max_k), |targets|)`` per
     evaluated query — one stable partial sort per query, shared by every
-    metric and cutoff (the recall_at_k fast path, eval/recall.py:74-79)."""
+    metric and cutoff (the recall_at_k fast path, eval/recall.py:74-79).
+    ArrayRun inputs (search/runs.py) skip the dict build and the partial
+    sort entirely: their rows are already score-descending with the same
+    stable tie order."""
+    rows = getattr(run, "ranked_rows", None)
+    rows = rows() if rows is not None else None
+    if rows is not None:
+        for qid, _s_row, i_row in rows:
+            if len(i_row) == 0:
+                continue
+            targets = _targets_of(get_target, qid)
+            yield [rank for rank, doc in enumerate(i_row[:max_k], 1)
+                   if str(doc) in targets], len(targets)
+        return
     for qid, entry in run.items():
         docs = entry["docs"] if isinstance(entry, dict) and "docs" in entry \
             else entry

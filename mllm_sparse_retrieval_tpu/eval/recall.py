@@ -63,6 +63,33 @@ def recall_at_k(
     ks = sorted(set(int(k) for k in ks))
     hits = {k: 0 for k in ks}
     evaluated = 0
+    max_k = max(ks)
+    rows = getattr(run, "ranked_rows", None)
+    rows = rows() if rows is not None else None
+    if rows is not None:
+        # ArrayRun fast path (search/runs.py): rows are already
+        # score-descending with stable ties == the dict path's nlargest
+        # order, so the top-k prefix is a slice — no dict build, no sort.
+        for qid, _s_row, i_row in rows:
+            if len(i_row) == 0:
+                continue
+            evaluated += 1
+            target = get_target(qid)
+            targets = {str(t) for t in target} \
+                if isinstance(target, (list, tuple, set)) else {str(target)}
+            found_rank = None
+            for rank, doc in enumerate(i_row[:max_k]):
+                if str(doc) in targets:
+                    found_rank = rank
+                    break
+            for k in ks:
+                if found_rank is not None and found_rank < k:
+                    hits[k] += 1
+        denom = denominator if denominator is not None else len(run)
+        denom = max(denom, 1)
+        return RecallResult(
+            recalls={k: hits[k] / denom for k in ks},
+            hits=hits, num_queries=evaluated)
     for qid, entry in run.items():
         docs = entry["docs"] if isinstance(entry, dict) and "docs" in entry else entry
         if len(docs) == 0:
@@ -75,7 +102,7 @@ def recall_at_k(
         # including tie stability, and skips sorting the depth-1000 tail the
         # cutoffs never look at; itemgetter keeps the 2000-per-query key
         # calls in C (a lambda here was ~60% of recall_at_k's runtime).
-        ordered = heapq.nlargest(max(ks), docs.items(), key=_SCORE)
+        ordered = heapq.nlargest(max_k, docs.items(), key=_SCORE)
         top_ids = [doc for doc, _ in ordered]
         # Walk cutoffs smallest-first, reusing the single sorted prefix.
         found_rank = None

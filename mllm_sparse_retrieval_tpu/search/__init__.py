@@ -6,13 +6,15 @@ from mllm_sparse_retrieval_tpu.search.fusion import (
     read_trec_run,
     write_trec_run,
 )
-from mllm_sparse_retrieval_tpu.search.runs import make_run, merge_runs
+from mllm_sparse_retrieval_tpu.search.runs import (ArrayRun, make_run,
+                                                   merge_runs)
 
 __all__ = [
     "fuse",
     "fuse_statistic",
     "read_trec_run",
     "write_trec_run",
+    "ArrayRun",
     "make_run",
     "merge_runs",
 ]

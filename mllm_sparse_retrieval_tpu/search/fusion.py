@@ -43,7 +43,16 @@ def read_trec_run(path: str) -> Run:
 
 
 def write_trec_run(run: Run, path: str, name: str = "fusion") -> None:
+    rows = getattr(run, "ranked_rows", None)
+    rows = rows() if rows is not None else None
     with open(path, "w") as f:
+        if rows is not None:
+            # ArrayRun fast path: rows are already score-descending with
+            # stable ties == the dict path's stable sort order
+            for qid, s_row, i_row in rows:
+                for i, (doc, score) in enumerate(zip(i_row, s_row)):
+                    f.write(f"{qid} Q0 {doc} {i + 1} {score} {name}\n")
+            return
         for qid in run:
             doc_score = run[qid]
             if isinstance(doc_score, dict) and "docs" in doc_score:
@@ -74,6 +83,10 @@ def fuse(runs: Sequence[Run], weights: Sequence[float]) -> Dict[str, Dict[str, f
     same accumulation order), bit-parity tested in tests/test_hostops.py.
     This Python body is the fallback and the semantic reference.
     """
+    # lazy ArrayRun inputs materialize here — fusion genuinely needs the
+    # dict form (min/max + random doc membership), so this is its cost
+    runs = [r.materialize() if hasattr(r, "materialize") else r
+            for r in runs]
     native = _hostops.get()
     if native is not None and len(weights) >= len(runs) and \
             all(type(r) is dict for r in runs):
@@ -114,6 +127,8 @@ def fuse_rrf(runs: Sequence[Run], weights: Sequence[float] = None,
     (``src/hybrid.py`` implements min-max only)."""
     if weights is None:
         weights = [1.0] * len(runs)
+    runs = [r.materialize() if hasattr(r, "materialize") else r
+            for r in runs]
     fused: Dict[str, Dict[str, float]] = {}
     qids = set()
     for run in runs:
@@ -168,6 +183,8 @@ def fuse_statistic(
     A doc found in only the first run is 'dense', only a later run 'sparse',
     in several runs 'fuse' (reference hybrid.py:56-90).
     """
+    runs = [r.materialize() if hasattr(r, "materialize") else r
+            for r in runs]
     fused: Dict[str, Dict[str, ResultRecord]] = {}
     qids = set()
     for run in runs:

@@ -7,6 +7,7 @@ the structure the reference threads between search, fusion, and metrics
 
 from __future__ import annotations
 
+from collections.abc import Mapping
 from typing import Dict, Iterable, Sequence
 
 import numpy as np
@@ -15,6 +16,104 @@ from mllm_sparse_retrieval_tpu import hostops as _hostops
 
 
 Run = Dict[str, dict]
+
+
+class ArrayRun(Mapping):
+    """Lazy run: batched (qid, scores row, ids row) triples held as-is,
+    with the dict form materialized (via ``make_run``, same semantics to
+    the bit) only on first dict-style access.
+
+    The reference's run dicts (/root/reference/src/search.py:66-82) are a
+    Lucene-interchange artifact, not a semantic requirement (VERDICT r4
+    #4): when the consumer is recall/metrics/TREC-write, rows are consumed
+    directly through ``iter_ranked()`` — already score-descending, no
+    per-query dict build, no partial re-sort — and the ~4-13 ms/4096-query
+    dict assembly plus the consumer-side ``nlargest`` disappear from the
+    serving path. Semantics preserved exactly:
+
+    - duplicate qids collapse last-write-wins, iterating at the FIRST
+      occurrence's position (dict overwrite order);
+    - ``remove_query`` drops the self doc from rows and from the dict, but
+      min/max stay pre-removal (the reference's rule);
+    - ``len``/truthiness/containment never materialize.
+    """
+
+    __slots__ = ("_qids", "_scores", "_ids", "_remove_query",
+                 "_scores_sorted", "_order", "_dict")
+
+    def __init__(self, batch_ids, batch_scores, batch_rankings,
+                 remove_query: bool = False, scores_sorted: bool = False):
+        self._qids = [str(q) for q in batch_ids]
+        self._scores = batch_scores
+        self._ids = batch_rankings
+        self._remove_query = bool(remove_query)
+        self._scores_sorted = bool(scores_sorted)
+        order: Dict[str, int] = {}
+        for row, q in enumerate(self._qids):     # dict-overwrite order
+            order[q] = row
+        self._order = order
+        self._dict: Run = None
+
+    # -- array fast path ------------------------------------------------------
+    def ranked_rows(self):
+        """``iter_ranked()`` when the fast path is safe: rows carry the
+        score-descending promise AND no dict has been materialized (a
+        caller holding the dict could have mutated it — the dict is then
+        the source of truth). Returns ``None`` otherwise; consumers fall
+        back to the Mapping path."""
+        if self._dict is not None or not self._scores_sorted:
+            return None
+        return self.iter_ranked()
+
+    def iter_ranked(self):
+        """Yield ``(qid, scores_row, ids_row)`` in dict iteration order,
+        duplicates collapsed, self hit removed under ``remove_query`` —
+        rows are score-descending exactly as the dict consumers would
+        rank them (stable-tie partial sort == insertion order)."""
+        for q, row in self._order.items():
+            s_row, i_row = self._scores[row], self._ids[row]
+            if self._remove_query:
+                # make_run str-maps non-str ids before popping the self
+                # hit — match that here or int id rows would never drop it
+                if not (i_row and type(i_row[0]) is str):
+                    i_row = [str(d) for d in i_row]
+            if self._remove_query and q in i_row:
+                keep = [j for j, d in enumerate(i_row) if str(d) != q]
+                s_row = [s_row[j] for j in keep]
+                i_row = [i_row[j] for j in keep]
+            yield q, s_row, i_row
+
+    # -- Mapping protocol -----------------------------------------------------
+    def materialize(self) -> Run:
+        if self._dict is None:
+            self._dict = make_run(self._qids, self._scores, self._ids,
+                                  remove_query=self._remove_query,
+                                  scores_sorted=self._scores_sorted)
+        return self._dict
+
+    def __getitem__(self, qid):
+        return self.materialize()[qid]
+
+    def __iter__(self):
+        return iter(self._order)
+
+    def __len__(self):
+        return len(self._order)
+
+    def __contains__(self, qid):
+        return qid in self._order
+
+    def __bool__(self):
+        return bool(self._order)
+
+    def __eq__(self, other):
+        if isinstance(other, ArrayRun):
+            other = other.materialize()
+        if isinstance(other, Mapping):
+            return self.materialize() == dict(other)
+        return NotImplemented
+
+    __hash__ = None        # mutable-mapping semantics, like dict
 
 
 def make_run(

@@ -27,12 +27,13 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     # the harness can smoke-test on CPU
     jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_traceback_in_locations_limit", 0)
+from mllm_sparse_retrieval_tpu.cli.common import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 from mllm_sparse_retrieval_tpu.index.impact import ImpactIndex  # noqa: E402
-from mllm_sparse_retrieval_tpu.search.runs import make_run      # noqa: E402
+from mllm_sparse_retrieval_tpu.search.runs import (ArrayRun,    # noqa: E402
+                                                   make_run)
 from mllm_sparse_retrieval_tpu.sparse import SelectedTerms      # noqa: E402
 
 
@@ -87,22 +88,35 @@ def main():
                                               backend="taat"):
             make_run(qids, s, i)
 
-    run_arrays()
-    run_engine()  # warm both
-    a_times, e_times = [], []
+    def run_engine_lazy():
+        # the ArrayRun product path (VERDICT r4 #4): same engine stream,
+        # run construction is O(1) — dict assembly deferred to consumers
+        # that actually need dicts (recall/metrics/TREC read rows)
+        for s, i in index.search_terms_stream(term_batches, args.depth,
+                                              backend="taat"):
+            ArrayRun(qids, s, i, scores_sorted=True)
+
+    legs = [("arrays", run_arrays), ("engine", run_engine),
+            ("lazy  ", run_engine_lazy)]
+    for _, f in legs:
+        f()   # warm
+    times = {name: [] for name, _ in legs}
     for _ in range(args.reps):
-        t0 = time.time()
-        run_arrays()
-        a_times.append((time.time() - t0) / args.rounds)
-        t0 = time.time()
-        run_engine()
-        e_times.append((time.time() - t0) / args.rounds)
-    a, e = min(a_times), min(e_times)
-    print("arrays ms/batch:", [f"{x * 1e3:.1f}" for x in a_times])
-    print("engine ms/batch:", [f"{x * 1e3:.1f}" for x in e_times])
+        for name, f in legs:
+            t0 = time.time()
+            f()
+            times[name].append((time.time() - t0) / args.rounds)
+    best = {name: min(ts) for name, ts in times.items()}
+    for name, _ in legs:
+        print(f"{name} ms/batch:", [f"{x * 1e3:.1f}" for x in times[name]])
+    a = best["arrays"]
     print(f"best: arrays {a * 1e3:.1f} ms ({args.batch / a:.0f} QPS)  "
-          f"engine {e * 1e3:.1f} ms ({args.batch / e:.0f} QPS)  "
-          f"gap {100 * (e / a - 1):.1f}%")
+          f"engine {best['engine'] * 1e3:.1f} ms "
+          f"({args.batch / best['engine']:.0f} QPS, "
+          f"gap {100 * (best['engine'] / a - 1):.1f}%)  "
+          f"lazy {best['lazy  '] * 1e3:.1f} ms "
+          f"({args.batch / best['lazy  ']:.0f} QPS, "
+          f"gap {100 * (best['lazy  '] / a - 1):.1f}%)")
 
 
 if __name__ == "__main__":
