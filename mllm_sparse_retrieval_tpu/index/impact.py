@@ -985,10 +985,10 @@ class ImpactIndex:
     def _search_plan(self, mesh, backend: str, depth: int,
                      wire: str = "i32", doc_filter=None) -> dict:
         """Resolve backend + device matrix + chunk budget once per search."""
-        if doc_filter is not None and wire != "i32":
-            raise ValueError("doc_filter requires the i32 wire (excluded "
-                             "docs score -inf, which the compact48 24-bit "
-                             "score lane cannot carry)")
+        # doc_filter composes with BOTH wires (round 10, VERDICT r4 #8):
+        # on compact48 the mask's -inf clamps to score 0 in the 48-bit
+        # pack and the resolve's score<=0 drop removes it — identical
+        # semantics for this engine's non-negative integer scores.
         if backend == "auto":
             backend = "taat" if jax.default_backend() == "tpu" else "matmul"
         if backend not in ("taat", "matmul"):
@@ -1123,8 +1123,10 @@ class ImpactIndex:
                 q_idx = jax.device_put(q_idx)
                 q_w = jax.device_put(q_w)
                 if mask is not None:
-                    return _taat_topk_filtered(dev, q_idx, q_w, mask,
-                                               self._n_valid, k)
+                    fn = _taat_topk48_filtered \
+                        if plan["wire"] == "compact48" else \
+                        _taat_topk_filtered
+                    return fn(dev, q_idx, q_w, mask, self._n_valid, k)
                 fn = _taat_topk48 if plan["wire"] == "compact48" \
                     else _taat_topk
                 return fn(dev, q_idx, q_w, self._n_valid, k)
@@ -1141,8 +1143,9 @@ class ImpactIndex:
             q_idx = jax.device_put(q_idx)
             q_w = jax.device_put(q_w)
             if mask is not None:
-                return _impact_topk_filtered(dev, q_idx, q_w, mask,
-                                             self._n_valid, k)
+                fn = _impact_topk48_filtered \
+                    if plan["wire"] == "compact48" else _impact_topk_filtered
+                return fn(dev, q_idx, q_w, mask, self._n_valid, k)
             fn = _impact_topk48 if plan["wire"] == "compact48" \
                 else _impact_topk
             return fn(dev, q_idx, q_w, self._n_valid, k)
@@ -1269,7 +1272,8 @@ class ImpactIndex:
 # Jitted device programs live in ops/score_programs (a stable leaf module:
 # line shifts HERE must not re-key the minutes-long Pallas compiles there).
 from mllm_sparse_retrieval_tpu.ops.score_programs import (  # noqa: E402
-    _impact_topk, _impact_topk48, _impact_topk_filtered, _masked_topk,
+    _impact_topk, _impact_topk48, _impact_topk48_filtered,
+    _impact_topk_filtered, _masked_topk, _taat_topk48_filtered,
     _pack_results, _query_table, _scatter_block, _scores_from_matrix,
     _sharded_impact_topk, _sharded_impact_topk_filtered,
     _sharded_merge_topk, _sharded_taat_topk, _sharded_taat_topk_filtered,

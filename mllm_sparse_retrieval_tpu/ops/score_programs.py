@@ -295,3 +295,35 @@ def _sharded_taat_topk_filtered(mesh, matrix, q_idx, q_w, mask, n_valid, k):
     shard_cols = matrix.shape[2] * matrix.shape[3]
     fn = _sharded_topk_fn_filtered(mesh, shard_cols, n_valid, k, "taat")
     return fn(matrix, q_idx, q_w, mask)
+
+
+# ---- filtered compact48 variants (round 10, VERDICT r4 #8) -------------------
+# Appended after the existing programs (warm-cache rule, see the compact48
+# block note above). The original filter design kept filters i32-only
+# because the compact 24-bit score lane cannot carry the -inf sentinel —
+# but for the IMPACT engine the sentinel is redundant: ``pack_topk48``
+# clamps negatives to 0 and ``ImpactIndex._resolve_encoded`` drops
+# score <= 0 either way, and real impact scores are non-negative integers,
+# so a masked doc can never outrank or be confused with a matching one.
+# Dense filters stay i32-only: real dense scores can be negative, so a 0
+# stand-in could outrank them.
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "k"))
+def _impact_topk48_filtered(matrix, q_idx, q_w, mask, n_valid, k):
+    """Filtered `_impact_topk48`: mask-excluded docs -> -inf -> clamp-to-0
+    in the 48-bit pack -> dropped at resolve (score <= 0 rule)."""
+    q_idx = q_idx.astype(jnp.int32)
+    q_w = q_w.astype(jnp.float32)
+    return _pack_results48(*_masked_topk(
+        _filtered(_scores_from_matrix(matrix, q_idx, q_w), mask),
+        n_valid, k))
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "k"))
+def _taat_topk48_filtered(matrix, q_idx, q_w, mask, n_valid, k):
+    """Filtered `_taat_topk48` (see `_impact_topk48_filtered`)."""
+    q_idx = q_idx.astype(jnp.int32)
+    q_w = q_w.astype(jnp.float32)
+    return _pack_results48(*_masked_topk(
+        _filtered(_taat_scores(matrix, q_idx, q_w), mask), n_valid, k))

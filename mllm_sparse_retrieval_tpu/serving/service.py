@@ -620,9 +620,12 @@ class RetrievalService:
                 backend=self.backend, wire=self.wire)
         q_idx, q_w = self.impact_index.encode_queries(
             self._padded_terms(reqs))
+        # the configured wire holds under filters too (round 10): the
+        # filtered compact48 program clamps the -inf sentinel to score 0,
+        # which the resolve's score<=0 drop removes (score_programs.py)
         return self.impact_index.search_encoded(
             q_idx, q_w, depth, mesh=self.mesh, backend=self.backend,
-            wire="i32" if flt is not None else self.wire,
+            wire=self.wire,
             doc_filter=None if flt is None else flt["sparse"])
 
     def _hybrid_rows_host(self, reqs, depth, flt=None):

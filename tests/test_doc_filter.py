@@ -88,13 +88,31 @@ def test_impact_filter_mesh_matches_single(corpus):
     _tie_rows_equal(meshed, single)
 
 
-def test_impact_filter_wire_guard(corpus):
-    _, sparse, _, allowed, terms, _ = corpus
+def test_impact_filter_compact48_wire_parity(corpus):
+    """Filtered search keeps the compact48 wire (round 10, VERDICT r4 #8):
+    the mask's -inf clamps to 0 in the 48-bit pack and resolves away via
+    the score<=0 drop — identical rows to the i32 filtered wire, including
+    when the filter allows fewer docs than the depth."""
+    ids, sparse, _, allowed, terms, _ = corpus
     full = _impact(sparse)
     filt = DocFilter.from_ids(full.doc_ids, allowed)
-    with pytest.raises(ValueError, match="i32"):
+    for backend in ("matmul", "taat"):
+        got = full.search(terms, 10, backend=backend, wire="compact48",
+                          doc_filter=filt)
+        ref = full.search(terms, 10, backend=backend, wire="i32",
+                          doc_filter=filt)
+        _tie_rows_equal(got, ref)
+    # depth beyond the allowed count: rows go ragged identically
+    two = DocFilter.from_ids(full.doc_ids, allowed[:2])
+    _tie_rows_equal(
+        full.search(terms, 10, backend="matmul", wire="compact48",
+                    doc_filter=two),
+        full.search(terms, 10, backend="matmul", wire="i32",
+                    doc_filter=two))
+    # mesh still rejects compact48 (the sharded programs keep i32)
+    with pytest.raises(ValueError, match="single-chip"):
         full.search(terms, 5, backend="matmul", wire="compact48",
-                    doc_filter=filt)
+                    mesh=make_mesh(), doc_filter=filt)
 
 
 def test_dense_filter_matches_subindex(corpus):
