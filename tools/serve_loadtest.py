@@ -305,6 +305,10 @@ def main(argv=None):
                    help="wrap the corpus in the live (segments+tombstones) "
                         "layer and run concurrent document writers during "
                         "the read load — the mutate-while-serving mix")
+    p.add_argument("--live-impl", default="arena",
+                   choices=["arena", "segments"],
+                   help="live-index design with --live (cli.serve default "
+                        "is arena — see BASELINE.md live A/B)")
     p.add_argument("--writers", type=int, default=4,
                    help="concurrent writer threads with --live")
     p.add_argument("--write-interval-ms", type=float, default=20.0,
@@ -341,13 +345,17 @@ def main(argv=None):
     if args.live:
         if args.query_kind == "text":
             p.error("--live measures the array engine stack")
-        from mllm_sparse_retrieval_tpu.index.live import (LiveDenseIndex,
-                                                          LiveImpactIndex)
+        if args.live_impl == "arena":
+            from mllm_sparse_retrieval_tpu.index.arena import (
+                ArenaDenseIndex as DenseLive, ArenaImpactIndex as ImpactLive)
+        else:
+            from mllm_sparse_retrieval_tpu.index.live import (
+                LiveDenseIndex as DenseLive, LiveImpactIndex as ImpactLive)
         if impact is not None:
-            impact = LiveImpactIndex(impact, background_compaction=True)
+            impact = ImpactLive(impact, background_compaction=True)
         if dense is not None:
-            dense = LiveDenseIndex(dense, background_compaction=True)
-        log(f"live mode: {args.writers} writers every "
+            dense = DenseLive(dense, background_compaction=True)
+        log(f"live mode ({args.live_impl}): {args.writers} writers every "
             f"{args.write_interval_ms} ms during the read load")
     levels = [int(d) for d in args.depth_levels.split(",")]
     service = RetrievalService(
@@ -395,6 +403,7 @@ def main(argv=None):
     if wcounters is not None:
         wlat = np.asarray(wcounters["lat"])
         result["live"] = {
+            "impl": args.live_impl,
             "writes": wcounters["writes"],
             "deletes": wcounters["deletes"],
             "writes_per_s": round(wcounters["writes"] / wall, 1),
