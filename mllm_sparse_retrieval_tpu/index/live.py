@@ -151,10 +151,19 @@ class _LiveBase:
                              # arena classes, index/arena.py)
 
     def __init__(self, max_delta_segments: int,
-                 background_compaction: bool = False):
+                 background_compaction: bool = False,
+                 max_stalled_segments: Optional[int] = None):
         self._lock = threading.Lock()
         self._segments: Tuple[_Segment, ...] = ()
         self.max_delta_segments = int(max_delta_segments)
+        # write-stall bound (Lucene's too-many-merges stall): background
+        # writers block once the delta count exceeds this, so sustained
+        # writes can never push search latency unboundedly ahead of the
+        # compactor (the round-10 on-chip loadtest drove the count to
+        # 13,533 segments and 300 s search timeouts without it)
+        self.max_stalled_segments = (4 * self.max_delta_segments
+                                     if max_stalled_segments is None
+                                     else int(max_stalled_segments))
         # serving mode: auto-compaction moves off the mutating caller's
         # thread (otherwise one unlucky add pays the whole O(corpus) merge
         # inline — Lucene's ConcurrentMergeScheduler vs SerialMergeScheduler)
@@ -216,8 +225,28 @@ class _LiveBase:
         if need_merge:
             if self.background_compaction:
                 self._kick_compactor()
+                self._stall_writes()
             else:
                 self._compact_deltas()
+
+    def _stall_writes(self) -> None:
+        """Block the writing thread while the delta count exceeds
+        ``max_stalled_segments`` — Lucene's write stall: when sustained
+        writes outrun the background compactor, bounding write admission
+        (write latency) is the only way to bound read latency. Pure
+        polling (writes are ms-scale ops); released by compactor progress,
+        ``close()``, or a 120 s safety deadline (a wedged compactor must
+        not deadlock every writer)."""
+        import time as _time
+        if len(self._snapshot()) - 1 <= self.max_stalled_segments:
+            return
+        deadline = _time.monotonic() + 120.0
+        while (not self._closed
+               and len(self._snapshot()) - 1 > self.max_stalled_segments):
+            self._compact_wake.set()
+            if _time.monotonic() > deadline:
+                break
+            _time.sleep(0.002)
 
     def _search_segments(self, segs, search_one):
         """Run ``search_one(pos, seg)`` for every segment with the DELTAS
@@ -325,18 +354,49 @@ class _LiveBase:
             if self._install_merge((), segs, tombs, merged):
                 return
 
+    def _delta_window_start(self, segs: Tuple[_Segment, ...]) -> int:
+        """Tiered merge policy: the index into ``segs`` where this pass's
+        merge window starts (the window always runs to the current end —
+        appends racing the merge become the install's tail).
+
+        Merging ALL deltas every pass is quadratic under sustained writes:
+        the single merged delta grows with every add, so each pass costs
+        O(total adds) and the compactor falls ever further behind (the
+        round-10 on-chip loadtest measured exactly this — 13,533 delta
+        segments, 300 s search latency). Instead merge log-structured,
+        LSM/Lucene-tiered style: take the smallest suffix that brings the
+        count back under ``max_delta_segments`` (always the NEWEST, hence
+        smallest, segments — cheap), then cascade into an older delta only
+        when it is no bigger than 2× the accumulated window (so a segment
+        is re-merged only when its tier doubles — O(log n) merges per
+        doc). The steady state is ≤ ``max_delta_segments`` deltas of
+        geometrically increasing age/size in front of the untouched base."""
+        n_deltas = len(segs) - 1
+        over = n_deltas - self.max_delta_segments
+        if over <= 0:
+            return len(segs)              # nothing to do
+        start = len(segs) - (over + 1)    # smallest count-restoring suffix
+        start = max(start, 1)             # never touch the base here
+        acc = sum(len(segs[i].id_set) for i in range(start, len(segs)))
+        while start > 1 and len(segs[start - 1].id_set) <= 2 * acc:
+            start -= 1
+            acc += len(segs[start].id_set)
+        return start
+
     def _compact_deltas(self) -> None:
         """Merge delta segments only, keeping the base (and its warm device
         matrices / compiled programs) untouched. Loops until the delta
         count is within bounds: both a conflicting install (retry the
         merge) and a successful one (deltas appended while merging may
-        still exceed the bound) re-check."""
+        still exceed the bound) re-check. Each pass merges a tiered
+        window (``_delta_window_start``), not the whole delta set."""
         while True:
             segs, tombs = self._atomic_snapshot()
-            if len(segs) - 1 <= self.max_delta_segments:
+            j = self._delta_window_start(segs)
+            if j >= len(segs):
                 return
-            merged = self._merge_segments(segs[1:], tombs[1:])
-            self._install_merge(segs[:1], segs[1:], tombs[1:], merged)
+            merged = self._merge_segments(segs[j:], tombs[j:])
+            self._install_merge(segs[:j], segs[j:], tombs[j:], merged)
 
     # -- persistence ------------------------------------------------------------
     # Layout: <dir>/live.json manifest + one artifact per segment (the
@@ -402,8 +462,10 @@ class LiveDenseIndex(_LiveBase):
     def __init__(self, base: Optional[DenseFlatIndex] = None, *,
                  dtype=np.float32, bucket_min: int = 256,
                  max_delta_segments: int = 8,
-                 background_compaction: bool = False):
-        super().__init__(max_delta_segments, background_compaction)
+                 background_compaction: bool = False,
+                 max_stalled_segments: Optional[int] = None):
+        super().__init__(max_delta_segments, background_compaction,
+                         max_stalled_segments)
         self.dtype = dtype
         self.bucket_min = int(bucket_min)
         if base is not None and base.size:
@@ -536,8 +598,10 @@ class LiveImpactIndex(_LiveBase):
                  max_delta_segments: int = 8,
                  query_canonical: Optional[bool] = None,
                  term_keys: Optional[str] = None,
-                 background_compaction: bool = False):
-        super().__init__(max_delta_segments, background_compaction)
+                 background_compaction: bool = False,
+                 max_stalled_segments: Optional[int] = None):
+        super().__init__(max_delta_segments, background_compaction,
+                         max_stalled_segments)
         if query_canonical is None:
             query_canonical = (base.query_canonical if base is not None
                                else False)

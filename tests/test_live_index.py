@@ -518,3 +518,104 @@ def test_live_dense_concurrent_updates_and_searches():
     assert live.num_segments == 1
     # 8 init + 3 adders x 5 steps x (3 added - 1 deleted)
     assert live.num_docs == 8 + 3 * 5 * 2
+
+
+# ---------------------------------------------------------------------------
+# tiered merges + write stalls (round 10: the on-chip loadtest drove the
+# all-deltas-per-pass policy to 13,533 segments and 300 s searches)
+# ---------------------------------------------------------------------------
+
+def test_tiered_compaction_never_remerges_the_big_delta_every_pass():
+    """Sustained small adds must NOT re-merge the accumulated big delta on
+    every pass (the quadratic regime): total rows merged across N adds
+    stays O(N log N), and big-delta re-merges are O(log N), not O(N)."""
+    rng = np.random.default_rng(0)
+    live = LiveDenseIndex(max_delta_segments=2, bucket_min=1)
+    merged_sizes = []
+    orig = live._merge_segments
+
+    def spying_merge(segs, tombs):
+        merged_sizes.append(sum(len(s.id_set) for s in segs))
+        return orig(segs, tombs)
+
+    live._merge_segments = spying_merge
+    n_adds, d = 64, 4
+    for i in range(n_adds):
+        live.add_documents(_int_reps(rng, 1, d), [f"d{i}"])
+    assert live.num_docs == n_adds
+    assert live.num_segments - 1 <= live.max_delta_segments
+    total_merged = sum(merged_sizes)
+    # all-deltas-per-pass would merge ~N^2/2 rows (= 2016 at N=64);
+    # tiered merging is O(N log N) (~N log2 N = 384 plus cascade slack)
+    # — assert well under the quadratic cost
+    assert total_merged < n_adds * 10, (total_merged, merged_sizes)
+    # the largest merge (the big delta's doubling) happens rarely
+    big = [m for m in merged_sizes if m > n_adds // 2]
+    assert len(big) <= 3, merged_sizes
+
+    # correctness after all that: matches a fresh index
+    queries = _int_reps(rng, 4, d)
+    reps_by_id = {}
+    rng2 = np.random.default_rng(0)
+    for i in range(n_adds):
+        reps_by_id[f"d{i}"] = _int_reps(rng2, 1, d)[0]
+    assert_rows_match(live.search_rows(queries, 10),
+                      _dense_oracle_rows(reps_by_id, queries, 10))
+
+
+def test_write_stall_bounds_segment_count_under_slow_merges():
+    """Background mode + an artificially slow compactor: writers stall at
+    max_stalled_segments instead of letting the snapshot grow unboundedly."""
+    import time
+    rng = np.random.default_rng(1)
+    live = LiveDenseIndex(max_delta_segments=2, bucket_min=1,
+                          background_compaction=True,
+                          max_stalled_segments=6)
+    orig = live._merge_segments
+    peak = [0]
+
+    def slow_merge(segs, tombs):
+        time.sleep(0.03)
+        return orig(segs, tombs)
+
+    live._merge_segments = slow_merge
+    try:
+        for i in range(40):
+            live.add_documents(_int_reps(rng, 1, 4), [f"d{i}"])
+            peak[0] = max(peak[0], live.num_segments)
+        # stall bound: deltas never exceeded the stall limit by more than
+        # the one in-flight append per writer thread
+        assert peak[0] - 1 <= live.max_stalled_segments + 1, peak[0]
+        live.wait_compacted(timeout=30)
+        assert live.num_docs == 40
+    finally:
+        live.close()
+
+
+def test_stall_released_by_close():
+    """close() releases a stalled writer promptly (no 120 s hang)."""
+    import threading
+    import time
+    rng = np.random.default_rng(2)
+    live = LiveImpactIndex(max_delta_segments=1,
+                           background_compaction=True,
+                           max_stalled_segments=1)
+
+    def never_merge(segs, tombs):
+        time.sleep(3600)
+
+    live._merge_segments = never_merge
+    docs = [(f"d{i}", {i % 7: 1 + i % 3, 7 + i % 5: 2}) for i in range(8)]
+    done = threading.Event()
+
+    def writer():
+        for d in docs:
+            live.add_documents([d])
+        done.set()
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    time.sleep(0.3)          # let it stall
+    live.close()
+    assert done.wait(5.0), "writer stayed stalled after close()"
+    t.join(5.0)
