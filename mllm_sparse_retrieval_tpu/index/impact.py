@@ -471,20 +471,24 @@ class ImpactIndex:
 
     def scatter_append_triples(self, term_idx, doc_pos, weights) -> None:
         """Scatter (term idx, doc column, weight) triples into every CACHED
-        single-chip device matrix IN PLACE (the donated `_scatter_block`
-        update — compiled program shapes unchanged, so warm searches keep
-        their executables). The arena live path's append primitive
-        (index/arena.py); requires `doc_capacity`/`term_capacity` headroom —
-        callers must grow/compact before positions or term ids exceed the
-        reservation. Mesh-sharded forms are dropped instead (rebuilt lazily
-        on the next mesh search; multi-chip scatter would need per-shard
-        column routing and mutation-while-serving is a single-chip serving
-        feature). No-op when nothing is materialized yet."""
+        device matrix IN PLACE (donated updates — compiled program shapes
+        unchanged, so warm searches keep their executables). The arena
+        live path's append primitive (index/arena.py); requires
+        `doc_capacity`/`term_capacity` headroom — callers must grow/compact
+        before positions or term ids exceed the reservation. Mesh-sharded
+        forms scatter incrementally too (round 10, VERDICT r4 #7): doc
+        columns map to shards statically, so the host routes each triple
+        to its shard's block and `_sharded_scatter_fn` writes them
+        device-local under shard_map — O(triples) per mutation, never an
+        O(corpus) re-placement. No-op when nothing is materialized yet."""
         if not self._dev:
             return
         rows = (np.asarray(term_idx, np.int64) + 1).astype(np.int32)
         cols = np.asarray(doc_pos, np.int32)
         vals = np.asarray(weights)
+        if self._mesh is not None:
+            self._scatter_triples_mesh(rows, cols, vals)
+            return
         # pad the triple count to a power of two (>= 1024) so repeated
         # appends of varying sizes share a handful of compiled scatters;
         # padding entries write weight 0 to row 0, absorbed by its zero
@@ -497,15 +501,48 @@ class ImpactIndex:
             vals = np.concatenate([vals, np.zeros(pad, vals.dtype)])
         for key in list(self._dev):
             dev = self._dev[key]
-            if self._mesh is not None or dev.ndim == 4:
-                del self._dev[key]
-                continue
             kernel_layout = dev.ndim == 3
             np_dtype = np.int16 if key.startswith("i16") else np.float32
             self._dev[key] = _scatter_block(
                 dev, jax.device_put(rows), jax.device_put(cols),
                 jax.device_put(vals.astype(np_dtype)),
                 dev.shape[-1], kernel_layout)
+
+    def _scatter_triples_mesh(self, rows, cols, vals) -> None:
+        """Route (row, col, val) triples to their owning shards and scatter
+        each cached mesh form in place. Per-shard blocks are padded to one
+        shared power-of-two width (zero-weight writes to local (0, 0)), so
+        appends of varying sizes and skews share a handful of compiled
+        sharded scatters per form."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = self._mesh
+        n_shards = mesh.shape[DATA_AXIS]
+        for key in list(self._dev):
+            dev = self._dev[key]
+            kernel_layout = dev.ndim == 4
+            shard_cols = dev.shape[2] * dev.shape[3] if kernel_layout \
+                else dev.shape[1] // n_shards
+            shard_of = cols // shard_cols
+            local_col = cols - shard_of * shard_cols
+            counts = np.bincount(shard_of, minlength=n_shards)
+            n_tr = max(1024, 1 << int(np.ceil(np.log2(max(
+                int(counts.max()) if counts.size else 1, 1)))))
+            np_dtype = np.int16 if key.startswith("i16") else np.float32
+            r_blk = np.zeros((n_shards, n_tr), np.int32)
+            c_blk = np.zeros((n_shards, n_tr), np.int32)
+            v_blk = np.zeros((n_shards, n_tr), np_dtype)
+            for s in range(n_shards):
+                sel = shard_of == s
+                m = int(counts[s])
+                r_blk[s, :m] = rows[sel]
+                c_blk[s, :m] = local_col[sel]
+                v_blk[s, :m] = vals[sel].astype(np_dtype)
+            spec = NamedSharding(mesh, P(DATA_AXIS, None))
+            fn = _sharded_scatter_fn(mesh, kernel_layout)
+            self._dev[key] = fn(dev,
+                                jax.device_put(r_blk, spec),
+                                jax.device_put(c_blk, spec),
+                                jax.device_put(v_blk, spec))
 
     # ---- query encoding -----------------------------------------------------------
     def encode_queries(
@@ -1273,7 +1310,8 @@ class ImpactIndex:
 # line shifts HERE must not re-key the minutes-long Pallas compiles there).
 from mllm_sparse_retrieval_tpu.ops.score_programs import (  # noqa: E402
     _impact_topk, _impact_topk48, _impact_topk48_filtered,
-    _impact_topk_filtered, _masked_topk, _taat_topk48_filtered,
+    _impact_topk_filtered, _masked_topk, _sharded_scatter_fn,
+    _taat_topk48_filtered,
     _pack_results, _query_table, _scatter_block, _scores_from_matrix,
     _sharded_impact_topk, _sharded_impact_topk_filtered,
     _sharded_merge_topk, _sharded_taat_topk, _sharded_taat_topk_filtered,

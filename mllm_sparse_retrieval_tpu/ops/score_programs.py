@@ -327,3 +327,42 @@ def _taat_topk48_filtered(matrix, q_idx, q_w, mask, n_valid, k):
     q_w = q_w.astype(jnp.float32)
     return _pack_results48(*_masked_topk(
         _filtered(_taat_scores(matrix, q_idx, q_w), mask), n_valid, k))
+
+
+# ---- mesh-incremental arena scatter (round 10, VERDICT r4 #7) ----------------
+# Appended after the existing programs (warm-cache rule). Doc columns map to
+# shards statically (shard = col // shard_cols), so the host routes each
+# triple to its shard's block and every device scatters ONLY its local
+# triples inside shard_map — no cross-device indexing, no gather, and the
+# donated sharded matrix keeps its placement. Mutation-while-serving under
+# a mesh therefore costs O(triples), not an O(corpus) re-placement.
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_scatter_fn(mesh, kernel_layout):
+    """Jitted per-(mesh, layout) sharded triple scatter: matrix sharded as
+    the search programs expect it (4-D ``[D, T+1, s, shard/s]`` kernel
+    form on the leading axis; 2-D ``[T+1, N_pad]`` matmul form on
+    columns), triples as ``[D, n]`` blocks sharded on the shard axis with
+    LOCAL doc columns. Padding triples write weight 0 to (row 0, col 0),
+    absorbed by row 0's zero invariant exactly as in `_scatter_block`."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(m, rows, cols, vals):
+        if kernel_layout:
+            lane_w = m.shape[3]
+            return m.at[0, rows[0], cols[0] // lane_w,
+                        cols[0] % lane_w].set(vals[0], mode="drop")
+        return m.at[rows[0], cols[0]].set(vals[0], mode="drop")
+
+    matrix_spec = P(DATA_AXIS, None, None, None) if kernel_layout \
+        else P(None, DATA_AXIS)
+    tr_spec = P(DATA_AXIS, None)
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(matrix_spec, tr_spec, tr_spec, tr_spec),
+        out_specs=matrix_spec,
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))

@@ -536,3 +536,175 @@ def test_arena_concurrent_updates_and_searches():
     stop.set()
     threads[0].join()
     assert not errors, errors
+
+
+# ---------------------------------------------------------------------------
+# mesh-incremental mutations (round 10, VERDICT r4 #7): adds/deletes scatter
+# into the SHARDED device forms in place — no O(corpus) re-placement
+# ---------------------------------------------------------------------------
+
+def test_arena_impact_mesh_mutations_are_incremental():
+    from mllm_sparse_retrieval_tpu.parallel import make_mesh
+    from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
+    cpu_mesh = make_mesh()
+    rng = np.random.default_rng(11)
+    vocab = np.arange(60)
+    state = _random_sparse_docs(rng, [f"b{i}" for i in range(12)], vocab, 4)
+    base = ImpactIndex()
+    base.add_many(state.items())
+    arena = ArenaImpactIndex(base, doc_headroom=64, term_headroom=32)
+
+    builds = []
+    orig = ImpactIndex._materialize
+
+    def spy(self, mesh=None, dtype="f32", kernel_layout=False):
+        key = dtype + ("/kernel" if kernel_layout else "")
+        if self is arena._inner and (
+                self._dev is None or self._mesh is not mesh
+                or key not in self._dev):
+            builds.append(key)             # oracle indexes don't count
+        return orig(self, mesh, dtype, kernel_layout)
+
+    ImpactIndex._materialize = spy
+    try:
+        queries = [{int(t): 1 for t in rng.choice(vocab, 4, replace=False)}
+                   for _ in range(3)]
+        arena.search_rows(queries, depth=8, mesh=cpu_mesh, backend="matmul")
+        assert builds == ["f32"], builds          # the one initial placement
+
+        for wave in range(3):                     # adds, deletes, searches
+            extra = _random_sparse_docs(
+                rng, [f"w{wave}_{i}" for i in range(5)], vocab, 4)
+            arena.add_documents(list(extra.items()))
+            state.update(extra)
+            victim = f"b{wave}"
+            arena.delete_documents([victim])
+            state.pop(victim)
+            got = arena.search_rows(queries, depth=8, mesh=cpu_mesh,
+                                    backend="matmul")
+            assert_rows_match(got, _sparse_oracle_rows(state, queries, 8))
+        # mutations never re-placed the sharded form
+        assert builds == ["f32"], builds
+        # and the form stayed sharded over the mesh
+        dev = arena._inner._dev["f32"]
+        spec = dev.sharding.spec
+        assert tuple(spec) == (None, DATA_AXIS), spec
+    finally:
+        ImpactIndex._materialize = orig
+
+
+def test_arena_dense_mesh_mutations_are_incremental():
+    from mllm_sparse_retrieval_tpu.parallel import make_mesh
+    from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
+    cpu_mesh = make_mesh()
+    rng = np.random.default_rng(12)
+    d = 8
+    arena = ArenaDenseIndex(None, doc_headroom=64)
+    ids = [f"a{i}" for i in range(10)]
+    reps = _int_reps(rng, 10, d)
+    arena.add_documents(reps, ids)
+    state = dict(zip(ids, reps))
+    q = _int_reps(rng, 3, d)
+    arena.search_rows(q, depth=5, batch_size=4, mesh=cpu_mesh)
+    placed = arena._inner._corpus_dev
+    assert placed is not None
+
+    placements = []
+    orig = ArenaDenseIndex._ensure_dev
+
+    def spy(self, mesh):
+        inner = self._inner
+        if inner._corpus_dev is None or inner._mesh is not mesh:
+            placements.append(mesh)
+        return orig(self, mesh)
+
+    ArenaDenseIndex._ensure_dev = spy
+    try:
+        for wave in range(3):
+            more = _int_reps(rng, 4, d)
+            new_ids = [f"w{wave}_{i}" for i in range(4)]
+            arena.add_documents(more, new_ids)
+            state.update(zip(new_ids, more))
+            arena.delete_documents([f"a{wave}"])
+            state.pop(f"a{wave}")
+            # the placement survived the mutation (not dropped)
+            assert arena._inner._corpus_dev is not None
+            assert_rows_match(
+                arena.search_rows(q, depth=8, batch_size=4, mesh=cpu_mesh),
+                _dense_oracle_rows(state, q, 8))
+        assert placements == [], placements       # zero re-placements
+        spec = arena._inner._corpus_dev.sharding.spec
+        assert tuple(spec)[0] == DATA_AXIS, spec  # row sharding preserved
+    finally:
+        ArenaDenseIndex._ensure_dev = orig
+
+
+def test_arena_impact_mesh_delete_serves_unfiltered():
+    """Mesh arena searches serve the UNFILTERED sharded program now —
+    deletes are zeroed per shard (compact48 itself stays single-chip-only,
+    an orthogonal wire constraint asserted below)."""
+    from mllm_sparse_retrieval_tpu.parallel import make_mesh
+    cpu_mesh = make_mesh()
+    rng = np.random.default_rng(13)
+    vocab = np.arange(40)
+    state = _random_sparse_docs(rng, [f"b{i}" for i in range(10)], vocab, 4)
+    base = ImpactIndex()
+    base.add_many(state.items())
+    arena = ArenaImpactIndex(base, doc_headroom=32)
+    arena.delete_documents(["b3", "b7"])
+    state.pop("b3"); state.pop("b7")
+    queries = [{int(t): 2 for t in rng.choice(vocab, 4, replace=False)}
+               for _ in range(3)]
+    got = arena.search_rows(queries, depth=6, mesh=cpu_mesh,
+                            backend="matmul")
+    for row in got[1]:
+        assert "b3" not in row and "b7" not in row
+    assert_rows_match(got, _sparse_oracle_rows(state, queries, 6))
+    with pytest.raises(ValueError, match="single-chip"):
+        arena.search_rows(queries, depth=6, mesh=cpu_mesh,
+                          backend="matmul", wire="compact48")
+
+
+def test_sharded_scatter_kernel_layout_parity():
+    """The 4-D TAAT kernel form's sharded scatter (only reachable via
+    search on a real chip) against a numpy oracle: triples land at
+    (shard, row, col//lane_w, col%lane_w) of the owning shard."""
+    from mllm_sparse_retrieval_tpu.parallel import make_mesh
+    from mllm_sparse_retrieval_tpu.ops.score_programs import (
+        _sharded_scatter_fn)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
+
+    mesh = make_mesh()
+    n_shards = mesh.shape[DATA_AXIS]
+    t, s_lanes, lane_w = 6, 2, 4
+    shard_cols = s_lanes * lane_w
+    mat = np.zeros((n_shards, t + 1, s_lanes, lane_w), np.float32)
+    dev = jax.device_put(mat, NamedSharding(mesh, P(DATA_AXIS, None, None,
+                                                    None)))
+    rng = np.random.default_rng(3)
+    n_tr = 16
+    rows = rng.integers(1, t + 1, size=(n_shards, n_tr)).astype(np.int32)
+    cols = rng.integers(0, shard_cols, size=(n_shards, n_tr)).astype(
+        np.int32)
+    # avoid duplicate (row, col) per shard: deterministic scatter-set
+    for s in range(n_shards):
+        seen, k = set(), 0
+        for j in range(n_tr):
+            while (int(rows[s, j]), int(cols[s, j])) in seen:
+                cols[s, j] = (cols[s, j] + 1) % shard_cols
+                rows[s, j] = 1 + (rows[s, j] % t)
+            seen.add((int(rows[s, j]), int(cols[s, j])))
+    vals = rng.integers(1, 90, size=(n_shards, n_tr)).astype(np.float32)
+    spec = NamedSharding(mesh, P(DATA_AXIS, None))
+    out = _sharded_scatter_fn(mesh, True)(
+        dev, jax.device_put(rows, spec), jax.device_put(cols, spec),
+        jax.device_put(vals, spec))
+    expect = mat.copy()
+    for s in range(n_shards):
+        for j in range(n_tr):
+            c = int(cols[s, j])
+            expect[s, rows[s, j], c // lane_w, c % lane_w] = vals[s, j]
+    np.testing.assert_array_equal(np.asarray(out), expect)
+    assert tuple(out.sharding.spec)[0] == DATA_AXIS

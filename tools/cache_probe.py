@@ -90,7 +90,11 @@ def headline_program_probe() -> dict:
                                            term_keys=range(N_TERMS))
     before = set(glob.glob(os.path.join(CACHE_DIR, "*taat*")))
     t0 = time.time()
-    s, i = index.search_encoded(q_idx[:64], q_w[:64], 10, backend="taat")
+    # the FULL bench batch: the program key includes the query batch dim,
+    # so probing a slice compiles (and reports a miss for) a DIFFERENT
+    # program than the headline's — the round-10 first run of this probe
+    # did exactly that and paid a spurious 380 s compile at batch 64
+    s, i = index.search_encoded(q_idx, q_w, 10, backend="taat")
     first = time.time() - t0
     after = set(glob.glob(os.path.join(CACHE_DIR, "*taat*")))
     new = sorted(os.path.basename(p) for p in after - before)
