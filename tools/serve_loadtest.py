@@ -157,33 +157,45 @@ def run_http(service, args, terms, denses, texts=None, writer_start=None):
     idx = iter(range(0, args.n_queries, args.per_request))
 
     def worker():
-        while True:
-            with lock:
-                s = next(idx, None)
-            if s is None:
-                return
-            qs = []
-            for i in range(s, min(s + args.per_request, args.n_queries)):
-                q = {"depth": args.depth}
-                if texts is not None:
-                    q["text"] = texts[i]
-                else:
-                    if service.impact_index is not None:
-                        q["terms"] = {str(k): w
-                                      for k, w in terms[i].items()}
-                    if service.dense_index is not None:
-                        q["dense"] = denses[i].tolist()
-                qs.append(q)
-            req = urllib.request.Request(
-                base + "/search", data=json.dumps({"queries": qs}).encode(),
-                headers={"Content-Type": "application/json"})
-            t0 = time.perf_counter()
-            with urllib.request.urlopen(req, timeout=300) as resp:
-                body = json.loads(resp.read())
-            dt = time.perf_counter() - t0
-            assert len(body["results"]) == len(qs)
-            with lock:
-                lat.append(dt)
+        # ONE persistent HTTP/1.1 connection per client thread (the server
+        # speaks keep-alive; urllib.request opens a fresh TCP connection
+        # per request, so the old client measured connection churn — a
+        # thread spawn per request under ThreadingHTTPServer — on top of
+        # the service)
+        import http.client
+        conn = http.client.HTTPConnection("127.0.0.1",
+                                          server.server_address[1],
+                                          timeout=300)
+        try:
+            while True:
+                with lock:
+                    s = next(idx, None)
+                if s is None:
+                    return
+                qs = []
+                for i in range(s, min(s + args.per_request,
+                                      args.n_queries)):
+                    q = {"depth": args.depth}
+                    if texts is not None:
+                        q["text"] = texts[i]
+                    else:
+                        if service.impact_index is not None:
+                            q["terms"] = {str(k): w
+                                          for k, w in terms[i].items()}
+                        if service.dense_index is not None:
+                            q["dense"] = denses[i].tolist()
+                    qs.append(q)
+                payload = json.dumps({"queries": qs}).encode()
+                t0 = time.perf_counter()
+                conn.request("POST", "/search", body=payload,
+                             headers={"Content-Type": "application/json"})
+                body = json.loads(conn.getresponse().read())
+                dt = time.perf_counter() - t0
+                assert len(body["results"]) == len(qs)
+                with lock:
+                    lat.append(dt)
+        finally:
+            conn.close()
 
     wctx = writer_start(base) if writer_start else None
     try:
