@@ -56,8 +56,16 @@ def _force(out):
 def _time(fn, *args, reps=8, pipeline=8):
     """Best per-call seconds over ``reps`` samples of ``pipeline``
     back-to-back dispatches (amortizes the ~30 ms relay dispatch overhead,
-    same methodology as tools/dense_ab.py's device-compute legs)."""
-    _force(fn(*args))                          # compile + warm
+    same methodology as tools/dense_ab.py's device-compute legs). The
+    pipeline depth is capped so concurrently-live outputs fit HBM (the
+    matmul-out leg's [B, N] f32 is 3.3 GB at the default shape — 8 live
+    copies RESOURCE_EXHAUSTED a 16 GB v5e)."""
+    warm = fn(*args)
+    out_bytes = sum(getattr(l, "nbytes", 0)
+                    for l in jax.tree_util.tree_leaves(warm))
+    pipeline = max(1, min(pipeline, int(8e9 // max(out_bytes, 1))))
+    _force(warm)                               # compile + warm
+    del warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -142,13 +150,22 @@ def main():
             to = _time(mm_out, q_dev, c_dev, reps=args.reps)
             tf = _time(full, q_dev, c_dev, reps=args.reps)
 
+        fused_ms = ""
+        if name != "int8" and k <= 128:
+            from mllm_sparse_retrieval_tpu.ops.fused_mips import (
+                fused_mips_topk)
+            tu = _time(lambda qm, cm: fused_mips_topk(qm, cm, k),
+                       q_dev, c_dev, reps=args.reps)
+            fused_ms = (f" | FUSED {tu * 1e3:7.2f} ms "
+                        f"({flops / tu / 1e12:6.1f}) x{tf / tu:.2f}")
+
         print(f"{name}: matmul+sum {ts * 1e3:7.2f} ms "
               f"({flops / ts / 1e12:6.1f} TFLOP/s) | "
               f"matmul-out {to * 1e3:7.2f} ms "
               f"({flops / to / 1e12:6.1f}) | "
               f"full(topk) {tf * 1e3:7.2f} ms "
               f"({flops / tf / 1e12:6.1f}) | "
-              f"write+topk overhead {(tf - ts) * 1e3:6.2f} ms")
+              f"write+topk overhead {(tf - ts) * 1e3:6.2f} ms{fused_ms}")
 
 
 if __name__ == "__main__":
