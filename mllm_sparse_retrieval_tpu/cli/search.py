@@ -84,13 +84,6 @@ def main(argv=None):
                              "(1/4 the bytes, s8 MXU rate, per-row/per-query "
                              "dequant scales); float32 is bit-exact "
                              "FAISS-flat parity")
-    parser.add_argument("--dense-fused-topk", action="store_true",
-                        help="use the fused Pallas matmul+top-k kernel for "
-                             "dense scoring (ops/fused_mips.py): skips the "
-                             "[B, N] scores materialization that bounds the "
-                             "XLA program at large corpora; single-chip, "
-                             "unfiltered, depth <= 128 (other shapes fall "
-                             "back to the default programs)")
     parser.add_argument("--save-dir", default=None,
                         help="write TREC run files here")
     parser.add_argument("--limit", type=int, default=0)
@@ -99,12 +92,6 @@ def main(argv=None):
     if args.ann_rank and args.dense_dtype == "int8":
         parser.error("--ann-rank is incompatible with --dense-dtype int8 "
                      "(pick ONE approximation; bf16 composes with ANN)")
-    if args.dense_fused_topk and args.dense_dtype == "int8":
-        parser.error("--dense-fused-topk supports float32/bfloat16 only "
-                     "(the SQ8 scale epilogue stays on the XLA path)")
-    if args.dense_fused_topk and args.ann_rank:
-        parser.error("--dense-fused-topk replaces exact flat scoring; "
-                     "--ann-rank already approximates it (pick one)")
     if args.fusion_rule == "rrf" and args.fusion_mode == "device":
         parser.error("--fusion-rule rrf is host-path only (the device-"
                      "fused program implements the min-max rule)")
@@ -142,8 +129,7 @@ def main(argv=None):
         dense_index = DenseFlatIndex.load(
             args.passage_reps,
             dtype={"bfloat16": jnp.bfloat16, "int8": jnp.int8}.get(
-                args.dense_dtype, jnp.float32),
-            fused_topk=args.dense_fused_topk)
+                args.dense_dtype, jnp.float32))
         if args.ann_rank:
             from mllm_sparse_retrieval_tpu.index.ann import DenseANNIndex
             dense_index = DenseANNIndex.from_flat(

@@ -27,7 +27,6 @@ from mllm_sparse_retrieval_tpu.ops.mips import (
     mips_topk_packed_q8_filtered, sharded_mips_topk,
     sharded_mips_topk_filtered, sharded_mips_topk_q8,
     sharded_mips_topk_q8_filtered)
-from mllm_sparse_retrieval_tpu.ops.fused_mips import TAIL as FUSED_TAIL
 from mllm_sparse_retrieval_tpu.ops.packing import unpack_topk
 from mllm_sparse_retrieval_tpu.parallel.mesh import DATA_AXIS
 
@@ -56,18 +55,11 @@ class DenseFlatIndex:
     tests/test_dense_index.py).
     """
 
-    def __init__(self, dim: Optional[int] = None, dtype=jnp.float32,
-                 fused_topk: bool = False):
+    def __init__(self, dim: Optional[int] = None, dtype=jnp.float32):
         self.dim = dim
         self.q8 = dtype == "int8" or (dtype is not None and
                                       jnp.dtype(dtype) == jnp.int8)
         self.dtype = jnp.int8 if self.q8 else dtype
-        # Opt-in fused Pallas matmul+top-k (ops/fused_mips.py): skips the
-        # [B, N] scores materialization that bounds the XLA program at
-        # large N (BASELINE.md "Dense MXU utilization bound"). Engages on
-        # the single-chip, unfiltered, non-SQ8 path when depth <= 128;
-        # other shapes fall back to the ops/mips.py programs unchanged.
-        self.fused_topk = fused_topk and not self.q8
         self._row_scale_dev: Optional[jax.Array] = None
         self._chunks: List[np.ndarray] = []
         self.lookup: List[str] = []
@@ -188,14 +180,8 @@ class DenseFlatIndex:
             if mask is not None:
                 return mips_topk_packed_filtered(q, self._corpus_dev, mask,
                                                  min(depth, self._n_valid))
-            k = min(depth, self._n_valid)
-            if self.fused_topk and k <= FUSED_TAIL:
-                from mllm_sparse_retrieval_tpu.ops.fused_mips import (
-                    fused_mips_topk_packed)
-                return fused_mips_topk_packed(
-                    q, self._corpus_dev, k,
-                    interpret=jax.default_backend() != "tpu")
-            return mips_topk_packed(q, self._corpus_dev, k)
+            return mips_topk_packed(q, self._corpus_dev,
+                                    min(depth, self._n_valid))
         if mask is not None:
             return sharded_mips_topk_filtered(mesh, q, self._corpus_dev,
                                               mask, self._n_valid, depth)
@@ -314,8 +300,7 @@ class DenseFlatIndex:
             pickle.dump((corpus, list(self.lookup)), f)
 
     @classmethod
-    def load(cls, path_or_dir: str, dtype=jnp.float32,
-             fused_topk: bool = False) -> "DenseFlatIndex":
+    def load(cls, path_or_dir: str, dtype=jnp.float32) -> "DenseFlatIndex":
         """Load from a ``corpus*.pkl`` file, a directory of them, or ``query.pkl``."""
         if os.path.isdir(path_or_dir):
             files = sorted(glob.glob(os.path.join(path_or_dir, "corpus*.pkl")))
@@ -325,7 +310,7 @@ class DenseFlatIndex:
                 raise FileNotFoundError(f"no *.pkl shards under {path_or_dir}")
         else:
             files = [path_or_dir]
-        index = cls(dtype=dtype, fused_topk=fused_topk)
+        index = cls(dtype=dtype)
         for fp in files:
             with open(fp, "rb") as f:
                 reps, lookup = pickle.load(f)

@@ -314,24 +314,3 @@ def test_q8_program_lowers_to_int8_dot():
     assert dots, "no dot_general in the SQ8 program"
     assert any("i8" in d and "i32" in d for d in dots), \
         f"int8 dot upcast detected: {dots}"
-
-
-def test_fused_topk_index_matches_default_path():
-    """DenseFlatIndex(fused_topk=True) must return the same (score, id)
-    results as the default ops/mips.py path — integer reps for bit
-    exactness, and a depth > 128 to exercise the silent fallback."""
-    from mllm_sparse_retrieval_tpu.index.dense import DenseFlatIndex
-
-    rng = np.random.default_rng(11)
-    reps = rng.integers(-6, 7, size=(600, 128)).astype(np.float32)
-    ids = [f"d{i}" for i in range(600)]
-    base = DenseFlatIndex(dtype=jnp.bfloat16)
-    fused = DenseFlatIndex(dtype=jnp.bfloat16, fused_topk=True)
-    base.add(reps, ids)
-    fused.add(reps, ids)
-    q = rng.integers(-6, 7, size=(9, 128)).astype(np.float32)
-    for depth in (10, 200):     # 200 > TAIL: falls back to the XLA path
-        sb, ib = base.search(q, depth)
-        sf, i_f = fused.search(q, depth)
-        np.testing.assert_array_equal(sb, sf)
-        np.testing.assert_array_equal(ib, i_f)

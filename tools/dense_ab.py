@@ -60,9 +60,6 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--depth", type=int, default=10)
     ap.add_argument("--reps", type=int, default=4)
-    ap.add_argument("--fused", action="store_true",
-                    help="also time the fused Pallas matmul+top-k kernel "
-                         "(f32/bf16 device-compute legs)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -109,20 +106,6 @@ def main():
 
     runners = {name: make_runner(name, idx)
                for name, idx in indexes.items()}
-    if args.fused:
-        # Fused Pallas matmul+top-k (ops/fused_mips.py) next to the XLA
-        # programs, same pre-staged queries — the production-form A/B for
-        # the BASELINE fused-kernel row (int8 stays XLA-only).
-        from mllm_sparse_retrieval_tpu.ops.fused_mips import fused_mips_topk
-
-        def make_fused(idx):
-            q_dev = jax.device_put(
-                np.ascontiguousarray(np.asarray(queries, dtype=idx.dtype)))
-            c_dev = idx._corpus_dev
-            return lambda: fused_mips_topk(q_dev, c_dev, args.depth)[0]
-
-        for name in ("f32", "bf16"):
-            runners[name + "+fused"] = make_fused(indexes[name])
     for run in runners.values():
         run().block_until_ready()  # compile
 

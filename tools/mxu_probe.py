@@ -150,22 +150,13 @@ def main():
             to = _time(mm_out, q_dev, c_dev, reps=args.reps)
             tf = _time(full, q_dev, c_dev, reps=args.reps)
 
-        fused_ms = ""
-        if name != "int8" and k <= 128:
-            from mllm_sparse_retrieval_tpu.ops.fused_mips import (
-                fused_mips_topk)
-            tu = _time(lambda qm, cm: fused_mips_topk(qm, cm, k),
-                       q_dev, c_dev, reps=args.reps)
-            fused_ms = (f" | FUSED {tu * 1e3:7.2f} ms "
-                        f"({flops / tu / 1e12:6.1f}) x{tf / tu:.2f}")
-
         print(f"{name}: matmul+sum {ts * 1e3:7.2f} ms "
               f"({flops / ts / 1e12:6.1f} TFLOP/s) | "
               f"matmul-out {to * 1e3:7.2f} ms "
               f"({flops / to / 1e12:6.1f}) | "
               f"full(topk) {tf * 1e3:7.2f} ms "
               f"({flops / tf / 1e12:6.1f}) | "
-              f"write+topk overhead {(tf - ts) * 1e3:6.2f} ms{fused_ms}")
+              f"write+topk overhead {(tf - ts) * 1e3:6.2f} ms")
 
 
 if __name__ == "__main__":

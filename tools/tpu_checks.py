@@ -176,30 +176,6 @@ def check_q8_dense():
           f"({n_docs}x{dim}, depth {depth})", flush=True)
 
 
-def check_fused_mips():
-    """Fused Pallas matmul+top-k ON CHIP vs the XLA ops/mips.py path:
-    integer-valued bf16 reps make both exact, so scores AND tie-ordered ids
-    must match bit for bit. N chosen to exercise doc-block padding and
-    multiple blocks; Mosaic lowering is what the interpret-mode CPU tests
-    can't vouch for."""
-    import jax.numpy as jnp
-
-    from mllm_sparse_retrieval_tpu.ops.fused_mips import fused_mips_topk
-    from mllm_sparse_retrieval_tpu.ops.mips import mips_topk
-
-    rng = np.random.default_rng(17)
-    n_docs, dim, b, depth = 1700, 256, 96, 10
-    reps = jnp.asarray(
-        rng.integers(-8, 9, size=(n_docs, dim)), jnp.bfloat16)
-    q = jnp.asarray(rng.integers(-8, 9, size=(b, dim)), jnp.bfloat16)
-    rv, ri = mips_topk(q, reps, depth)
-    fv, fi = fused_mips_topk(q, reps, depth)
-    np.testing.assert_array_equal(np.asarray(rv), np.asarray(fv))
-    np.testing.assert_array_equal(np.asarray(ri), np.asarray(fi))
-    print(f"OK fused matmul+top-k kernel bit-matches XLA path on chip "
-          f"({n_docs}x{dim} bf16, depth {depth})", flush=True)
-
-
 def check_flash_layer():
     from mllm_sparse_retrieval_tpu.models import layers as L
 
@@ -402,7 +378,6 @@ def main():
     check_impact_backends()
     check_device_fusion()
     check_q8_dense()
-    check_fused_mips()
     check_flash_layer()
     check_flash_shard_map()
     check_decoder_flash()
