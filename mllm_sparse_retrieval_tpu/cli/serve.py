@@ -147,6 +147,12 @@ def main(argv=None):
                         help="JSON file of named doc filters to register at "
                              "boot: {\"tenant-a\": [doc ids...], ...} "
                              "(static indexes; more via POST /filters)")
+    parser.add_argument("--http-impl", default="aio",
+                        choices=["aio", "threaded"],
+                        help="HTTP front end: 'aio' (default; one event-"
+                             "loop thread, keep-alive + pipelining — "
+                             "serving/aio.py) or 'threaded' (stdlib "
+                             "thread-per-connection fallback)")
     parser.add_argument("--no-warm", action="store_true",
                         help="skip the per-depth warm-up batch")
     parser.add_argument("--verbose", action="store_true",
@@ -261,7 +267,10 @@ def main(argv=None):
                     "(POST /documents, /documents/delete, /compact, /save)")
 
     from mllm_sparse_retrieval_tpu.serving import RetrievalService
-    from mllm_sparse_retrieval_tpu.serving.http import make_server
+    if args.http_impl == "aio":
+        from mllm_sparse_retrieval_tpu.serving.aio import make_server
+    else:
+        from mllm_sparse_retrieval_tpu.serving.http import make_server
 
     encoder = None
     if args.encode_queries:

@@ -116,6 +116,15 @@ class MicroBatcher:
                 return
 
     def _dispatch(self, batch) -> None:
+        # claim every future (-> RUNNING) before touching the device: a
+        # caller that cancelled while queued (e.g. the asyncio front end's
+        # search timeout) is dropped here, and cancel() can no longer win a
+        # race against set_result below — set_result on a cancelled future
+        # raises InvalidStateError, which would kill this dispatcher thread
+        batch = [(item, fut) for item, fut in batch
+                 if fut.set_running_or_notify_cancel()]
+        if not batch:
+            return
         items = [item for item, _ in batch]
         t0 = time.monotonic()
         try:

@@ -148,7 +148,10 @@ def run_inproc(service, args, terms, denses, texts=None, writer_start=None):
 def run_http(service, args, terms, denses, texts=None, writer_start=None):
     import urllib.request
 
-    from mllm_sparse_retrieval_tpu.serving.http import make_server
+    if args.http_impl == "aio":
+        from mllm_sparse_retrieval_tpu.serving.aio import make_server
+    else:
+        from mllm_sparse_retrieval_tpu.serving.http import make_server
 
     server = make_server(service, port=0)
     threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -306,6 +309,11 @@ def main(argv=None):
     p.add_argument("--clients", type=int, default=64)
     p.add_argument("--per-request", type=int, default=1,
                    help="queries per HTTP POST (http transport)")
+    p.add_argument("--http-impl", default="aio",
+                   choices=["aio", "threaded"],
+                   help="HTTP front end (cli.serve --http-impl): aio = "
+                        "event loop (default), threaded = stdlib "
+                        "thread-per-connection")
     p.add_argument("--max-batch", type=int, default=1024)
     p.add_argument("--max-wait-ms", type=float, default=8.0)
     p.add_argument("--query-kind", default="array",
@@ -404,7 +412,9 @@ def main(argv=None):
     result = {
         "tool": "serve_loadtest", "mode": args.mode,
         "query_kind": args.query_kind,
-        "transport": args.transport, "docs": args.docs,
+        "transport": args.transport,
+        "http_impl": args.http_impl if args.transport == "http" else None,
+        "docs": args.docs,
         "n_queries": args.n_queries, "clients": args.clients,
         "per_request": args.per_request, "depth": args.depth,
         "qps": round(qps, 1), "wall_s": round(wall, 2),
